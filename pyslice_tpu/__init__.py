@@ -1,0 +1,53 @@
+"""pyslice_tpu — a TPU-native multislice electron-microscopy engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the TACAW workflow (time-resolved
+electron scattering from MD trajectories): trajectory ingest -> Kirkland
+projected potentials -> multislice probe propagation -> k-space exit waves
+per (probe, frame) -> time-axis FFT -> phonon-resolved diffraction analysis
+(spectra, diffraction, dispersion, spectrum images, HAADF-STEM).
+
+Public API mirrors the reference surface (h-walk/PySlice) so existing
+workflows port directly; the execution model is pure-functional JAX sharded
+over a (frame, probe) device mesh.
+"""
+
+from .core.constants import (C_LIGHT, H_PLANCK, M_ELECTRON, Q_ELECTRON,
+                             interaction_parameter, m_effective, wavelength)
+from .core.dtypes import DOUBLE, SINGLE, Precision, get_precision, set_default_precision
+from .core.grids import Grid, grid_from_box, grid_from_trajectory, gridFromTrajectory
+from .data.trajectory import Trajectory
+from .physics.kirkland import element_to_z, form_factor, z_to_element
+from .physics.potential import Potential, RasterizerPlan, make_plan, rasterize
+from .physics.probe import Probe, create_batched_probes, probe_grid, shift_probes
+from .physics.propagate import Propagate, multislice
+from .io.loader import TrajectoryLoader
+from .engine.calculator import MultisliceCalculator
+from .analysis.wf_data import WFData
+from .analysis.tacaw import TACAWData
+from .analysis.haadf import HAADFData
+
+
+def getZfromElementName(element: str) -> int:
+    """Reference-compatible name (potentials.py:98-111), with the Tl bug fixed."""
+    return element_to_z(element)
+
+
+def kirkland(qsq, Z):
+    """Reference-compatible form-factor entry point (potentials.py:50-96)."""
+    if isinstance(Z, str):
+        Z = element_to_z(Z)
+    return form_factor(qsq, Z)
+
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Trajectory", "TrajectoryLoader", "Grid", "grid_from_box",
+    "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",
+    "Propagate", "multislice", "create_batched_probes", "probe_grid",
+    "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
+    "HAADFData", "wavelength", "interaction_parameter", "m_effective",
+    "form_factor", "kirkland", "getZfromElementName", "element_to_z",
+    "z_to_element", "Precision", "SINGLE", "DOUBLE", "get_precision",
+    "set_default_precision", "RasterizerPlan", "make_plan", "rasterize",
+]

@@ -1,0 +1,206 @@
+"""MultisliceCalculator — the reference-compatible orchestration facade.
+
+Signature parity with /root/reference/src/multislice/calculators.py:39-250
+(setup/run, same defaults), over the functional pipeline in engine.pipeline.
+Differences (all deliberate, see SURVEY §2 #9 ledger):
+
+* ``defocus`` is actually applied to the base probe (reference accepted the
+  parameter but never used it — bug #8);
+* the probe batch is built once (frame-independent), not per frame;
+* ``batch_size`` bounds the probe-batch size per propagation call to cap HBM
+  (the reference accepted it unused — bug #9); None means all probes at once;
+* the frame cache (crash-resume) writes one .npy per frame under
+  ``psi_data/jax_<md5-12>/`` keyed by an md5 of the simulation parameters,
+  mirroring calculators.py:78-94, and cleanup works (bug #3 fixed);
+* optional multi-layer recording: ``record_layers`` fills the WFData layer
+  axis the reference reserved but never populated (calculators.py:161,221).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import time
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..analysis.wf_data import WFData
+from ..core.dtypes import get_precision
+from ..core.grids import grid_from_trajectory
+from ..data.trajectory import Trajectory
+from ..physics.potential import make_plan
+from ..physics.probe import Probe, create_batched_probes
+from ..utils.host import to_numpy
+from .pipeline import SimSpec, frame_exit_waves
+
+logger = logging.getLogger(__name__)
+
+
+class MultisliceCalculator:
+
+    def __init__(self, device=None, force_cpu: bool = False, precision=None):
+        del device, force_cpu  # JAX owns device placement
+        self.precision = get_precision(precision)
+
+    # --- setup ---------------------------------------------------------------
+
+    def _generate_cache_key(self) -> str:
+        """md5-12 of the simulation parameters (calculators.py:78-94)."""
+        t = self.trajectory
+        params = {
+            "n_frames": t.n_frames,
+            "n_atoms": t.n_atoms,
+            "box_matrix": np.asarray(t.box_matrix).tolist(),
+            "atom_types": np.asarray(t.atom_types).tolist(),
+            "aperture": self.aperture,
+            "voltage_eV": self.voltage_eV,
+            "defocus": self.defocus,
+            "slice_thickness": self.slice_thickness,
+            "sampling": self.sampling,
+            "probe_positions": np.asarray(self.probe_positions).tolist(),
+            "record_layers": self.record_layers,
+            "backend": f"jax-{self.precision.name}",
+        }
+        param_str = str(sorted(params.items()))
+        return hashlib.md5(param_str.encode()).hexdigest()[:12]
+
+    def setup(self,
+              trajectory: Trajectory,
+              aperture: float = 0.0,
+              voltage_eV: float = 60e3,
+              defocus: float = 0.0,
+              slice_thickness: float = 0.5,
+              sampling: float = 0.1,
+              probe_positions: Optional[List[Tuple[float, float]]] = None,
+              batch_size: Optional[int] = None,
+              save_path: Optional[Path] = None,
+              cleanup_temp_files: bool = False,
+              slice_axis: int = 2,
+              record_layers: Optional[List[int]] = None,
+              use_cache: bool = True,
+              cache_root: str = "psi_data"):
+        self.trajectory = trajectory
+        self.aperture = aperture
+        self.voltage_eV = voltage_eV
+        self.defocus = defocus
+        self.slice_thickness = slice_thickness
+        self.sampling = sampling
+        self.save_path = save_path
+        self.cleanup_temp_files = cleanup_temp_files
+        self.slice_axis = slice_axis
+        self.batch_size = batch_size
+        self.use_cache = use_cache
+
+        grid = grid_from_trajectory(trajectory, sampling=sampling,
+                                    slice_thickness=slice_thickness)
+        self.grid = grid
+        self.xs, self.ys, self.zs = grid.xs, grid.ys, grid.zs
+        self.lx, self.ly, self.lz = grid.lx, grid.ly, grid.lz
+        self.nx, self.ny, self.nz = grid.nx, grid.ny, grid.nz
+        self.dx, self.dy = grid.dx, grid.dy
+
+        if probe_positions is None:
+            probe_positions = [(grid.lx / 2, grid.ly / 2)]   # center probe
+        self.probe_positions = probe_positions
+        self.n_probes = len(probe_positions)
+        self.n_frames = trajectory.n_frames
+        self.record_layers = (tuple(int(l) for l in record_layers)
+                              if record_layers is not None else None)
+
+        self.base_probe = Probe(grid.xs, grid.ys, aperture, voltage_eV,
+                                precision=self.precision)
+        if defocus:
+            self.base_probe.defocus(defocus)
+
+        plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
+                         trajectory.atom_types, kind="kirkland",
+                         slice_axis=slice_axis)
+        self.spec = SimSpec.create(grid, plan, voltage_eV,
+                                   record_layers=self.record_layers,
+                                   precision=self.precision)
+
+        cache_key = self._generate_cache_key()
+        self.output_dir = Path(cache_root) / f"jax_{cache_key}"
+        if self.use_cache:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- run -------------------------------------------------------------------
+
+    def _frame_kspace(self, positions: np.ndarray, probes) -> np.ndarray:
+        """(n_probes, nx, ny, n_layers) k-space exit waves for one frame,
+        probe-chunked if batch_size is set."""
+        bs = self.batch_size
+        if bs is None or self.n_probes <= bs:
+            return to_numpy(frame_exit_waves(positions, probes, self.spec))
+        chunks = [to_numpy(frame_exit_waves(positions, probes[i:i + bs],
+                                            self.spec))
+                  for i in range(0, self.n_probes, bs)]
+        return np.concatenate(chunks, axis=0)
+
+    def run(self, progress: bool = True) -> WFData:
+        t0 = time.time()
+        n_layers = (len(self.record_layers)
+                    if self.record_layers is not None else 1)
+        out = np.zeros((self.n_probes, self.n_frames, self.nx, self.ny,
+                        n_layers), dtype=np.complex128
+                       if self.precision.name == "double" else np.complex64)
+
+        probes = create_batched_probes(self.base_probe,
+                                       self.probe_positions).array
+
+        frames_computed = frames_cached = 0
+        iterator = range(self.n_frames)
+        if progress:
+            try:
+                from tqdm import tqdm
+                iterator = tqdm(iterator, desc="Processing frames", unit="frame")
+            except ImportError:
+                pass
+        for frame_idx in iterator:
+            cache_file = self.output_dir / f"frame_{frame_idx}.npy"
+            if self.use_cache and cache_file.exists():
+                out[:, frame_idx] = np.load(cache_file)
+                frames_cached += 1
+                continue
+            frame_data = self._frame_kspace(
+                np.asarray(self.trajectory.positions[frame_idx]), probes)
+            out[:, frame_idx] = frame_data
+            if self.use_cache:
+                np.save(cache_file, frame_data)
+            frames_computed += 1
+
+        logger.info("Simulation completed in %.2fs (%d computed, %d cached)",
+                    time.time() - t0, frames_computed, frames_cached)
+
+        # Reference parity: exported k axes use the *requested* sampling
+        # (calculators.py:218-219), not the actual grid pitch — see
+        # core.grids docstring for the quirk.
+        kxs = self.grid.kxs_nominal_shifted()
+        kys = self.grid.kys_nominal_shifted()
+        time_array = np.arange(self.n_frames) * self.trajectory.timestep
+        layer_array = (np.asarray(self.record_layers)
+                       if self.record_layers is not None else np.array([0]))
+
+        wf_data = WFData(probe_positions=self.probe_positions,
+                         time=time_array, kxs=kxs, kys=kys,
+                         layer=layer_array, wavefunction_data=out,
+                         probe=self.base_probe)
+
+        if self.use_cache and self.cleanup_temp_files:
+            for frame_idx in range(self.n_frames):   # bug #3 fixed
+                f = self.output_dir / f"frame_{frame_idx}.npy"
+                if f.exists():
+                    f.unlink()
+            try:
+                self.output_dir.rmdir()
+            except OSError:
+                pass
+
+        if self.save_path is not None:
+            save_dir = Path(self.save_path)
+            save_dir.mkdir(parents=True, exist_ok=True)
+            wf_data.save(save_dir / "wf_data.npz")
+
+        return wf_data

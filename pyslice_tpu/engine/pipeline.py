@@ -1,0 +1,86 @@
+"""Functional simulation pipeline (device-resident fast path).
+
+One frame of the TACAW production path (SURVEY §3.1): rasterize the frame's
+projected potential, propagate the probe batch through it, convert exit waves
+to k-space with fftshift(fft2(.)). Everything is jit-compiled with static
+shapes; frames are mapped with lax.map (single device) or sharded over the
+'frame' mesh axis (see parallel.sharded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import wavelength as _wavelength
+from ..core.dtypes import Precision, get_precision
+from ..core.grids import Grid
+from ..physics.potential import RasterizerPlan, rasterize
+from ..physics.propagate import multislice
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SimSpec:
+    """Static simulation description (jit static argument; identity-hashed).
+
+    Bundles the grid, rasterization plan, and beam parameters for one
+    simulation config.
+    """
+    grid: Grid
+    plan: RasterizerPlan
+    eV: float
+    lam: float
+    dz: float
+    record_layers: Optional[Tuple[int, ...]]  # None -> exit wave only
+    precision: Precision
+
+    @classmethod
+    def create(cls, grid: Grid, plan: RasterizerPlan, eV: float,
+               record_layers=None, precision=None) -> "SimSpec":
+        prec = get_precision(precision)
+        rl = tuple(int(x) for x in record_layers) if record_layers is not None else None
+        return cls(grid=grid, plan=plan, eV=float(eV), lam=_wavelength(eV),
+                   dz=grid.dz, record_layers=rl, precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
+    """k-space exit waves for one MD frame.
+
+    Args:
+        positions: (n_atoms, 3) frame positions.
+        probes: (n_probes, nx, ny) complex probe batch.
+        spec: static SimSpec.
+
+    Returns:
+        (n_probes, nx, ny, n_layers) complex, fftshifted k-space
+        (calculators.py:285-287 semantics). n_layers == 1 when
+        spec.record_layers is None.
+    """
+    v = rasterize(positions, spec.plan, spec.precision)
+    psi = multislice(probes, v, spec.plan.kxs, spec.plan.kys, eV=spec.eV,
+                     lam=spec.lam, dz=spec.dz,
+                     record_layers=spec.record_layers,
+                     precision=spec.precision)
+    if spec.record_layers is None:
+        psi = psi[None]                       # (1, n_probes, nx, ny)
+    k = jnp.fft.fftshift(jnp.fft.fft2(psi, axes=(-2, -1)), axes=(-2, -1))
+    return jnp.transpose(k, (1, 2, 3, 0))     # (probes, nx, ny, layers)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def simulate_frames(positions_frames, probes, spec: SimSpec) -> jnp.ndarray:
+    """Map frame_exit_waves over a stacked (n_frames, n_atoms, 3) block.
+
+    Returns (n_probes, n_frames, nx, ny, n_layers) — WFData layout. Frames are
+    processed sequentially on-device (lax.map); use parallel.sharded to spread
+    frames/probes over a mesh.
+    """
+    out = jax.lax.map(lambda p: frame_exit_waves(p, probes, spec),
+                      positions_frames)       # (frames, probes, nx, ny, layers)
+    return jnp.transpose(out, (1, 0, 2, 3, 4))

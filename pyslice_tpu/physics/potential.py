@@ -1,0 +1,334 @@
+"""Projected-potential rasterization in reciprocal space.
+
+Physics (see /root/reference/math.txt:3-39 and
+/root/reference/src/multislice/potentials.py:188-348): for every slice, paint
+each atom as a k-space sinusoid (sub-pixel delta function),
+
+    S_s(kx, ky) = sum_{atoms a in slice s} exp(-2*pi*i kx x_a) exp(-2*pi*i ky y_a),
+
+multiply by the Kirkland form factor of the atom's element, inverse-FFT each
+slice, take the real part, and normalize by 1/(dx^2 dy^2).
+
+TPU-native re-architecture
+--------------------------
+The reference loops in Python over (atom type x slice) and builds each
+structure factor with an einsum. That control flow is host-side and
+data-dependent — it cannot jit. Here the rasterizer is a single compiled
+function with *static* shapes:
+
+1. At plan time (host, once per trajectory/grid config) we bin atoms of every
+   frame into (type, slice) buckets, record which buckets are ever occupied,
+   and pick one padded capacity ``a_max`` (max occupancy over frames and
+   buckets, rounded up to the MXU-friendly multiple of 8). Only occupied
+   buckets are compiled — for a monolayer, that is ~n_types buckets instead
+   of n_types * nz.
+2. At run time (jit, per frame) atoms are bucketed with a searchsorted +
+   argsort, gathered into (n_buckets, a_max) padded coordinate rows, and each
+   bucket's structure factor is computed as a single complex matmul
+   (nx, a_max) @ (a_max, ny) — an outer-product contraction that rides the
+   MXU — inside a lax.scan that accumulates form-factor-weighted buckets
+   into the (nz, nx, ny) reciprocal potential.
+3. One batched ifft2 over all slices finishes the job.
+
+Slice-binning edge rules match potentials.py:302-307 exactly: bin s covers
+[coord_s - dz/2, coord_s + dz/2), except bin 0 starts at 0 and the last bin
+extends to coord_last + dz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import get_precision, Precision
+from . import kirkland
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def slice_edges(slice_coords: np.ndarray, spacing: float) -> np.ndarray:
+    """Bin edges implementing the reference's slice rules (potentials.py:302-307)."""
+    coords = np.asarray(slice_coords, dtype=np.float64)
+    n = len(coords)
+    edges = np.empty(n + 1, dtype=np.float64)
+    edges[0] = 0.0
+    if n > 1:
+        edges[1:n] = coords[1:] - spacing / 2.0
+    edges[n] = coords[-1] + spacing
+    return edges
+
+
+def bin_atoms_np(coords: np.ndarray, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side binning: returns (slice_index, valid_mask)."""
+    idx = np.searchsorted(edges, coords, side="right") - 1
+    valid = (idx >= 0) & (idx < len(edges) - 1)
+    return idx, valid
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RasterizerPlan:
+    """Static (compile-time) description of one rasterization config.
+
+    Everything in here is a concrete NumPy array or Python scalar — it is
+    closed over by the jitted kernel, never traced. ``eq=False`` keeps
+    identity hashing so the plan can be a jit static argument (a plan is
+    built once per config; rebuilding one recompiles, by design).
+    """
+
+    nx: int
+    ny: int
+    nz: int
+    dx: float
+    dy: float
+    slice_axis: int
+    inplane_axis1: int
+    inplane_axis2: int
+    kxs: np.ndarray               # (nx,) fftfreq, actual pitch
+    kys: np.ndarray               # (ny,)
+    edges: np.ndarray             # (nz+1,) slice bin edges
+    type_ids: np.ndarray          # (n_atoms,) int in [0, n_types)
+    unique_z: np.ndarray          # (n_types,) atomic numbers
+    bucket_types: np.ndarray      # (n_buckets,) type id of each occupied bucket
+    bucket_slices: np.ndarray     # (n_buckets,) slice id of each occupied bucket
+    a_max: int                    # padded atom capacity per bucket
+    kind: str                     # "kirkland" | "gauss"
+
+    @property
+    def n_types(self) -> int:
+        return len(self.unique_z)
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.bucket_types)
+
+
+def _normalize_types(atom_types) -> Tuple[np.ndarray, np.ndarray]:
+    """Map an atom_types array (ints or element-name strings) to
+    (type_ids in [0, n_types), unique atomic numbers)."""
+    atom_types = np.asarray(atom_types)
+    if atom_types.dtype.kind in ("U", "S", "O"):
+        zs = np.array([kirkland.element_to_z(str(t)) for t in atom_types],
+                      dtype=np.int64)
+    else:
+        zs = atom_types.astype(np.int64)
+    unique_z, type_ids = np.unique(zs, return_inverse=True)
+    return type_ids.astype(np.int32), unique_z
+
+
+def make_plan(xs, ys, zs, positions_all_frames, atom_types,
+              kind: str = "kirkland", slice_axis: int = 2,
+              pad_fraction: float = 0.0) -> RasterizerPlan:
+    """Build the static rasterization plan.
+
+    Args:
+        positions_all_frames: (n_frames, n_atoms, 3) or (n_atoms, 3). Used only
+            to determine bucket occupancy and capacity; per-frame positions are
+            traced at run time.
+        pad_fraction: extra fractional headroom on a_max (useful when planning
+            from a subset of frames).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    zs = np.asarray(zs, dtype=np.float64)
+    pos = np.asarray(positions_all_frames, dtype=np.float64)
+    if pos.ndim == 2:
+        pos = pos[None]
+
+    all_axes = [0, 1, 2]
+    all_axes.remove(slice_axis)
+    ax1, ax2 = all_axes
+
+    coord_arrays = [xs, ys, zs]
+    slice_coords = coord_arrays[slice_axis]
+    spacings = [
+        xs[1] - xs[0] if len(xs) > 1 else 0.5,
+        ys[1] - ys[0] if len(ys) > 1 else 0.5,
+        zs[1] - zs[0] if len(zs) > 1 else 0.5,
+    ]
+    spacing = float(spacings[slice_axis])
+    nz = len(slice_coords)
+    edges = slice_edges(slice_coords, spacing)
+
+    type_ids, unique_z = _normalize_types(atom_types)
+    n_types = len(unique_z)
+
+    # Occupancy over all frames: which (type, slice) buckets ever hold atoms,
+    # and the max count in any bucket in any frame.
+    n_bins = n_types * nz
+    occupied = np.zeros(n_bins, dtype=bool)
+    max_count = 0
+    for f in range(pos.shape[0]):
+        sl, valid = bin_atoms_np(pos[f, :, slice_axis], edges)
+        bins = type_ids[valid] * nz + sl[valid]
+        if bins.size:
+            counts = np.bincount(bins, minlength=n_bins)
+            occupied |= counts > 0
+            max_count = max(max_count, int(counts.max()))
+
+    if max_count == 0:
+        # Degenerate: no atoms in the box. Keep one empty bucket so shapes
+        # stay valid; the kernel will produce zeros.
+        occupied[0] = True
+        max_count = 1
+
+    a_max = _round_up(max(1, int(np.ceil(max_count * (1.0 + pad_fraction)))), 8)
+    occ_bins = np.nonzero(occupied)[0].astype(np.int32)
+
+    return RasterizerPlan(
+        nx=len(xs), ny=len(ys), nz=nz,
+        dx=float(xs[1] - xs[0]), dy=float(ys[1] - ys[0]),
+        slice_axis=slice_axis, inplane_axis1=ax1, inplane_axis2=ax2,
+        kxs=np.fft.fftfreq(len(xs), d=float(xs[1] - xs[0])),
+        kys=np.fft.fftfreq(len(ys), d=float(ys[1] - ys[0])),
+        edges=edges, type_ids=type_ids, unique_z=unique_z,
+        bucket_types=(occ_bins // nz).astype(np.int32),
+        bucket_slices=(occ_bins % nz).astype(np.int32),
+        a_max=int(a_max), kind=kind,
+    )
+
+
+def form_factors(plan: RasterizerPlan, precision: Precision) -> jnp.ndarray:
+    """(n_types, nx, ny) real form-factor tables on the physical k grid."""
+    qsq = plan.kxs[:, None] ** 2 + plan.kys[None, :] ** 2
+    if plan.kind == "kirkland":
+        return kirkland.form_factor(jnp.asarray(qsq, dtype=precision.real),
+                                    plan.unique_z, dtype=precision.real)
+    if plan.kind == "gauss":
+        # Reference debug potential (potentials.py:279-280): exp(-qsq/2),
+        # identical for every type.
+        ff = jnp.exp(-jnp.asarray(qsq, dtype=precision.real) / 2.0)
+        return jnp.broadcast_to(ff, (plan.n_types,) + ff.shape)
+    raise ValueError(f"Unknown potential kind {plan.kind!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "precision"))
+def rasterize(positions, plan: RasterizerPlan,
+              precision: Optional[Precision] = None) -> jnp.ndarray:
+    """Rasterize one frame's projected potential.
+
+    Args:
+        positions: (n_atoms, 3) Angstrom (traced).
+        plan: static RasterizerPlan.
+
+    Returns:
+        (nz, nx, ny) real potential (slice-major layout; the class facade
+        transposes to the reference's (nx, ny, nz) view).
+    """
+    prec = get_precision(precision)
+    positions = jnp.asarray(positions, dtype=prec.real)
+    n_atoms = positions.shape[0]
+
+    x = positions[:, plan.inplane_axis1]
+    y = positions[:, plan.inplane_axis2]
+    zc = positions[:, plan.slice_axis]
+
+    # --- bucket assignment (traced) ---------------------------------------
+    edges = jnp.asarray(plan.edges, dtype=prec.real)
+    sl = jnp.searchsorted(edges, zc, side="right") - 1
+    valid = (sl >= 0) & (sl < plan.nz)
+    bin_id = plan.type_ids * plan.nz + jnp.clip(sl, 0, plan.nz - 1)
+    n_bins = plan.n_types * plan.nz
+    bin_id = jnp.where(valid, bin_id, n_bins)          # overflow bin sorts last
+
+    order = jnp.argsort(bin_id)
+    sx = x[order]
+    sy = y[order]
+    counts = jnp.bincount(bin_id, length=n_bins + 1)
+    starts = jnp.concatenate([jnp.zeros(1, dtype=counts.dtype),
+                              jnp.cumsum(counts)[:-1]])
+
+    ffs = form_factors(plan, prec)                     # (n_types, nx, ny)
+    kxs = jnp.asarray(plan.kxs, dtype=prec.real)
+    kys = jnp.asarray(plan.kys, dtype=prec.real)
+    lane = jnp.arange(plan.a_max)
+
+    bucket_types = jnp.asarray(plan.bucket_types)
+    bucket_slices = jnp.asarray(plan.bucket_slices)
+    bucket_bins = bucket_types * plan.nz + bucket_slices
+
+    def body(recip, bucket_idx):
+        b = bucket_bins[bucket_idx]
+        t = bucket_types[bucket_idx]
+        s = bucket_slices[bucket_idx]
+        idx = jnp.clip(starts[b] + lane, 0, n_atoms - 1)
+        w = (lane < counts[b]).astype(prec.real)       # (a_max,)
+        bx = sx[idx]
+        by = sy[idx]
+        # exp(-2*pi*i k r) via cos/sin keeps everything real-typed until the
+        # complex matmul; the weight zeroes padded lanes.
+        px = (-2.0 * np.pi) * (bx[:, None] * kxs[None, :])   # (a_max, nx)
+        py = (-2.0 * np.pi) * (by[:, None] * kys[None, :])   # (a_max, ny)
+        ex = jax.lax.complex(jnp.cos(px), jnp.sin(px)) * w[:, None]
+        ey = jax.lax.complex(jnp.cos(py), jnp.sin(py))
+        # Structure factor: (nx, a_max) @ (a_max, ny) — MXU matmul.
+        s_factor = jnp.matmul(ex.T, ey, preferred_element_type=prec.complex)
+        contrib = s_factor * ffs[t].astype(prec.complex)
+        recip = recip.at[s].add(contrib)
+        return recip, None
+
+    recip0 = jnp.zeros((plan.nz, plan.nx, plan.ny), dtype=prec.complex)
+    recip, _ = jax.lax.scan(body, recip0, jnp.arange(plan.n_buckets))
+
+    pot = jnp.real(jnp.fft.ifft2(recip, axes=(-2, -1)))
+    norm = 1.0 / (plan.dx ** 2 * plan.dy ** 2)
+    return pot * jnp.asarray(norm, dtype=prec.real)
+
+
+# --- class facade -------------------------------------------------------------
+
+
+class Potential:
+    """Reference-compatible facade (potentials.py:187-386).
+
+    ``array`` is exposed in the reference layout (nx, ny, n_slices);
+    ``array_szy`` (slice-major (nz, nx, ny)) is the internal layout used by
+    the propagation engine.
+    """
+
+    def __init__(self, xs, ys, zs, positions, atomTypes, kind: str = "kirkland",
+                 device=None, slice_axis: int = 2, precision=None,
+                 plan: Optional[RasterizerPlan] = None):
+        del device
+        self.precision = get_precision(precision)
+        self.xs = np.asarray(xs, dtype=np.float64)
+        self.ys = np.asarray(ys, dtype=np.float64)
+        self.zs = np.asarray(zs, dtype=np.float64)
+        self.slice_axis = slice_axis
+        all_axes = [0, 1, 2]
+        all_axes.remove(slice_axis)
+        self.inplane_axis1, self.inplane_axis2 = all_axes
+        coord_arrays = [self.xs, self.ys, self.zs]
+        self.slice_coords = coord_arrays[slice_axis]
+        self.n_slices = len(self.slice_coords)
+        self.kxs = np.fft.fftfreq(len(self.xs), d=self.xs[1] - self.xs[0])
+        self.kys = np.fft.fftfreq(len(self.ys), d=self.ys[1] - self.ys[0])
+
+        if plan is None:
+            plan = make_plan(self.xs, self.ys, self.zs, positions, atomTypes,
+                             kind=kind, slice_axis=slice_axis)
+        self.plan = plan
+        self.array_szy = rasterize(np.asarray(positions), plan, self.precision)
+
+    @property
+    def array(self) -> jnp.ndarray:
+        """(nx, ny, n_slices), the reference's layout (potentials.py:348)."""
+        return jnp.transpose(self.array_szy, (1, 2, 0))
+
+    def to_cpu(self) -> np.ndarray:
+        from ..utils.host import to_numpy
+        return to_numpy(self.array)
+
+    def plot(self):  # pragma: no cover - visualization helper
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        arr = np.sum(np.abs(np.asarray(jax.device_get(jnp.abs(self.array_szy)))), axis=0).T
+        extent = (self.xs.min(), self.xs.max(), self.ys.min(), self.ys.max())
+        ax.imshow(arr, cmap="inferno", extent=extent)
+        plt.show()

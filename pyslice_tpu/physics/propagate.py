@@ -1,0 +1,139 @@
+"""The multislice propagation loop — the hot kernel.
+
+Kirkland Eq. 6.66 (see /root/reference/math.txt:49-60 and
+/root/reference/src/multislice/multislice.py:237-299): per slice z,
+
+    psi <- t_z * psi,            t_z = exp(i sigma V(x, y, z))
+    psi <- ifft2(P * fft2(psi)), P   = exp(-i pi lambda dz (kx^2 + ky^2))
+
+with the Fresnel step *skipped after the last slice* (multislice.py:289).
+
+TPU-native design: a ``lax.scan`` over the slice axis of a slice-major
+(nz, nx, ny) potential, broadcasting over an arbitrary probe batch
+(n_probes, nx, ny) — XLA batches the 2-D FFTs over the leading axis and fuses
+the transmission exponential into the surrounding elementwise work. No Python
+loops, no in-place probe mutation (reference bug #7).
+
+Optionally records depth-resolved exit waves: ``record_layers`` selects slice
+indices whose *post-transmission* wavefunction is snapshotted (the exit wave
+at depth z); the final slice's snapshot equals the reference's return value.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import interaction_parameter, wavelength as _wavelength
+from ..core.dtypes import get_precision, Precision
+from .probe import fresnel_kernel
+
+
+def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
+    """t = exp(i sigma V) (multislice.py:281-286). |t| == 1 exactly."""
+    prec = get_precision(precision)
+    phase = jnp.asarray(sigma, dtype=prec.real) * potential_slice.astype(prec.real)
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eV", "lam", "dz", "record_layers",
+                                    "precision"))
+def multislice(psi, potential_szy, kxs, kys, *, eV: float,
+               lam: Optional[float] = None, dz: float,
+               record_layers: Optional[Tuple[int, ...]] = None,
+               precision: Optional[Precision] = None) -> jnp.ndarray:
+    """Propagate probe batch ``psi`` through a slice-major potential.
+
+    Args:
+        psi: (..., nx, ny) complex probe(s); any number of leading batch dims.
+        potential_szy: (nz, nx, ny) real projected potential (slice-major).
+        kxs, kys: physical fftfreq axes (1/Angstrom, actual pitch).
+        eV: accelerating voltage (static — folds sigma/lambda into constants).
+        lam: electron wavelength in Angstrom (default: wavelength(eV)).
+        dz: slice spacing in Angstrom (static).
+        record_layers: optional strictly-increasing tuple of slice indices to
+            snapshot (post-transmission). None -> return only the exit wave
+            with the same shape as ``psi``; otherwise an extra leading axis of
+            length len(record_layers) is prepended.
+
+    Returns:
+        Exit wave(s): shape of psi, or (n_layers, *psi.shape).
+    """
+    prec = get_precision(precision)
+    lam = lam if lam is not None else _wavelength(eV)
+    sigma = interaction_parameter(eV)
+
+    psi = jnp.asarray(psi, dtype=prec.complex)
+    potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
+    nz = potential_szy.shape[0]
+    P = fresnel_kernel(kxs, kys, lam, dz, prec)
+
+    def transmit(p, v_slice):
+        return transmission(v_slice, sigma, prec) * p
+
+    def step(p, v_slice):
+        # transmit + Fresnel step (used for every slice except the last).
+        p = transmit(p, v_slice)
+        p = jnp.fft.ifft2(P * jnp.fft.fft2(p, axes=(-2, -1)), axes=(-2, -1))
+        return p
+
+    if record_layers is None:
+        if nz > 1:
+            def body(p, v_slice):
+                return step(p, v_slice), None
+            psi, _ = jax.lax.scan(body, psi, potential_szy[:-1])
+        return transmit(psi, potential_szy[-1])
+
+    layers = tuple(int(l) for l in record_layers)
+    if any(b <= a for a, b in zip(layers, layers[1:])):
+        raise ValueError("record_layers must be strictly increasing")
+    if layers and (layers[0] < 0 or layers[-1] >= nz):
+        raise ValueError(f"record_layers out of range [0, {nz - 1}]")
+
+    snapshots = []
+    z = 0
+    for layer in layers:
+        # Propagate through slices [z, layer): full transmit+Fresnel steps.
+        if layer > z:
+            def body(p, v_slice):
+                return step(p, v_slice), None
+            psi, _ = jax.lax.scan(body, psi, potential_szy[z:layer])
+        # Snapshot = wave after transmitting slice `layer` (no Fresnel yet).
+        snap = transmit(psi, potential_szy[layer])
+        snapshots.append(snap)
+        # Continue: the running wave gets the Fresnel step unless `layer`
+        # is the final slice (skip-last rule).
+        if layer < nz - 1:
+            psi = jnp.fft.ifft2(P * jnp.fft.fft2(snap, axes=(-2, -1)),
+                                axes=(-2, -1))
+        z = layer + 1
+    return jnp.stack(snapshots, axis=0)
+
+
+def Propagate(probe, potential, device=None):
+    """Reference-compatible facade (multislice.py:237-299).
+
+    Accepts the Probe / Potential class facades, returns the exit wave with
+    the reference's squeeze semantics: 2-D input -> 2-D output, batched input
+    -> (n_probes, nx, ny). Does NOT mutate probe.array (reference bug #7).
+    """
+    del device
+    prec = probe.precision
+    psi = probe.array
+    squeeze = psi.ndim == 2
+    if squeeze:
+        psi = psi[None]
+    # Reference parity: Fresnel dz always comes from potential.zs spacing,
+    # even for slice_axis != 2 (multislice.py:266 — callers permute grids).
+    zs = np.asarray(potential.zs)
+    dz = float(zs[1] - zs[0]) if len(zs) > 1 else 0.5
+    out = multislice(psi, potential.array_szy,
+                     potential.kxs, potential.kys,
+                     eV=probe.eV, lam=probe.wavelength, dz=dz,
+                     precision=prec)
+    return out[0] if squeeze else out

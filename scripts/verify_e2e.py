@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""End-to-end verification drive for pyslice_tpu (see .claude/skills/verify).
+
+Runs the full public-API pipeline on the default platform (real TPU under
+axon; pass --cpu to force CPU) and checks physics invariants and error paths.
+Prints `ALL OK` on success, raises on the first failure.
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if "--cpu" in sys.argv:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pyslice_tpu as pt  # noqa: E402
+from pyslice_tpu.utils.host import to_numpy  # noqa: E402
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"  [{status}] {name} {detail}")
+    if not ok:
+        raise SystemExit(f"FAILED: {name} {detail}")
+
+
+def main():
+    import jax
+    print("devices:", jax.devices())
+
+    # --- vacuum identity --------------------------------------------------
+    types = np.array([5])
+    pos = np.array([[[100.0, 100.0, 100.0]]])          # atom outside the box
+    traj = pt.Trajectory(types, pos, np.zeros_like(pos),
+                         np.diag([4.0, 4.0, 3.0]), 0.005)
+    g = pt.grid_from_trajectory(traj, sampling=0.25, slice_thickness=1.0)
+    probe = pt.Probe(g.xs, g.ys, 0, 100e3)
+    potential = pt.Potential(g.xs, g.ys, g.zs, pos[0], types)
+    ew = to_numpy(pt.Propagate(probe, potential))
+    dev = float(np.abs(ew - 1.0).max())
+    check("plane wave through vacuum is identity", dev < 1e-5, f"(max dev {dev:.2e})")
+
+    # --- defocus roundtrip --------------------------------------------------
+    p2 = pt.Probe(g.xs, g.ys, 10, 100e3)
+    before = p2.to_cpu()
+    p2.defocus(50.0)
+    p2.defocus(-50.0)
+    dev = float(np.abs(p2.to_cpu() - before).max())
+    check("defocus(+d) o defocus(-d) == id", dev < 1e-6, f"(max dev {dev:.2e})")
+
+    # --- norm conservation ----------------------------------------------------
+    types3 = np.array([5, 7])
+    pos3 = np.array([[[1.0, 1.0, 1.0], [2.0, 2.0, 2.0]]])
+    pot3 = pt.Potential(g.xs, g.ys, g.zs, pos3[0], types3)
+    ew3 = to_numpy(pt.Propagate(p2, pot3))
+    n_in = float(np.sum(np.abs(p2.to_cpu()) ** 2))
+    n_out = float(np.sum(np.abs(ew3) ** 2))
+    rel = abs(n_out - n_in) / n_in
+    check("norm conserved through propagation", rel < 1e-5, f"(rel dev {rel:.2e})")
+
+    # --- full pipeline: TACAW ----------------------------------------------------
+    t3 = pt.Trajectory(types3, pos3, np.zeros_like(pos3),
+                       np.diag([4.0, 4.0, 3.0]), 0.005)
+    traj5 = t3.generate_random_displacements(4, 0.02, seed=1)
+    calc = pt.MultisliceCalculator()
+    calc.setup(traj5, sampling=0.25, slice_thickness=1.0, use_cache=False)
+    wf = calc.run(progress=False)
+    tac = pt.TACAWData(wf)
+    check("TACAW pipeline shapes",
+          tac.intensity.shape == (1, 4, g.nx, g.ny)
+          and tac.spectrum(None).shape == (4,)
+          and tac.diffraction(None).shape == (g.nx, g.ny))
+
+    # --- error paths ------------------------------------------------------------
+    for name, fn in [
+        ("bad positions shape", lambda: pt.Trajectory(
+            types, np.zeros((1, 1, 2)), np.zeros((1, 1, 3)), np.eye(3), 1.0)),
+        ("empty frame_indices", lambda: t3.slice_timesteps([])),
+        ("probe index range", lambda: tac.spectrum(5)),
+        ("mask shape", lambda: tac.masked_spectrum(np.ones((3, 3)))),
+    ]:
+        try:
+            fn()
+            check(f"error path: {name}", False, "(no error raised)")
+        except ValueError:
+            check(f"error path: {name}", True)
+    check("Tl reachable (ref bug #2 fixed)", pt.getZfromElementName("Tl") == 81)
+
+    # --- HAADF ----------------------------------------------------------------
+    pg = pt.probe_grid([1, 3], [1, 3], 3, 3)
+    calc2 = pt.MultisliceCalculator()
+    calc2.setup(traj5.slice_timesteps([0, 1, 2]), aperture=30,
+                voltage_eV=100e3, sampling=0.25, slice_thickness=1.0,
+                probe_positions=pg, use_cache=False)
+    adf = pt.HAADFData(calc2.run(progress=False)).ADF(collection_angle=45)
+    check("HAADF ADF", adf.shape == (3, 3) and np.all(np.isfinite(adf)))
+
+    # --- cache resume -------------------------------------------------------------
+    with tempfile.TemporaryDirectory() as d:
+        c2 = pt.MultisliceCalculator()
+        c2.setup(traj5, sampling=0.25, slice_thickness=1.0, cache_root=d)
+        a = c2.run(progress=False)
+        c3 = pt.MultisliceCalculator()
+        c3.setup(traj5, sampling=0.25, slice_thickness=1.0, cache_root=d)
+        b = c3.run(progress=False)
+        check("frame-cache resume identical",
+              np.array_equal(a.wavefunction_data, b.wavefunction_data))
+
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
