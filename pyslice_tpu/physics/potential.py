@@ -160,17 +160,22 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
     n_types = len(unique_z)
 
     # Occupancy over all frames: which (type, slice) buckets ever hold atoms,
-    # and the max count in any bucket in any frame.
+    # and the max count in any bucket in any frame. Computed for BOTH float64
+    # and float32 edge comparisons: the device kernel bins in the run
+    # precision, and an atom sitting exactly on a bin edge can round across
+    # it in float32 — the bucket list must cover either outcome.
     n_bins = n_types * nz
     occupied = np.zeros(n_bins, dtype=bool)
     max_count = 0
     for f in range(pos.shape[0]):
-        sl, valid = bin_atoms_np(pos[f, :, slice_axis], edges)
-        bins = type_ids[valid] * nz + sl[valid]
-        if bins.size:
-            counts = np.bincount(bins, minlength=n_bins)
-            occupied |= counts > 0
-            max_count = max(max_count, int(counts.max()))
+        for cast in (np.float64, np.float32):
+            sl, valid = bin_atoms_np(pos[f, :, slice_axis].astype(cast),
+                                     edges.astype(cast))
+            bins = type_ids[valid] * nz + sl[valid]
+            if bins.size:
+                counts = np.bincount(bins, minlength=n_bins)
+                occupied |= counts > 0
+                max_count = max(max_count, int(counts.max()))
 
     if max_count == 0:
         # Degenerate: no atoms in the box. Keep one empty bucket so shapes

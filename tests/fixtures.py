@@ -1,0 +1,57 @@
+"""Synthetic test fixtures.
+
+The reference snapshot's trajectory fixtures were stripped
+(.MISSING_LARGE_BLOBS), so tests generate their own: an orthorhombic hBN
+monolayer built from the published cell parameters (a = 2.504 A,
+c = 6.784 A; hBN.cif / SpringerMaterials SD1923917) plus uniform thermal
+displacements via Trajectory.generate_random_displacements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyslice_tpu.data.trajectory import Trajectory
+
+HBN_A = 2.504      # hexagonal lattice parameter, Angstrom
+HBN_C = 6.784      # out-of-plane repeat (bulk), Angstrom
+
+
+def hbn_monolayer(nx: int = 2, ny: int = 2, lz: float = 6.784,
+                  timestep: float = 0.005) -> Trajectory:
+    """Orthorhombic hBN monolayer supercell, nx x ny rectangular cells.
+
+    The rectangular cell (a, sqrt(3) a) holds 4 atoms (2 B + 2 N) of the
+    honeycomb with bond length a/sqrt(3). The layer sits at z = lz/4.
+    """
+    a = HBN_A
+    by = np.sqrt(3.0) * a
+    z0 = lz / 4.0
+    base = np.array([
+        [0.0, 0.0, z0],                 # B
+        [a / 2, by / 6, z0],            # N  (y = a * sqrt(3)/6)
+        [a / 2, by / 2, z0],            # B
+        [0.0, by / 2 + by / 6, z0],     # N
+    ])
+    types_cell = np.array([5, 7, 5, 7], dtype=np.int32)
+
+    cells = []
+    types = []
+    for i in range(nx):
+        for j in range(ny):
+            off = np.array([i * a, j * by, 0.0])
+            cells.append(base + off)
+            types.append(types_cell)
+    pos = np.concatenate(cells)[None]    # (1, n_atoms, 3)
+    atom_types = np.concatenate(types)
+    box = np.diag([nx * a, ny * by, lz])
+    return Trajectory(atom_types=atom_types, positions=pos,
+                      velocities=np.zeros_like(pos), box_matrix=box,
+                      timestep=timestep)
+
+
+def hbn_thermal(n_frames: int = 8, sigma: float = 0.05, nx: int = 2,
+                ny: int = 2, seed: int = 0, timestep: float = 0.005) -> Trajectory:
+    """Monolayer + synthetic thermal frames (deterministic)."""
+    return hbn_monolayer(nx, ny, timestep=timestep).generate_random_displacements(
+        n_frames, sigma, seed=seed)

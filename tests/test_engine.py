@@ -1,0 +1,250 @@
+"""Calculator pipeline + TACAW/HAADF analysis vs the oracle.
+
+Covers the reference regression scope of 04_haadf / 05_tacaw.
+"""
+
+import numpy as np
+import pytest
+
+from pyslice_tpu.analysis.haadf import HAADFData
+from pyslice_tpu.analysis.tacaw import TACAWData
+from pyslice_tpu.analysis.wf_data import WFData
+from pyslice_tpu.core.dtypes import DOUBLE
+from pyslice_tpu.engine.calculator import MultisliceCalculator
+from pyslice_tpu.physics.probe import probe_grid
+from tests import oracle
+from tests.fixtures import hbn_thermal
+
+TOL = 1e-6
+
+SAMPLING = 0.25
+SLICE_T = 0.8
+
+
+@pytest.fixture(scope="module")
+def thermal_traj():
+    return hbn_thermal(n_frames=6, sigma=0.05, nx=2, ny=2, seed=3)
+
+
+@pytest.fixture(scope="module")
+def wf(thermal_traj):
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(thermal_traj, aperture=0, voltage_eV=100e3,
+               sampling=SAMPLING, slice_thickness=SLICE_T, use_cache=False)
+    return calc.run(progress=False)
+
+
+@pytest.fixture(scope="module")
+def wf_oracle(thermal_traj):
+    return oracle.oracle_pipeline(thermal_traj, aperture=0,
+                                  voltage_eV=100e3, sampling=SAMPLING,
+                                  slice_thickness=SLICE_T)
+
+
+class TestCalculator:
+    def test_pipeline_vs_oracle(self, wf, wf_oracle):
+        assert wf.wavefunction_data.shape == wf_oracle.shape
+        assert oracle.residual(wf.wavefunction_data, wf_oracle) < 1e-18
+
+    def test_k_axes_reference_quirk(self, wf, thermal_traj):
+        # exported axes use the requested sampling (calculators.py:218-219)
+        nx = wf.wavefunction_data.shape[2]
+        np.testing.assert_allclose(
+            wf.kxs, np.fft.fftshift(np.fft.fftfreq(nx, SAMPLING)))
+
+    def test_time_axis(self, wf, thermal_traj):
+        np.testing.assert_allclose(
+            wf.time, np.arange(thermal_traj.n_frames) * thermal_traj.timestep)
+
+    def test_default_probe_is_center(self, wf, thermal_traj):
+        box = thermal_traj.box_matrix
+        np.testing.assert_allclose(wf.probe_positions,
+                                   [(box[0, 0] / 2, box[1, 1] / 2)])
+
+    def test_probe_batching_equivalence(self, thermal_traj):
+        """batch_size chunking must not change results (ref bug #9: unused)."""
+        pg = probe_grid([1, 3], [1, 3], 2, 2)
+        short = thermal_traj.slice_timesteps([0, 1])
+        outs = []
+        for bs in (None, 3):
+            c = MultisliceCalculator(precision=DOUBLE)
+            c.setup(short, aperture=20, voltage_eV=100e3, sampling=SAMPLING,
+                    slice_thickness=SLICE_T, probe_positions=pg,
+                    batch_size=bs, use_cache=False)
+            outs.append(c.run(progress=False).wavefunction_data)
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-12)
+
+    def test_defocus_applied(self, thermal_traj):
+        """setup(defocus=...) must change the result (ref bug #8: ignored)."""
+        short = thermal_traj.slice_timesteps([0])
+        results = []
+        for dz in (0.0, 200.0):
+            c = MultisliceCalculator(precision=DOUBLE)
+            c.setup(short, aperture=20, voltage_eV=100e3, sampling=SAMPLING,
+                    slice_thickness=SLICE_T, defocus=dz, use_cache=False)
+            results.append(c.run(progress=False).wavefunction_data)
+        assert not np.allclose(np.abs(results[0]), np.abs(results[1]))
+
+    def test_record_layers(self, thermal_traj):
+        short = thermal_traj.slice_timesteps([0, 1])
+        c = MultisliceCalculator(precision=DOUBLE)
+        c.setup(short, aperture=0, voltage_eV=100e3, sampling=SAMPLING,
+                slice_thickness=SLICE_T, use_cache=False)
+        nz = c.nz
+        c2 = MultisliceCalculator(precision=DOUBLE)
+        c2.setup(short, aperture=0, voltage_eV=100e3, sampling=SAMPLING,
+                 slice_thickness=SLICE_T, record_layers=[nz // 2, nz - 1],
+                 use_cache=False)
+        wf2 = c2.run(progress=False)
+        assert wf2.wavefunction_data.shape[-1] == 2
+        np.testing.assert_array_equal(wf2.layer, [nz // 2, nz - 1])
+        # last recorded layer == default exit wave
+        wf1 = c.run(progress=False)
+        np.testing.assert_allclose(wf2.wavefunction_data[..., 1],
+                                   wf1.wavefunction_data[..., 0], rtol=1e-12)
+
+    def test_cache_roundtrip(self, thermal_traj, tmp_path):
+        short = thermal_traj.slice_timesteps([0, 1])
+        a = MultisliceCalculator(precision=DOUBLE)
+        a.setup(short, sampling=SAMPLING, slice_thickness=SLICE_T,
+                cache_root=str(tmp_path))
+        wa = a.run(progress=False)
+        assert any(tmp_path.rglob("frame_*.npy"))
+        b = MultisliceCalculator(precision=DOUBLE)
+        b.setup(short, sampling=SAMPLING, slice_thickness=SLICE_T,
+                cache_root=str(tmp_path))
+        wb = b.run(progress=False)
+        np.testing.assert_array_equal(wa.wavefunction_data,
+                                      wb.wavefunction_data)
+
+    def test_cleanup_temp_files(self, thermal_traj, tmp_path):
+        """Reference bug #3: cleanup crashed on an undefined variable."""
+        short = thermal_traj.slice_timesteps([0])
+        c = MultisliceCalculator(precision=DOUBLE)
+        c.setup(short, sampling=SAMPLING, slice_thickness=SLICE_T,
+                cache_root=str(tmp_path), cleanup_temp_files=True)
+        c.run(progress=False)
+        assert not any(tmp_path.rglob("frame_*.npy"))
+
+    def test_wfdata_save_load(self, wf, tmp_path):
+        wf.save(tmp_path / "wf.npz")
+        loaded = WFData.load(tmp_path / "wf.npz")
+        np.testing.assert_array_equal(loaded.wavefunction_data,
+                                      wf.wavefunction_data)
+        np.testing.assert_allclose(loaded.kxs, wf.kxs)
+        assert loaded.probe.eV == wf.probe.eV
+
+
+class TestTACAW:
+    def test_intensity_vs_oracle(self, wf, wf_oracle):
+        tac = TACAWData(wf)
+        want = oracle.oracle_time_fft(wf_oracle[:, :, :, :, 0])
+        assert tac.intensity.shape == want.shape
+        assert oracle.residual(np.sqrt(tac.intensity), np.sqrt(want)) < 1e-18
+
+    def test_frequencies(self, wf, thermal_traj):
+        tac = TACAWData(wf)
+        n = thermal_traj.n_frames
+        want = np.fft.fftshift(np.fft.fftfreq(n, thermal_traj.timestep))
+        np.testing.assert_allclose(tac.frequencies, want)
+
+    def test_parseval(self, wf):
+        """Sum over frequency of |FFT|^2 == n_t * sum over t |x - mean|^2."""
+        tac = TACAWData(wf)
+        wf0 = wf.wavefunction_data[:, :, :, :, 0]
+        centered = wf0 - wf0.mean(axis=1, keepdims=True)
+        n_t = wf0.shape[1]
+        lhs = tac.intensity.sum(axis=1)
+        rhs = n_t * np.sum(np.abs(centered) ** 2, axis=1)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+    def test_method_semantics(self, wf):
+        tac = TACAWData(wf)
+        n_probes, n_freq, nkx, nky = tac.intensity.shape
+        # spectrum: sum over k; None averages probes
+        np.testing.assert_allclose(tac.spectrum(0),
+                                   tac.intensity[0].sum(axis=(1, 2)))
+        np.testing.assert_allclose(
+            tac.spectrum(None),
+            np.mean([tac.spectrum(i) for i in range(n_probes)], axis=0))
+        # diffraction: sum over freq
+        np.testing.assert_allclose(tac.diffraction(0),
+                                   tac.intensity[0].sum(axis=0))
+        # spectral_diffraction: nearest frequency
+        f = tac.frequencies[2] + 1e-4
+        np.testing.assert_allclose(tac.spectral_diffraction(f, 0),
+                                   tac.intensity[0, 2])
+        # spectrum_image: scalar per probe at nearest freq
+        si = tac.spectrum_image(f)
+        assert si.shape == (n_probes,)
+        np.testing.assert_allclose(si[0], tac.intensity[0, 2].sum())
+        # masked_spectrum with all-ones mask == spectrum
+        mask = np.ones((nkx, nky))
+        np.testing.assert_allclose(tac.masked_spectrum(mask, 0),
+                                   tac.spectrum(0))
+        # dispersion nearest-k lookup
+        disp = tac.dispersion(np.array([tac.kxs[1] + 1e-6]),
+                              np.array([tac.kys[3] - 1e-6]), probe_index=0)
+        np.testing.assert_allclose(disp[:, 0], tac.intensity[0, :, 1, 3])
+
+    def test_mask_shape_error(self, wf):
+        tac = TACAWData(wf)
+        with pytest.raises(ValueError, match="Mask shape"):
+            tac.masked_spectrum(np.ones((2, 2)))
+
+    def test_kx_ky_aliases(self, wf):
+        tac = TACAWData(wf)
+        np.testing.assert_array_equal(tac.kx, tac.kxs)
+        np.testing.assert_array_equal(tac.ky, tac.kys)
+
+
+class TestHAADF:
+    @pytest.fixture(scope="class")
+    def haadf_wf(self, thermal_traj):
+        pg = probe_grid([1, 4], [1, 4], 3, 4)
+        short = thermal_traj.slice_timesteps([0, 1, 2])
+        c = MultisliceCalculator(precision=DOUBLE)
+        c.setup(short, aperture=30, voltage_eV=100e3, sampling=SAMPLING,
+                slice_thickness=SLICE_T, probe_positions=pg, use_cache=False)
+        return c.run(progress=False)
+
+    def test_adf_vs_naive_loop(self, haadf_wf):
+        h = HAADFData(haadf_wf)
+        adf = h.calculateADF(collection_angle=45)
+        assert adf.shape == (3, 4)
+        # naive oracle: per scan point, nearest probe, amplitude sum
+        positions = np.asarray(haadf_wf.probe_positions, dtype=float)
+        xs = np.array(sorted(set(positions[:, 0])))
+        ys = np.array(sorted(set(positions[:, 1])))
+        q = np.sqrt(haadf_wf.kxs[:, None] ** 2 + haadf_wf.kys[None, :] ** 2)
+        mask = (q > (45e-3) / haadf_wf.probe.wavelength).astype(float)
+        want = np.zeros((len(xs), len(ys)))
+        for i, x in enumerate(xs):
+            for j, y in enumerate(ys):
+                d = np.sqrt(((positions - [x, y]) ** 2).sum(axis=1))
+                p = int(np.argmin(d))
+                exits = haadf_wf.wavefunction_data[p, :, :, :, -1]
+                want[i, j] = np.mean(
+                    np.sum(np.abs(exits * mask[None]), axis=(1, 2)))
+        np.testing.assert_allclose(adf, want, rtol=1e-10)
+
+    def test_adf_alias(self, haadf_wf):
+        h = HAADFData(haadf_wf)
+        np.testing.assert_array_equal(h.ADF(45), h.calculateADF(45))
+
+    def test_intensity_option(self, haadf_wf):
+        h = HAADFData(haadf_wf)
+        amp = h.calculateADF(45)
+        inten = h.calculateADF(45, intensity=True)
+        assert not np.allclose(amp, inten)
+
+    def test_accepts_list_positions(self, haadf_wf):
+        """Reference requires an ndarray (haadf_data.py:44); we accept lists."""
+        wf2 = WFData(probe_positions=[tuple(p) for p in
+                                      np.asarray(haadf_wf.probe_positions)],
+                     time=haadf_wf.time, kxs=haadf_wf.kxs, kys=haadf_wf.kys,
+                     layer=haadf_wf.layer,
+                     wavefunction_data=haadf_wf.wavefunction_data,
+                     probe=haadf_wf.probe)
+        h = HAADFData(wf2)
+        assert h.calculateADF(45).shape == (3, 4)

@@ -1,0 +1,200 @@
+"""IO: LAMMPS dump / XYZ / CIF parsers and the caching loader facade."""
+
+import numpy as np
+import pytest
+
+from pyslice_tpu.io import cif as cif_io
+from pyslice_tpu.io import lammps as lammps_io
+from pyslice_tpu.io import xyz as xyz_io
+from pyslice_tpu.io.loader import TrajectoryLoader
+from tests.fixtures import hbn_thermal
+
+
+@pytest.fixture()
+def traj():
+    return hbn_thermal(n_frames=4, sigma=0.05)
+
+
+class TestLammps:
+    def test_roundtrip(self, traj, tmp_path):
+        path = tmp_path / "t.lammpstrj"
+        lammps_io.write_lammps_dump(path, traj.atom_types, traj.positions,
+                                    traj.velocities, traj.box_matrix)
+        types, pos, vel, box = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_array_equal(types, traj.atom_types)
+        np.testing.assert_allclose(pos, traj.positions, atol=1e-5)
+        np.testing.assert_allclose(vel, traj.velocities, atol=1e-5)
+        np.testing.assert_allclose(box, traj.box_matrix, atol=1e-9)
+
+    def test_scaled_coords(self, tmp_path):
+        path = tmp_path / "s.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 4.0\n0 5.0\n0 8.0\n"
+            "ITEM: ATOMS id type xs ys zs\n"
+            "1 1 0.25 0.5 0.125\n2 2 0.5 0.2 0.25\n")
+        types, pos, vel, box = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_allclose(pos[0, 0], [1.0, 2.5, 1.0])
+        np.testing.assert_allclose(pos[0, 1], [2.0, 1.0, 2.0])
+
+    def test_unwrap_continuity(self):
+        """An atom crossing the boundary keeps moving monotonically."""
+        L = np.array([10.0, 10.0, 10.0])
+        wrapped = np.zeros((4, 1, 3))
+        wrapped[:, 0, 0] = [9.5, 9.9, 0.3, 0.7]   # crosses x boundary
+        out = lammps_io.unwrap_continuity(wrapped, L)
+        np.testing.assert_allclose(out[:, 0, 0], [9.5, 9.9, 10.3, 10.7])
+
+    def test_image_flags(self, tmp_path):
+        path = tmp_path / "i.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 10.0\n0 10.0\n0 10.0\n"
+            "ITEM: ATOMS id type x y z ix iy iz\n"
+            "1 1 1.0 2.0 3.0 1 0 -1\n")
+        _, pos, _, _ = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_allclose(pos[0, 0], [11.0, 2.0, -7.0])
+
+    def test_triclinic_box(self, tmp_path):
+        path = tmp_path / "tri.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+            "ITEM: BOX BOUNDS xy xz yz pp pp pp\n"
+            "0.0 11.0 1.0\n0.0 5.0 0.0\n0.0 8.0 0.0\n"
+            "ITEM: ATOMS id type x y z\n1 1 1.0 1.0 1.0\n")
+        _, _, _, box = lammps_io.parse_lammps_dump(path)
+        # bounding box [0,11] with xy=1 -> lx = 11 - max(0,1) - ... = 10
+        assert box[0, 0] == pytest.approx(10.0)
+        assert box[0, 1] == pytest.approx(1.0)   # xy tilt
+
+
+class TestXYZ:
+    def test_roundtrip(self, traj, tmp_path):
+        path = tmp_path / "t.xyz"
+        xyz_io.write_xyz(path, traj.atom_types, traj.positions,
+                         traj.box_matrix, traj.velocities)
+        types, pos, vel, box = xyz_io.parse_xyz(path)
+        np.testing.assert_array_equal(types, traj.atom_types)
+        np.testing.assert_allclose(pos, traj.positions, atol=1e-5)
+        np.testing.assert_allclose(box, traj.box_matrix, atol=1e-9)
+
+
+class TestCIF:
+    CIF_P1 = """
+data_test
+_cell_length_a 4.0
+_cell_length_b 5.0
+_cell_length_c 6.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_label
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+B1 B 0.0 0.0 0.25
+N1 N 0.5 0.5 0.75
+"""
+
+    CIF_SYMOPS = """
+data_test
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_as_xyz
+'x, y, z'
+'-x+1/2, y, z'
+loop_
+_atom_site_label
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+C1 C 0.1 0.2 0.3
+"""
+
+    def test_p1(self, tmp_path):
+        p = tmp_path / "a.cif"
+        p.write_text(self.CIF_P1)
+        types, pos, box = cif_io.parse_cif(p)
+        np.testing.assert_array_equal(types, [5, 7])
+        np.testing.assert_allclose(np.diag(box), [4.0, 5.0, 6.0])
+        np.testing.assert_allclose(pos[0, 1], [2.0, 2.5, 4.5])
+
+    def test_symop_expansion(self, tmp_path):
+        p = tmp_path / "b.cif"
+        p.write_text(self.CIF_SYMOPS)
+        types, pos, box = cif_io.parse_cif(p)
+        assert len(types) == 2
+        got = sorted(pos[0, :, 0].tolist())
+        np.testing.assert_allclose(got, [0.4, 1.6])   # x=0.1, -0.1+0.5=0.4
+
+    def test_hexagonal_cell(self):
+        box = cif_io.cell_to_box(2.504, 2.504, 6.784, 90, 90, 120)
+        assert box[0, 0] == pytest.approx(2.504)
+        assert box[0, 1] == pytest.approx(2.504 * np.cos(np.radians(120)))
+        assert box[1, 1] == pytest.approx(2.504 * np.sin(np.radians(120)))
+        assert box[2, 2] == pytest.approx(6.784)
+
+    def test_reference_hbn_cif(self, tmp_path):
+        """Parse the real-world hBN CIF layout (SpringerMaterials style)."""
+        import shutil
+        src = "/root/reference/src/unittests/hBN.cif"
+        import os
+        if not os.path.exists(src):
+            pytest.skip("reference fixture not available")
+        p = tmp_path / "hBN.cif"
+        shutil.copy(src, p)
+        types, pos, box = cif_io.parse_cif(p)
+        assert sorted(types.tolist()) == [5, 7]     # one B + one N site (P1)
+        assert box[2, 2] == pytest.approx(6.784)
+
+
+class TestLoader:
+    def test_load_with_mapping_and_cache(self, traj, tmp_path):
+        path = tmp_path / "t.lammpstrj"
+        # write with generic types 1/2, map back to B/N
+        generic = np.where(traj.atom_types == 5, 1, 2)
+        lammps_io.write_lammps_dump(path, generic, traj.positions,
+                                    traj.velocities, traj.box_matrix)
+        loader = TrajectoryLoader(str(path), timestep=0.005,
+                                  atom_mapping={1: "B", 2: 7})
+        t = loader.load()
+        np.testing.assert_array_equal(t.atom_types, traj.atom_types)
+        assert t.timestep == 0.005
+        # cache files appear and are used on reload
+        assert (tmp_path / "t.positions.npy").exists()
+        t2 = TrajectoryLoader(str(path), timestep=0.005).load()
+        np.testing.assert_allclose(t2.positions, t.positions)
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            TrajectoryLoader("/nonexistent/file.lammpstrj")
+
+    def test_bad_timestep(self, tmp_path):
+        p = tmp_path / "x.xyz"
+        p.write_text("1\n\nC 0 0 0\n")
+        with pytest.raises(ValueError):
+            TrajectoryLoader(str(p), timestep=-1.0)
+
+    def test_bad_mapping(self, tmp_path):
+        p = tmp_path / "x.xyz"
+        p.write_text("1\n\nC 0 0 0\n")
+        with pytest.raises(ValueError):
+            TrajectoryLoader(str(p), atom_mapping={1: 500})
+
+    def test_xyz_and_random_displacements(self, traj, tmp_path):
+        """The 06_loaders.py reference flow: load -> displace -> rasterize."""
+        path = tmp_path / "t.xyz"
+        xyz_io.write_xyz(path, traj.atom_types, traj.positions[0:1],
+                         traj.box_matrix)
+        t = TrajectoryLoader(str(path)).load()
+        d = t.generate_random_displacements(n_displacements=5, sigma=0.5,
+                                            seed=0)
+        assert d.n_frames == 5

@@ -1,0 +1,267 @@
+"""Physics kernels vs the NumPy oracle + invariants.
+
+Covers the reference regression scope of 00_probe / 01_potentials /
+02_propagate / 03_manyprobes / 07_defocus with the same scale-invariant
+residual oracle (dz <= 1e-6), plus property tests the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+from pyslice_tpu.core.dtypes import DOUBLE, SINGLE
+from pyslice_tpu.core.grids import grid_from_trajectory
+from pyslice_tpu.physics.potential import Potential, make_plan, rasterize
+from pyslice_tpu.physics.probe import (Probe, create_batched_probes, defocus,
+                                       probe_array, probe_grid, shift_probes)
+from pyslice_tpu.physics.propagate import Propagate, multislice
+from pyslice_tpu.utils.host import to_numpy
+from tests import oracle
+from tests.fixtures import hbn_monolayer, hbn_thermal
+
+TOL = 1e-6   # the reference's regression bar
+
+
+@pytest.fixture(scope="module")
+def setup():
+    traj = hbn_monolayer(2, 2)
+    g = grid_from_trajectory(traj, sampling=0.2, slice_thickness=0.8)
+    return traj, g
+
+
+class TestProbe:
+    def test_plane_wave(self, setup):
+        _, g = setup
+        p = probe_array(g.xs, g.ys, 0, 100e3, DOUBLE)
+        np.testing.assert_array_equal(to_numpy(p), np.ones((g.nx, g.ny)))
+
+    @pytest.mark.parametrize("mrad", [1, 3, 5, 15, 30])
+    def test_aperture_vs_oracle(self, setup, mrad):
+        _, g = setup
+        got = to_numpy(probe_array(g.xs, g.ys, mrad, 100e3, DOUBLE))
+        want = oracle.oracle_probe(g.xs, g.ys, mrad, 100e3)
+        assert oracle.residual(got, want) < 1e-20
+
+    def test_nonsquare_grid(self):
+        # reference test 00 uses 501x491; scaled-down non-square grid here
+        xs = np.linspace(0, 50, 51)
+        ys = np.linspace(0, 49, 45)
+        got = to_numpy(probe_array(xs, ys, 5, 100e3, DOUBLE))
+        want = oracle.oracle_probe(xs, ys, 5, 100e3)
+        assert got.shape == (51, 45)
+        assert oracle.residual(got, want) < 1e-20
+
+    def test_single_precision_residual(self, setup):
+        _, g = setup
+        got = to_numpy(probe_array(g.xs, g.ys, 30, 100e3, SINGLE))
+        want = oracle.oracle_probe(g.xs, g.ys, 30, 100e3)
+        assert oracle.residual(got, want) < TOL
+
+    def test_shift_vs_oracle(self, setup):
+        _, g = setup
+        base = oracle.oracle_probe(g.xs, g.ys, 10, 100e3)
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        positions = [(1.0, 2.0), (2.5, 0.7), (0.33, 4.4)]
+        got = to_numpy(shift_probes(base, kxs, kys, positions, DOUBLE))
+        want = oracle.oracle_shift(base, kxs, kys, positions)
+        assert oracle.residual(got, want) < 1e-20
+
+    def test_shift_moves_peak(self, setup):
+        """Probe-position semantics (reference parity, ledger quirk #14):
+        the k-space ramp exp(+2*pi*i k.p) displaces the mid-grid base probe
+        by MINUS p (periodically wrapped) — positions act as self-consistent
+        labels, not absolute coordinates."""
+        _, g = setup
+        p = Probe(g.xs, g.ys, 25, 100e3, precision=DOUBLE)
+        base = np.abs(p.to_cpu())
+        bx, by = np.unravel_index(np.argmax(base), base.shape)
+        shift = (g.xs[g.nx // 3], g.ys[g.ny // 4])
+        b = create_batched_probes(p, [shift])
+        arr = np.abs(to_numpy(b.array)[0])
+        ix, iy = np.unravel_index(np.argmax(arr), arr.shape)
+        got_dx = (g.xs[bx] - g.xs[ix]) % g.lx
+        got_dy = (g.ys[by] - g.ys[iy]) % g.ly
+        assert abs(got_dx - shift[0]) <= 2 * g.dx
+        assert abs(got_dy - shift[1]) <= 2 * g.dy
+
+    def test_defocus_roundtrip_and_oracle(self, setup):
+        _, g = setup
+        p = probe_array(g.xs, g.ys, 10, 100e3, DOUBLE)
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        lam = 0.037014
+        d1 = defocus(p, kxs, kys, lam, 100.0, DOUBLE)
+        d2 = defocus(d1, kxs, kys, lam, -100.0, DOUBLE)
+        assert oracle.residual(to_numpy(d2), to_numpy(p)) < 1e-20
+        # forward defocus == oracle Fresnel multiply
+        P = np.exp(-1j * np.pi * lam * 100.0
+                   * (kxs[:, None] ** 2 + kys[None, :] ** 2))
+        want = np.fft.ifft2(np.fft.fft2(to_numpy(p)) * P)
+        assert oracle.residual(to_numpy(d1), want) < 1e-20
+
+    def test_probe_grid_ordering(self):
+        pg = probe_grid([0, 1], [0, 2], 2, 3)
+        assert pg.shape == (6, 2)
+        # x varies fastest (meshgrid 'xy' flatten)
+        np.testing.assert_allclose(pg[0], [0, 0])
+        np.testing.assert_allclose(pg[1], [1, 0])
+        np.testing.assert_allclose(pg[2], [0, 1])
+
+
+class TestPotential:
+    def test_vs_oracle_double(self, setup):
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        want = oracle.oracle_potential(g.xs, g.ys, g.zs, traj.positions[0],
+                                       traj.atom_types)
+        got = pot.to_cpu()
+        assert got.shape == want.shape
+        assert oracle.residual(got, want) < 1e-18
+
+    def test_vs_oracle_single(self, setup):
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=SINGLE)
+        want = oracle.oracle_potential(g.xs, g.ys, g.zs, traj.positions[0],
+                                       traj.atom_types)
+        assert oracle.residual(pot.to_cpu(), want) < TOL
+
+    def test_string_atom_types(self, setup):
+        traj, g = setup
+        names = np.array(["B" if z == 5 else "N" for z in traj.atom_types])
+        pot_s = Potential(g.xs, g.ys, g.zs, traj.positions[0], names,
+                          precision=DOUBLE)
+        pot_z = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                          traj.atom_types, precision=DOUBLE)
+        np.testing.assert_allclose(pot_s.to_cpu(), pot_z.to_cpu())
+
+    def test_gauss_kind(self, setup):
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, kind="gauss", precision=DOUBLE)
+        want = oracle.oracle_potential(g.xs, g.ys, g.zs, traj.positions[0],
+                                       traj.atom_types, kind="gauss")
+        assert oracle.residual(pot.to_cpu(), want) < 1e-18
+
+    def test_binning_edges(self):
+        """Atoms at bin boundaries and outside the box follow the reference
+        rules: [coord-d/2, coord+d/2), bin 0 from 0, last bin +d."""
+        xs = ys = np.linspace(0, 4, 8, endpoint=False)
+        zs = np.linspace(0, 3, 3, endpoint=False)   # coords 0, 1, 2; d=1
+        types = np.array([5])
+
+        def slice_of(zpos):
+            pot = Potential(xs, ys, zs, np.array([[1.0, 1.0, zpos]]), types,
+                            precision=DOUBLE).to_cpu()
+            per_slice = np.abs(pot).sum(axis=(0, 1))
+            return int(np.argmax(per_slice)) if per_slice.sum() > 0 else None
+
+        assert slice_of(0.0) == 0
+        assert slice_of(0.49) == 0
+        assert slice_of(0.5) == 1      # boundary goes up
+        assert slice_of(1.49) == 1
+        assert slice_of(2.9) == 2      # last bin extended to coord+d=3
+        assert slice_of(-0.1) is None  # below 0: excluded
+        assert slice_of(3.0) is None   # beyond last bin: excluded
+
+    def test_many_frames_plan(self):
+        """A plan built from all frames covers every frame's occupancy."""
+        traj = hbn_thermal(6, 0.3)
+        g = grid_from_trajectory(traj, sampling=0.25, slice_thickness=0.8)
+        plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+        for f in range(traj.n_frames):
+            got = to_numpy(rasterize(traj.positions[f], plan, DOUBLE))
+            want = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[f],
+                                           traj.atom_types)
+            assert oracle.residual(got.transpose(1, 2, 0), want) < 1e-18
+
+    def test_slice_axis_0(self, setup):
+        """slice_axis=0: slices along the first grid axis, in-plane =
+        (positions[:,1], positions[:,2]) painted on the (xs, ys) k grid —
+        reference semantics (potentials.py:232-245)."""
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, slice_axis=0, precision=DOUBLE)
+        want = oracle.oracle_potential(g.xs, g.ys, g.zs, traj.positions[0],
+                                       traj.atom_types, slice_axis=0)
+        assert pot.to_cpu().shape == (g.nx, g.ny, g.nx)
+        assert oracle.residual(pot.to_cpu(), want) < 1e-18
+
+
+class TestPropagate:
+    def test_vs_oracle_double(self, setup):
+        traj, g = setup
+        probe = Probe(g.xs, g.ys, 5, 100e3, precision=DOUBLE)
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        got = to_numpy(Propagate(probe, pot))
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        want = oracle.oracle_propagate(oracle.oracle_probe(g.xs, g.ys, 5, 100e3),
+                                       want_pot, g.xs, g.ys, g.zs, 100e3)
+        assert oracle.residual(got, want) < 1e-18
+
+    def test_single_precision_residual(self, setup):
+        traj, g = setup
+        probe = Probe(g.xs, g.ys, 5, 100e3, precision=SINGLE)
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=SINGLE)
+        got = to_numpy(Propagate(probe, pot))
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        want = oracle.oracle_propagate(oracle.oracle_probe(g.xs, g.ys, 5, 100e3),
+                                       want_pot, g.xs, g.ys, g.zs, 100e3)
+        assert oracle.residual(got, want) < TOL
+
+    def test_batch_vs_single(self, setup):
+        """Batched propagation must equal per-probe propagation."""
+        traj, g = setup
+        base = Probe(g.xs, g.ys, 20, 100e3, precision=DOUBLE)
+        positions = [(1.0, 1.0), (2.0, 3.0), (3.3, 0.4)]
+        batch = create_batched_probes(base, positions)
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        got = to_numpy(Propagate(batch, pot))
+        assert got.shape[0] == 3
+        for i in range(3):
+            single = Probe(g.xs, g.ys, 20, 100e3,
+                           array=to_numpy(batch.array)[i], precision=DOUBLE)
+            want = to_numpy(Propagate(single, pot))
+            assert oracle.residual(got[i], want) < 1e-20
+
+    def test_norm_conservation(self, setup):
+        traj, g = setup
+        probe = Probe(g.xs, g.ys, 15, 100e3, precision=DOUBLE)
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        out = to_numpy(Propagate(probe, pot))
+        n_in = np.sum(np.abs(probe.to_cpu()) ** 2)
+        n_out = np.sum(np.abs(out) ** 2)
+        assert n_out == pytest.approx(n_in, rel=1e-10)
+
+    def test_record_layers(self, setup):
+        """Snapshot at slice s == full propagation through potential[:s+1]."""
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        probe = Probe(g.xs, g.ys, 5, 100e3, precision=DOUBLE)
+        psi = probe.array[None]
+        layers = (1, 3, g.nz - 1)
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        out = to_numpy(multislice(psi, pot.array_szy, kxs, kys, eV=100e3,
+                                  dz=g.dz, record_layers=layers,
+                                  precision=DOUBLE))
+        assert out.shape[0] == 3
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        base = oracle.oracle_probe(g.xs, g.ys, 5, 100e3)
+        for i, layer in enumerate(layers):
+            want = oracle.oracle_propagate(base, want_pot[:, :, :layer + 1],
+                                           g.xs, g.ys, g.zs, 100e3)
+            assert oracle.residual(out[i, 0], want) < 1e-18
