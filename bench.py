@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the primary metric.
+
+Primary metric (BASELINE.json): probe-frame slice-steps/sec/chip at 1024^2.
+One slice-step = one multislice step (phase-grating multiply + Fresnel
+FFT/IFFT pair) of a single probe's 1024^2 complex64 wavefunction. A frame
+with P probes and nz slices contributes P*nz slice-steps.
+
+Timing methodology: the axon relay's block_until_ready does not synchronize,
+so every measurement is a jitted R-times fori_loop over the kernel whose
+result collapses to a scalar readback; the loop carry depends on the
+iteration counter so XLA cannot hoist the body. Per-iteration time =
+(t_total - t_readback_overhead) / R.
+
+``vs_baseline`` compares against the reference implementation measured on
+this host (tools/bench_reference.py -> baselines/reference_cpu.json; the
+reference publishes no numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_problem(n_probes=16, lx=102.35, sampling=0.1, slice_thickness=0.5,
+                  n_frames=1, seed=0):
+    from pyslice_tpu.core.grids import grid_from_box
+    from pyslice_tpu.engine.pipeline import SimSpec
+    from pyslice_tpu.physics.potential import make_plan
+    from pyslice_tpu.physics.probe import Probe, create_batched_probes, probe_grid
+
+    grid = grid_from_box(lx, lx, 6.784, sampling, slice_thickness)
+
+    # Fill the box with an hBN monolayer (≈4 atoms per 2.504 x 4.337 A cell).
+    a = 2.504
+    by = np.sqrt(3.0) * a
+    ncx, ncy = int(lx // a), int(lx // by)
+    base = np.array([[0.0, 0.0, 1.696], [a / 2, by / 6, 1.696],
+                     [a / 2, by / 2, 1.696], [0.0, by / 2 + by / 6, 1.696]])
+    cells = [base + np.array([i * a, j * by, 0.0])
+             for i in range(ncx) for j in range(ncy)]
+    pos0 = np.concatenate(cells)
+    types = np.tile(np.array([5, 7, 5, 7], dtype=np.int32), ncx * ncy)
+    rng = np.random.default_rng(seed)
+    positions = pos0[None] + rng.random((n_frames, len(pos0), 3)) * 0.05
+
+    plan = make_plan(grid.xs, grid.ys, grid.zs, positions, types)
+    spec = SimSpec.create(grid, plan, 100e3)
+    basep = Probe(grid.xs, grid.ys, 25, 100e3)
+    pg = probe_grid([10, 90], [10, 90], max(1, n_probes // 4), 4)[:n_probes] \
+        if n_probes > 1 else [(lx / 2, lx / 2)]
+    probes = create_batched_probes(basep, pg).array
+    return grid, spec, positions, probes, types
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pyslice_tpu.physics.potential import rasterize
+    from pyslice_tpu.physics.propagate import multislice
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    n_probes = 16
+    grid, spec, positions, probes, types = build_problem(n_probes=n_probes)
+    nz = grid.nz
+    log(f"grid {grid.nx}x{grid.ny}x{nz}, atoms {positions.shape[1]}, "
+        f"probes {n_probes}")
+
+    pos0 = jnp.asarray(positions[0], dtype=jnp.float32)
+    kxs = jnp.asarray(spec.plan.kxs, dtype=jnp.float32)
+    kys = jnp.asarray(spec.plan.kys, dtype=jnp.float32)
+
+    # --- readback overhead -------------------------------------------------
+    noop = jax.jit(lambda x: jnp.sum(x))
+    _ = float(noop(pos0))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(noop(pos0))
+    t_overhead = (time.perf_counter() - t0) / 5
+    log(f"dispatch+readback overhead: {t_overhead * 1e3:.1f} ms")
+
+    def timed_loop(jitted, args, R, label):
+        """Compile, then time the R-iteration jitted loop with one scalar
+        readback; returns seconds per iteration. Operands are passed as
+        arguments (never closures — jit would constant-fold device arrays
+        through a host transfer, which complex buffers cannot do here)."""
+        t0 = time.perf_counter()
+        float(jitted(*args))               # compile + first run
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s = float(jitted(*args))
+        t = time.perf_counter() - t0
+        per = max(t - t_overhead, 1e-9) / R
+        log(f"{label}: {per * 1e3:.2f} ms/iter "
+            f"(first call {t_first:.1f} s incl compile; check {s:.4g})")
+        return per
+
+    # --- propagation (the headline kernel) ---------------------------------
+    R_PROP = 8
+
+    @jax.jit
+    def prop_loop(psi0, v):
+        def body(i, psi):
+            out = multislice(psi, v, kxs, kys, eV=spec.eV,
+                             lam=spec.lam, dz=spec.dz,
+                             precision=spec.precision)
+            # rescale so the carry neither diverges nor is hoistable
+            return out * (1.0 - 1e-12 * i)
+        psi = jax.lax.fori_loop(0, R_PROP, body, psi0)
+        return jnp.sum(jnp.abs(psi))
+
+    v_global = rasterize(pos0, spec.plan, spec.precision)
+    t_prop = timed_loop(prop_loop, (probes, v_global), R_PROP,
+                        f"propagate/frame ({n_probes}p x {nz}sl)")
+    slice_steps = n_probes * nz
+    steps_per_sec = slice_steps / t_prop
+
+    # --- potential rasterization -------------------------------------------
+    R_RAST = 4
+
+    @jax.jit
+    def raster_loop(pos):
+        def body(i, acc):
+            v = rasterize(pos + (1e-9 * i), spec.plan, spec.precision)
+            return acc + jnp.sum(jnp.abs(v))
+        return jax.lax.fori_loop(0, R_RAST, body, jnp.float32(0.0))
+
+    t_raster = timed_loop(raster_loop, (pos0,), R_RAST, "rasterize/frame")
+
+    # --- TACAW time-FFT (config 2 shape: 100 frames, 1 probe, 1024^2) ------
+    R_FFT = 3
+
+    @jax.jit
+    def tacaw_loop(re, im):
+        def body(i, acc):
+            x = jax.lax.complex(re + 1e-9 * i, im)
+            x = x - jnp.mean(x, axis=1, keepdims=True)
+            f = jnp.fft.fftshift(jnp.fft.fft(x, axis=1), axes=1)
+            return acc + jnp.sum(jnp.abs(f) ** 2)
+        return jax.lax.fori_loop(0, R_FFT, body, jnp.float32(0.0))
+
+    re0 = jnp.full((1, 100, grid.nx, grid.ny), 0.5, jnp.float32)
+    im0 = jnp.full((1, 100, grid.nx, grid.ny), 0.25, jnp.float32)
+    t_tacaw = timed_loop(tacaw_loop, (re0, im0), R_FFT,
+                         "TACAW time-FFT (100f x 1024^2)")
+
+    # --- baseline comparison ------------------------------------------------
+    vs_baseline = None
+    ref_file = Path(__file__).parent / "baselines" / "reference_cpu.json"
+    if ref_file.exists():
+        ref = json.loads(ref_file.read_text())
+        ref_steps = ref.get("slice_steps_per_sec")
+        if ref_steps:
+            vs_baseline = steps_per_sec / ref_steps
+
+    print(json.dumps({
+        "metric": "probe_frame_slice_steps_per_sec_per_chip_1024",
+        "value": round(steps_per_sec, 2),
+        "unit": "slice-steps/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "rasterize_frame_ms": round(t_raster * 1e3, 2),
+            "propagate_frame_ms": round(t_prop * 1e3, 2),
+            "tacaw_fft_100f_ms": round(t_tacaw * 1e3, 2),
+            "tacaw_fft_vs_ref_cpu": (
+                round(ref.get("tacaw_fft_100f_s", 0) / t_tacaw, 1)
+                if ref_file.exists() else None),
+            "device": str(dev),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,7 +137,12 @@ class TrajectoryLoader:
         elif suffix == ".xyz":
             types, pos, vel, box = xyz_io.parse_xyz(self.filepath)
         else:   # LAMMPS dump (.lammpstrj, .dump, ...)
-            types, pos, vel, box = lammps_io.parse_lammps_dump(self.filepath)
+            from .native_loader import parse_lammps_dump_native
+            native = parse_lammps_dump_native(self.filepath)
+            if native is not None:
+                types, pos, vel, box = native
+            else:
+                types, pos, vel, box = lammps_io.parse_lammps_dump(self.filepath)
 
         types = self._apply_atomic_mapping(np.asarray(types))
         trajectory = Trajectory(atom_types=types, positions=pos,

@@ -1,0 +1,60 @@
+"""Device-mesh construction for the (frame, probe) parallel axes.
+
+The workload's parallelizable axes (SURVEY §0/§5): MD frames and probe
+positions are independent until the time-FFT / probe-averaging reductions.
+They map onto a 2-D ``jax.sharding.Mesh`` with axes ``('frame', 'probe')``
+riding ICI; in-plane (kx, ky) stays local so the per-slice 2-D FFTs never
+communicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+FRAME_AXIS = "frame"
+PROBE_AXIS = "probe"
+
+
+def factor_mesh(n_devices: int, n_frames: Optional[int] = None,
+                n_probes: Optional[int] = None) -> Tuple[int, int]:
+    """Pick (frame, probe) mesh extents for n_devices.
+
+    Prefers sharding frames (the long axis in production TACAW runs); the
+    probe extent only grows when the frame count can't absorb all devices or
+    when probes are plentiful and frames are not.
+    """
+    best = (n_devices, 1)
+    for f in range(n_devices, 0, -1):
+        if n_devices % f:
+            continue
+        p = n_devices // f
+        if n_frames is not None and n_frames % f:
+            continue
+        if n_probes is not None and n_probes % p:
+            continue
+        best = (f, p)
+        break
+    return best
+
+
+def make_mesh(n_frame_shards: Optional[int] = None,
+              n_probe_shards: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes ('frame', 'probe') over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_frame_shards is None and n_probe_shards is None:
+        n_frame_shards, n_probe_shards = factor_mesh(n)
+    elif n_frame_shards is None:
+        n_frame_shards = n // n_probe_shards
+    elif n_probe_shards is None:
+        n_probe_shards = n // n_frame_shards
+    if n_frame_shards * n_probe_shards != n:
+        raise ValueError(
+            f"mesh {n_frame_shards}x{n_probe_shards} != {n} devices")
+    arr = np.asarray(devices).reshape(n_frame_shards, n_probe_shards)
+    return Mesh(arr, (FRAME_AXIS, PROBE_AXIS))

@@ -278,7 +278,11 @@ def rasterize(positions, plan: RasterizerPlan,
         recip = recip.at[s].add(contrib)
         return recip, None
 
-    recip0 = jnp.zeros((plan.nz, plan.nx, plan.ny), dtype=prec.complex)
+    # Seed the carry from a traced value so it carries the same device-varying
+    # annotation as `positions` under shard_map (a plain zeros constant is
+    # replicated and trips scan's carry-type check).
+    zero = (jnp.sum(positions) * 0).astype(prec.complex)
+    recip0 = jnp.zeros((plan.nz, plan.nx, plan.ny), dtype=prec.complex) + zero
     recip, _ = jax.lax.scan(body, recip0, jnp.arange(plan.n_buckets))
 
     pot = jnp.real(jnp.fft.ifft2(recip, axes=(-2, -1)))

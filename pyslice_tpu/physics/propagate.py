@@ -72,6 +72,11 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
     P = fresnel_kernel(kxs, kys, lam, dz, prec)
+    # Under shard_map, psi (probe-sharded) and the potential (frame-sharded)
+    # carry different device-varying annotations; the scan carry must hold
+    # their union from step 0, so fold a zero contribution of the potential
+    # into psi before scanning.
+    psi = psi + (jnp.sum(potential_szy) * 0).astype(prec.complex)
 
     def transmit(p, v_slice):
         return transmission(v_slice, sigma, prec) * p

@@ -1,0 +1,77 @@
+"""Multi-device correctness on the virtual 8-device CPU mesh.
+
+The sharded (frame, probe) pipeline and the sharded TACAW reduction must be
+numerically identical to the single-device path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pyslice_tpu.core.dtypes import DOUBLE
+from pyslice_tpu.core.grids import grid_from_trajectory
+from pyslice_tpu.engine.pipeline import SimSpec, simulate_frames
+from pyslice_tpu.parallel.mesh import factor_mesh, make_mesh
+from pyslice_tpu.parallel.sharded import (run_sharded,
+                                          tacaw_intensity_sharded,
+                                          tacaw_spectrum_sharded)
+from pyslice_tpu.physics.potential import make_plan
+from pyslice_tpu.physics.probe import Probe, create_batched_probes, probe_grid
+from pyslice_tpu.utils.host import to_numpy
+from tests import oracle
+from tests.fixtures import hbn_thermal
+
+
+@pytest.fixture(scope="module")
+def problem():
+    traj = hbn_thermal(n_frames=8, sigma=0.05, nx=2, ny=2, seed=7)
+    g = grid_from_trajectory(traj, sampling=0.3, slice_thickness=0.8)
+    plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+    spec = SimSpec.create(g, plan, 100e3, precision=DOUBLE)
+    base = Probe(g.xs, g.ys, 20, 100e3, precision=DOUBLE)
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    probes = create_batched_probes(base, pg).array
+    return traj, g, spec, probes
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (8, 1)
+    assert factor_mesh(8, n_frames=4, n_probes=2) == (4, 2)
+    assert factor_mesh(6, n_frames=3, n_probes=2) == (3, 2)
+
+
+def test_sharded_matches_single_device(problem):
+    traj, g, spec, probes = problem
+    mesh = make_mesh(4, 2)
+    sharded = run_sharded(traj.positions, probes, spec, mesh)
+    single = simulate_frames(traj.positions, probes, spec)
+    np.testing.assert_allclose(to_numpy(sharded), to_numpy(single),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_tacaw(problem):
+    traj, g, spec, probes = problem
+    mesh = make_mesh(4, 2)
+    wf = run_sharded(traj.positions, probes, spec, mesh)
+    intensity = tacaw_intensity_sharded(wf, mesh)
+    want = oracle.oracle_time_fft(to_numpy(simulate_frames(
+        traj.positions, probes, spec))[:, :, :, :, 0])
+    np.testing.assert_allclose(np.asarray(intensity), want, rtol=1e-9)
+
+    padded = tacaw_intensity_sharded(wf, mesh, crop=False)
+    spectrum = tacaw_spectrum_sharded(padded, mesh)
+    want_spec = np.mean(want.sum(axis=(2, 3)), axis=0)
+    np.testing.assert_allclose(np.asarray(spectrum), want_spec, rtol=1e-9)
+
+
+def test_frame_only_mesh(problem):
+    traj, g, spec, probes = problem
+    mesh = make_mesh(8, 1)
+    sharded = run_sharded(traj.positions, probes, spec, mesh)
+    single = simulate_frames(traj.positions, probes, spec)
+    np.testing.assert_allclose(to_numpy(sharded), to_numpy(single),
+                               rtol=1e-10, atol=1e-12)
