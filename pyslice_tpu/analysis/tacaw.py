@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import matfft
+
 from .wf_data import WFData
 
 
@@ -42,7 +44,7 @@ def _time_fft_block(re, im):
     """
     blk = jax.lax.complex(re, im)
     blk = blk - jnp.mean(blk, axis=1, keepdims=True)
-    fft = jnp.fft.fftshift(jnp.fft.fft(blk, axis=1), axes=1)
+    fft = jnp.fft.fftshift(matfft.fft(blk, axis=1), axes=1)
     return jnp.abs(fft) ** 2
 
 

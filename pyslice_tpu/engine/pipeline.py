@@ -20,6 +20,7 @@ import numpy as np
 from ..core.constants import wavelength as _wavelength
 from ..core.dtypes import Precision, get_precision
 from ..core.grids import Grid
+from ..ops import matfft
 from ..physics.potential import RasterizerPlan, rasterize
 from ..physics.propagate import multislice
 
@@ -69,7 +70,7 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
                      precision=spec.precision)
     if spec.record_layers is None:
         psi = psi[None]                       # (1, n_probes, nx, ny)
-    k = jnp.fft.fftshift(jnp.fft.fft2(psi, axes=(-2, -1)), axes=(-2, -1))
+    k = jnp.fft.fftshift(matfft.fft2(psi), axes=(-2, -1))
     return jnp.transpose(k, (1, 2, 3, 0))     # (probes, nx, ny, layers)
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..engine.pipeline import SimSpec, frame_exit_waves
+from ..ops import matfft
 from .mesh import FRAME_AXIS, PROBE_AXIS
 
 
@@ -94,7 +95,7 @@ def tacaw_intensity_sharded(wf, mesh, layer_index: int = -1,
         x = jax.lax.all_to_all(x, FRAME_AXIS, split_axis=2, concat_axis=1,
                                tiled=True)
         x = x - jnp.mean(x, axis=1, keepdims=True)
-        fft = jnp.fft.fftshift(jnp.fft.fft(x, axis=1), axes=1)
+        fft = jnp.fft.fftshift(matfft.fft(x, axis=1), axes=1)
         return jnp.abs(fft) ** 2
 
     out = jax.jit(block)(wf)

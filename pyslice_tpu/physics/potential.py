@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.dtypes import get_precision, Precision
+from ..ops import matfft
 from . import kirkland
 
 
@@ -285,7 +286,7 @@ def rasterize(positions, plan: RasterizerPlan,
     recip0 = jnp.zeros((plan.nz, plan.nx, plan.ny), dtype=prec.complex) + zero
     recip, _ = jax.lax.scan(body, recip0, jnp.arange(plan.n_buckets))
 
-    pot = jnp.real(jnp.fft.ifft2(recip, axes=(-2, -1)))
+    pot = jnp.real(matfft.ifft2(recip))
     norm = 1.0 / (plan.dx ** 2 * plan.dy ** 2)
     return pot * jnp.asarray(norm, dtype=prec.real)
 

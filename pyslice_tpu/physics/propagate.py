@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core.constants import interaction_parameter, wavelength as _wavelength
 from ..core.dtypes import get_precision, Precision
+from ..ops import matfft
 from .probe import fresnel_kernel
 
 
@@ -83,8 +84,10 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
 
     def step(p, v_slice):
         # transmit + Fresnel step (used for every slice except the last).
+        # FFTs dispatch to the MXU matmul-FFT for non-power-of-two sizes on
+        # TPU (ops.matfft) — 2-5x faster than XLA's FFT there.
         p = transmit(p, v_slice)
-        p = jnp.fft.ifft2(P * jnp.fft.fft2(p, axes=(-2, -1)), axes=(-2, -1))
+        p = matfft.ifft2(P * matfft.fft2(p))
         return p
 
     if record_layers is None:
@@ -114,8 +117,7 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
         # Continue: the running wave gets the Fresnel step unless `layer`
         # is the final slice (skip-last rule).
         if layer < nz - 1:
-            psi = jnp.fft.ifft2(P * jnp.fft.fft2(snap, axes=(-2, -1)),
-                                axes=(-2, -1))
+            psi = matfft.ifft2(P * matfft.fft2(snap))
         z = layer + 1
     return jnp.stack(snapshots, axis=0)
 
