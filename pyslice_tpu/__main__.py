@@ -1,0 +1,170 @@
+"""Command-line interface: ``python -m pyslice_tpu <command>``.
+
+Commands:
+    run      — run a simulation from a JSON config (or flags) and write
+               analysis products (+ the resolved config) to the output dir.
+    info     — parse a trajectory file and print its shape/box summary.
+    devices  — show the JAX device/mesh picture.
+
+Example:
+    python -m pyslice_tpu run --trajectory md.lammpstrj --timestep 0.005 \\
+        --atom-mapping 1=B,2=N --mode tacaw --output-dir results/
+    python -m pyslice_tpu run --config run.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _parse_mapping(text):
+    out = {}
+    for pair in text.split(","):
+        k, v = pair.split("=")
+        v = v.strip()
+        out[int(k)] = int(v) if v.isdigit() else v
+    return out
+
+
+def cmd_run(args) -> int:
+    from .engine.config import SimulationConfig
+
+    if args.config:
+        cfg = SimulationConfig.load(args.config)
+    else:
+        cfg = SimulationConfig()
+    for name in ("trajectory", "timestep", "aperture", "voltage_eV",
+                 "defocus", "slice_thickness", "sampling", "precision",
+                 "mode", "collection_angle", "output_dir", "max_frames",
+                 "cache_root"):
+        v = getattr(args, name, None)
+        if v is not None:
+            setattr(cfg, name, v)
+    if args.atom_mapping:
+        cfg.atom_mapping = _parse_mapping(args.atom_mapping)
+    if args.probe_grid:
+        cfg.probe_grid = tuple(float(x) for x in args.probe_grid.split(","))
+    if args.save_wf:
+        cfg.save_wf = True
+    if args.no_cache:
+        cfg.use_cache = False
+    if not cfg.trajectory:
+        print("error: no trajectory given (--trajectory or --config)",
+              file=sys.stderr)
+        return 2
+
+    from . import (HAADFData, MultisliceCalculator, TACAWData,
+                   TrajectoryLoader)
+
+    out_dir = Path(cfg.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(cfg.to_json())
+
+    print(f"Loading {cfg.trajectory} ...")
+    traj = TrajectoryLoader(cfg.trajectory, timestep=cfg.timestep,
+                            atom_mapping=cfg.atom_mapping,
+                            use_cache=cfg.use_cache).load()
+    if cfg.max_frames and traj.n_frames > cfg.max_frames:
+        traj = traj.slice_timesteps(list(range(cfg.max_frames)))
+    print(f"{traj.n_frames} frames, {traj.n_atoms} atoms")
+
+    calc = MultisliceCalculator(precision=cfg.precision)
+    calc.setup(traj, aperture=cfg.aperture, voltage_eV=cfg.voltage_eV,
+               defocus=cfg.defocus, slice_thickness=cfg.slice_thickness,
+               sampling=cfg.sampling,
+               probe_positions=cfg.resolve_probe_positions(),
+               batch_size=cfg.batch_size, slice_axis=cfg.slice_axis,
+               record_layers=cfg.record_layers, use_cache=cfg.use_cache,
+               cache_root=cfg.cache_root)
+    print(f"Grid {calc.nx}x{calc.ny}x{calc.nz}, {calc.n_probes} probes")
+    t0 = time.time()
+    wf = calc.run()
+    print(f"Simulation: {time.time() - t0:.1f}s")
+
+    if cfg.save_wf or cfg.mode == "wf":
+        wf.save(out_dir / "wf_data.npz")
+        print(f"  wrote wf_data.npz")
+
+    if cfg.mode == "tacaw":
+        tac = TACAWData(wf)
+        np.save(out_dir / "frequencies.npy", tac.frequencies)
+        np.save(out_dir / "spectrum.npy", tac.spectrum(None))
+        np.save(out_dir / "diffraction.npy", tac.diffraction(None))
+        print("  wrote frequencies.npy spectrum.npy diffraction.npy")
+    elif cfg.mode == "haadf":
+        h = HAADFData(wf)
+        image = h.calculateADF(collection_angle=cfg.collection_angle)
+        np.save(out_dir / "haadf_image.npy", image)
+        print(f"  wrote haadf_image.npy {image.shape}")
+    print(f"Results in {out_dir}/")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from . import TrajectoryLoader
+    traj = TrajectoryLoader(args.trajectory, use_cache=not args.no_cache).load()
+    print(f"frames:     {traj.n_frames}")
+    print(f"atoms:      {traj.n_atoms}")
+    print(f"types:      {sorted(set(np.asarray(traj.atom_types).tolist()))}")
+    print(f"box diag:   {np.diag(traj.box_matrix)}")
+    print(f"box tilts:  {traj.box_tilts}")
+    return 0
+
+
+def cmd_devices(args) -> int:
+    import jax
+    from .parallel.mesh import factor_mesh
+    devs = jax.devices()
+    print(f"backend: {jax.default_backend()}, {len(devs)} device(s)")
+    for d in devs:
+        print(f"  {d}")
+    f, p = factor_mesh(len(devs))
+    print(f"default mesh: frame={f} x probe={p}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pyslice_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run a simulation")
+    run.add_argument("--config", help="JSON SimulationConfig file")
+    run.add_argument("--trajectory")
+    run.add_argument("--timestep", type=float)
+    run.add_argument("--atom-mapping", help="e.g. 1=B,2=N")
+    run.add_argument("--aperture", type=float)
+    run.add_argument("--voltage-eV", dest="voltage_eV", type=float)
+    run.add_argument("--defocus", type=float)
+    run.add_argument("--slice-thickness", dest="slice_thickness", type=float)
+    run.add_argument("--sampling", type=float)
+    run.add_argument("--probe-grid", help="x0,x1,y0,y1,n,m")
+    run.add_argument("--precision", choices=["single", "double"])
+    run.add_argument("--mode", choices=["tacaw", "haadf", "wf"])
+    run.add_argument("--collection-angle", dest="collection_angle", type=float)
+    run.add_argument("--max-frames", dest="max_frames", type=int)
+    run.add_argument("--output-dir", dest="output_dir")
+    run.add_argument("--cache-root", dest="cache_root")
+    run.add_argument("--save-wf", action="store_true")
+    run.add_argument("--no-cache", action="store_true")
+    run.set_defaults(fn=cmd_run)
+
+    info = sub.add_parser("info", help="inspect a trajectory file")
+    info.add_argument("trajectory")
+    info.add_argument("--no-cache", action="store_true")
+    info.set_defaults(fn=cmd_info)
+
+    dev = sub.add_parser("devices", help="show devices / default mesh")
+    dev.set_defaults(fn=cmd_devices)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

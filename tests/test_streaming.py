@@ -1,0 +1,89 @@
+"""Streaming engines vs the batch path."""
+
+import numpy as np
+import pytest
+
+from pyslice_tpu.analysis.haadf import HAADFData
+from pyslice_tpu.analysis.tacaw import TACAWData
+from pyslice_tpu.core.dtypes import DOUBLE
+from pyslice_tpu.core.grids import grid_from_trajectory
+from pyslice_tpu.engine.calculator import MultisliceCalculator
+from pyslice_tpu.engine.pipeline import SimSpec
+from pyslice_tpu.engine.streaming import StreamingHAADF, StreamingTACAW
+from pyslice_tpu.physics.potential import make_plan
+from pyslice_tpu.physics.probe import Probe, create_batched_probes, probe_grid
+from tests.fixtures import hbn_thermal
+
+SAMPLING = 0.25
+SLICE_T = 0.8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    traj = hbn_thermal(n_frames=6, sigma=0.05, seed=11)
+    g = grid_from_trajectory(traj, sampling=SAMPLING, slice_thickness=SLICE_T)
+    plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+    spec = SimSpec.create(g, plan, 100e3, precision=DOUBLE)
+    return traj, g, spec
+
+
+def test_streaming_tacaw_matches_batch(setup):
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    pp = [(g.lx / 2, g.ly / 2)]
+    probes = create_batched_probes(base, pp).array
+
+    # batch path
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(traj, aperture=0, voltage_eV=100e3, sampling=SAMPLING,
+               slice_thickness=SLICE_T, use_cache=False)
+    tac = TACAWData(calc.run(progress=False))
+
+    # streaming at a few target frequencies (frames fed out of order)
+    targets = [float(tac.frequencies[1]), float(tac.frequencies[4]), 0.0]
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=targets)
+    for f in [3, 0, 5, 1, 4, 2]:
+        st.add_frame(f, traj.positions[f])
+
+    inten = np.asarray(st.intensity())          # (n_sel, n_probes, nx, ny)
+    for i, f_thz in enumerate(targets):
+        want = tac.spectral_diffraction(f_thz, probe_index=0)
+        got = inten[i, 0]
+        assert np.allclose(got, want, rtol=1e-8, atol=1e-12), \
+            f"bin {i} ({f_thz} THz) mismatch"
+
+    spec_stream = st.spectrum(probe_index=0)
+    for i, f_thz in enumerate(targets):
+        idx = int(np.argmin(np.abs(tac.frequencies - f_thz)))
+        assert np.isclose(spec_stream[i], tac.spectrum(0)[idx], rtol=1e-8)
+
+
+def test_streaming_tacaw_incomplete_raises(setup):
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(1.0, 1.0)]).array
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=[0.0])
+    st.add_frame(0, traj.positions[0])
+    with pytest.raises(ValueError, match="streamed 1 of"):
+        st.intensity()
+
+
+def test_streaming_haadf_matches_batch(setup):
+    traj, g, spec = setup
+    short = traj.slice_timesteps([0, 1, 2])
+    pg = probe_grid([1, 3], [1, 3], 3, 3)
+    base = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(short, aperture=30, voltage_eV=100e3, sampling=SAMPLING,
+               slice_thickness=SLICE_T, probe_positions=pg, use_cache=False)
+    want = HAADFData(calc.run(progress=False)).calculateADF(45)
+
+    st = StreamingHAADF(spec, probes, pg, collection_angle=45)
+    for f in range(short.n_frames):
+        st.add_frame(short.positions[f])
+    got = st.image()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
