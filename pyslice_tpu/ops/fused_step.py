@@ -1,0 +1,355 @@
+"""Fused Pallas multislice step — the north-star kernel.
+
+The multislice inner loop is psi <- ifft2(P * fft2(t_s * psi)). The XLA path
+spends ~6 HBM passes per slice (1-D FFT passes + transposes + elementwise).
+This kernel pair reduces it to TWO fused passes per slice by keeping the
+wavefunction in a mixed real/reciprocal representation between passes and
+ping-ponging between x-major and y-major layouts:
+
+    A_first :  (x, y)   --  * t_1,  FFT_y          -->  store^T (ky, x)
+    B       :  (ky, x)  --  FFT_x, * P^T, IFFT_x   -->  store^T (x, ky)
+    A_mid   :  (x, ky)  --  IFFT_y, * t_s, FFT_y   -->  store^T (ky, x)
+    A_last  :  (x, ky)  --  IFFT_y, * t_nz         -->  store   (x, y)
+
+Each kernel reads and writes the array exactly once; the 1-D transforms run
+on the MXU inside VMEM via the four-step matmul DFT with factorization
+n = n1 * 128 — stage 2 contracts over 128 lanes (a perfect MXU tile, ~85%
+of the FLOPs), stage 1 is a small k=n1 matmul. The transposed stores give
+the next pass unit-stride access to its transform axis (the six-step FFT
+layout trick, done block-wise by the BlockSpec index maps with an in-VMEM
+tile transpose).
+
+Scope (v1): float32/complex64, both grid axes divisible by 128 with
+n1 = n/128 <= 256, no depth recording. physics.propagate falls back to the
+unfused path otherwise. Complex values travel as separate re/im planes
+(Pallas TPU has no complex dtype; complex matmuls are 4 real dots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def supported_size(n: int) -> bool:
+    return n % 128 == 0 and 1 <= n // 128 <= 256
+
+
+def _dft_consts(n: int):
+    """Four-step constants for n = n1 * 128.
+
+    Twiddles are folded into per-k1 stage-2 matrices (z = y @ (diag(tw_k1)
+    @ W2) for the forward, u = x @ (conj(W2) * conj(tw_k1)[None, :]) for the
+    inverse), so kernels do no twiddle multiplies or narrow-row slicing —
+    only clean (R,128) @ (128,128) dots and static sublane slices. Stage-1
+    scalars are python complex immediates; the inverse 1/n scale is folded
+    into the inverse stage-1 scalars.
+    """
+    n2 = 128
+    n1 = n // n2
+    a1 = np.arange(n1)
+    a2 = np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(a1, a1) / n1)     # (n1, n1)
+    w2 = np.exp(-2j * np.pi * np.outer(a2, a2) / n2)     # (n2, n2), symmetric
+    tw = np.exp(-2j * np.pi * np.outer(a1, a2) / n)      # (n1, n2)
+    # forward: stacked (n1*128, 128) of diag(tw[k1]) @ W2
+    fwd = np.concatenate([tw[k1][:, None] * w2 for k1 in range(n1)], axis=0)
+    # inverse: stacked conj(W2) * conj(tw[k1]) (columns scaled)
+    inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :]
+                          for k1 in range(n1)], axis=0)
+    f32 = np.float32
+    w1_scalars = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
+    w1_inv_scalars = [[complex(np.conj(w1[k, a])) / n for a in range(n1)]
+                      for k in range(n1)]
+    return (n1, n2, w1_scalars, w1_inv_scalars,
+            fwd.real.astype(f32), fwd.imag.astype(f32),
+            inv.real.astype(f32), inv.imag.astype(f32))
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def digit_perm(n: int) -> np.ndarray:
+    """perm[p] = true frequency index stored at position p.
+
+    The in-kernel forward transform emits X in digit-permuted order:
+    position p = k1 * n2 + k2 holds frequency k = k2 * n1 + k1. Frequency-
+    domain multipliers (the Fresnel factor) are pre-permuted with this map,
+    and the inverse transform consumes the permuted order directly — no
+    in-kernel data transposes or 3-D reshapes anywhere (Mosaic-friendly).
+    """
+    n2 = 128
+    n1 = n // n2
+    p = np.arange(n)
+    k1, k2 = p // n2, p % n2
+    return k2 * n1 + k1
+
+
+def _fft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
+                    tin: bool = False):
+    """Forward DFT along the transform axis: natural order in, digit-
+    permuted order out, row-major (R, N) result.
+
+    ``tin``: input planes are column-major (N, R) — the raw orthogonal
+    block read. The stage-2 contraction then runs as einsum('nr,nc->rc'),
+    an lhs-transposed matmul (free on the MXU) — never an explicit
+    transpose op, which sends Mosaic's compiler into the weeds.
+    """
+    dot = functools.partial(jnp.einsum,
+                            "nr,nc->rc" if tin else "rn,nc->rc",
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    sl = ((lambda t, a: t[a * n2:(a + 1) * n2, :]) if tin
+          else (lambda t, a: t[:, a * n2:(a + 1) * n2]))
+    vr = [sl(re, a) for a in range(n1)]
+    vi = [sl(im, a) for a in range(n1)]
+    outs_r, outs_i = [], []
+    for k1 in range(n1):
+        c0, s0 = w1[k1][0].real, w1[k1][0].imag
+        yr = c0 * vr[0] - s0 * vi[0]
+        yi = c0 * vi[0] + s0 * vr[0]
+        for a in range(1, n1):
+            c, sc = w1[k1][a].real, w1[k1][a].imag
+            yr = yr + (c * vr[a] - sc * vi[a])
+            yi = yi + (c * vi[a] + sc * vr[a])
+        wr = fr[k1 * n2:(k1 + 1) * n2]
+        wi = fi[k1 * n2:(k1 + 1) * n2]
+        outs_r.append(dot(yr, wr) - dot(yi, wi))
+        outs_i.append(dot(yr, wi) + dot(yi, wr))
+    if n1 == 1:
+        return outs_r[0], outs_i[0]
+    return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
+
+
+def _ifft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
+                     tin: bool = False):
+    """Inverse DFT: digit-permuted in, natural out, row-major result.
+    Conjugation and 1/n are folded into the constants; ``tin`` as above."""
+    dot = functools.partial(jnp.einsum,
+                            "nr,nc->rc" if tin else "rn,nc->rc",
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    sl = ((lambda t, k: t[k * n2:(k + 1) * n2, :]) if tin
+          else (lambda t, k: t[:, k * n2:(k + 1) * n2]))
+    ur, ui = [], []
+    for k1 in range(n1):
+        xr = sl(re, k1)
+        xi = sl(im, k1)
+        wr = ir[k1 * n2:(k1 + 1) * n2]
+        wi = ii[k1 * n2:(k1 + 1) * n2]
+        ur.append(dot(xr, wr) - dot(xi, wi))
+        ui.append(dot(xr, wi) + dot(xi, wr))
+    outs_r, outs_i = [], []
+    for a in range(n1):
+        c0, s0 = w1inv[0][a].real, w1inv[0][a].imag
+        zr = c0 * ur[0] - s0 * ui[0]
+        zi = c0 * ui[0] + s0 * ur[0]
+        for k1 in range(1, n1):
+            c, sc = w1inv[k1][a].real, w1inv[k1][a].imag
+            zr = zr + (c * ur[k1] - sc * ui[k1])
+            zi = zi + (c * ui[k1] + sc * ur[k1])
+        outs_r.append(zr)
+        outs_i.append(zi)
+    if n1 == 1:
+        return outs_r[0], outs_i[0]
+    return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
+
+
+def _make_const_inputs(n: int):
+    n1, n2, w1s, w1invs, fr, fi, ir, ii = _dft_consts(n)
+    return ((n1, n2, w1s, w1invs),
+            [jnp.asarray(a) for a in (fr, fi, ir, ii)])
+
+
+def _const_specs(pl, pltpu, n1, n2):
+    full = lambda shape: pl.BlockSpec(shape, lambda p, i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return [full((n1 * n2, n2))] * 4
+
+
+# --- kernel bodies -----------------------------------------------------------
+
+
+def _kernel_a(mode, static_consts):
+    """Row-work kernel: optional IFFT_y, transmit, optional FFT_y."""
+    n1, n2, w1, w1inv = static_consts
+
+    def body(vr_ref, vi_ref, vs_ref, fr, fi, ir, ii, or_ref, oi_ref):
+        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
+        if mode in ("mid", "last"):
+            # Incoming state is y-major: the block is the orthogonal
+            # (ny, bx) read; the tin inverse consumes it column-major via
+            # lhs-transposed MXU contractions (no transpose ops anywhere).
+            re, im = _ifft_minor_perm(vr_ref[0], vi_ref[0], *consts,
+                                      tin=True)
+        else:
+            re = vr_ref[0]
+            im = vi_ref[0]
+        phase = vs_ref[:]                     # sigma * V, (BX, NY)
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        re, im = _cmul(re, im, c, s)
+        if mode in ("first", "mid"):          # hand off to the column pass
+            re, im = _fft_minor_perm(re, im, *consts)
+        or_ref[0] = re                        # natural (x-major) store
+        oi_ref[0] = im
+    return body
+
+
+def _kernel_b(static_consts):
+    """Column-work kernel: FFT_x, Fresnel multiply (pre-permuted), IFFT_x."""
+    n1, n2, w1, w1inv = static_consts
+
+    def body(vr_ref, vi_ref, pr_ref, pi_ref, fr, fi, ir, ii,
+             or_ref, oi_ref):
+        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
+        # x-major in: orthogonal (nx, by) block, consumed column-major.
+        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], *consts, tin=True)
+        re, im = _cmul(re, im, pr_ref[:], pi_ref[:])
+        re, im = _ifft_minor_perm(re, im, *consts)
+        or_ref[0] = re                        # natural (y-major) store
+        oi_ref[0] = im
+    return body
+
+
+# --- pallas_call wrappers ----------------------------------------------------
+
+
+def _call_a(psi_re, psi_im, vslice_scaled, mode: str, block_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Input layout: "first"/"only" take the natural x-major wave; "mid"/
+    # "last" take kernel B's y-major output and read column blocks (all ky,
+    # bx columns of x), transposed at kernel entry. Output is always
+    # x-major (p, nx, ny).
+    if mode in ("first", "only"):
+        p_probes, nx, ny = psi_re.shape
+    else:
+        p_probes, ny, nx = psi_re.shape
+    static_consts, const_arrays = _make_const_inputs(ny)
+    n1, n2 = static_consts[0], static_consts[1]
+    bx = min(block_rows, nx)
+    grid = (p_probes, nx // bx)
+
+    if mode in ("first", "only"):
+        state_spec = pl.BlockSpec((1, bx, ny), lambda p, i: (p, i, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        state_spec = pl.BlockSpec((1, ny, bx), lambda p, i: (p, 0, i),
+                                  memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((bx, ny), lambda p, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, bx, ny), lambda p, i: (p, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = (p_probes, nx, ny)
+
+    body = _kernel_a(mode, static_consts)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[state_spec, state_spec, v_spec]
+                 + _const_specs(pl, pltpu, n1, n2),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(psi_re, psi_im, vslice_scaled, *const_arrays)
+    return out
+
+
+def _call_b(psi_re, psi_im, p_re_t, p_im_t, block_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_probes, nx, ny = psi_re.shape           # x-major input from kernel A
+    static_consts, const_arrays = _make_const_inputs(nx)
+    n1, n2 = static_consts[0], static_consts[1]
+    by = min(block_rows, ny)
+    grid = (p_probes, ny // by)
+
+    state_spec = pl.BlockSpec((1, nx, by), lambda p, j: (p, 0, j),
+                              memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((by, nx), lambda p, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, by, nx), lambda p, j: (p, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    body = _kernel_b(static_consts)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[state_spec, state_spec, p_spec, p_spec]
+                 + _const_specs(pl, pltpu, n1, n2),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((p_probes, ny, nx), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(psi_re, psi_im, p_re_t, p_im_t, *const_arrays)
+    return out
+
+
+def _block_rows(nx: int, ny: int) -> int:
+    """Tile height: bound VMEM (~<= 4MB of state tiles) and divide nx."""
+    target = max(1, (1 << 20) // (max(nx, ny) * 4))   # ~1MB per plane tile
+    bx = 1
+    for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if cand <= target and nx % cand == 0:
+            bx = cand
+            break
+    return bx
+
+
+def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
+                     lam: float, dz: float) -> jnp.ndarray:
+    """Fused-Pallas equivalent of physics.propagate.multislice (exit wave
+    only, complex64). psi: (n_probes, nx, ny) complex64;
+    potential_szy: (nz, nx, ny) float32."""
+    n_probes, nx, ny = psi.shape
+    nz = potential_szy.shape[0]
+    if not (supported_size(nx) and supported_size(ny)):
+        raise ValueError(f"unsupported grid {nx}x{ny} for fused path")
+
+    re = jnp.real(psi).astype(jnp.float32)
+    im = jnp.imag(psi).astype(jnp.float32)
+    vs = (jnp.asarray(sigma, jnp.float32)
+          * potential_szy.astype(jnp.float32))          # (nz, nx, ny)
+
+    kxs = jnp.asarray(kxs, jnp.float32)
+    kys = jnp.asarray(kys, jnp.float32)
+    # The in-kernel transforms emit digit-permuted frequencies; permute the
+    # Fresnel multiplier's axes accordingly (static index gathers — works
+    # under jit with traced k axes) and transpose for kernel B's y-major
+    # tiles.
+    kxp = kxs[jnp.asarray(digit_perm(nx))]
+    kyp = kys[jnp.asarray(digit_perm(ny))]
+    pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
+    p_re_t = jnp.cos(pp).T                              # (ny, nx)
+    p_im_t = jnp.sin(pp).T
+
+    ba = _block_rows(nx, ny)
+    bb = _block_rows(ny, nx)
+
+    if nz == 1:
+        re2, im2 = _call_a(re, im, vs[0], "only", ba)
+        return jax.lax.complex(re2, im2)
+
+    # slice 1: transmit + FFT_y
+    re, im = _call_a(re, im, vs[0], "first", ba)        # -> y-major
+
+    if nz > 2:
+        def body(carry, v_s):
+            r, i = carry
+            r, i = _call_b(r, i, p_re_t, p_im_t, bb)    # -> x-major
+            r, i = _call_a(r, i, v_s, "mid", ba)        # -> y-major
+            return (r, i), None
+        (re, im), _ = jax.lax.scan(body, (re, im), vs[1:nz - 1])
+
+    re, im = _call_b(re, im, p_re_t, p_im_t, bb)        # -> x-major
+    re, im = _call_a(re, im, vs[nz - 1], "last", ba)    # real space
+    return jax.lax.complex(re, im)

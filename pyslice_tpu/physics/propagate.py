@@ -30,8 +30,26 @@ import numpy as np
 
 from ..core.constants import interaction_parameter, wavelength as _wavelength
 from ..core.dtypes import get_precision, Precision
+from ..ops import config as ops_config
 from ..ops import matfft
 from .probe import fresnel_kernel
+
+
+def _fused_eligible(psi_shape, nz, record_layers, prec) -> bool:
+    from ..ops import fused_step
+    import jax
+    if ops_config.fused_multislice == "off":
+        return False
+    if record_layers is not None or prec.name != "single":
+        return False
+    if len(psi_shape) != 3:
+        return False
+    nx, ny = psi_shape[-2], psi_shape[-1]
+    if not (fused_step.supported_size(nx) and fused_step.supported_size(ny)):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return True
 
 
 def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
@@ -72,6 +90,18 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     psi = jnp.asarray(psi, dtype=prec.complex)
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
+
+    if _fused_eligible(psi.shape, nz, record_layers, prec):
+        # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
+        # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
+        from ..ops.fused_step import fused_multislice
+        return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
+                                lam=lam, dz=dz)
+    if ops_config.fused_multislice == "on":
+        raise ValueError(
+            "ops.config.fused_multislice == 'on' but the problem is not "
+            "eligible (needs TPU, single precision, 3-D probe batch, grid "
+            "axes divisible by 128, no record_layers)")
     P = fresnel_kernel(kxs, kys, lam, dz, prec)
     # Under shard_map, psi (probe-sharded) and the potential (frame-sharded)
     # carry different device-varying annotations; the scan carry must hold

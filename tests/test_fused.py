@@ -1,0 +1,61 @@
+"""Fused Pallas multislice step vs the reference path (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslice_tpu.core.constants import interaction_parameter, wavelength
+from pyslice_tpu.core.dtypes import SINGLE
+from pyslice_tpu.ops import fused_step
+from pyslice_tpu.physics.propagate import multislice
+
+
+def _compare(P, NX, NY, NZ, seed=0):
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(seed)
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5, precision=SINGLE))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_step.fused_multislice(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(eV), lam=lam, dz=0.5))
+    return np.abs(got - want).max() / np.abs(want).max()
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 128, 4), (2, 128, 256, 3),
+                                   (1, 256, 256, 2), (1, 128, 128, 1),
+                                   (3, 384, 128, 5)])
+def test_fused_matches_reference(shape):
+    assert _compare(*shape) < 5e-6
+
+
+def test_supported_size():
+    assert fused_step.supported_size(1024)
+    assert fused_step.supported_size(128)
+    assert fused_step.supported_size(2048)
+    assert not fused_step.supported_size(1023)
+    assert not fused_step.supported_size(100)
+    assert not fused_step.supported_size(64)
+
+
+def test_digit_perm_is_permutation():
+    for n in (128, 256, 1024):
+        p = fused_step.digit_perm(n)
+        assert sorted(p.tolist()) == list(range(n))
+
+
+def test_unsupported_grid_raises():
+    psi = jnp.zeros((1, 100, 128), jnp.complex64)
+    v = jnp.zeros((2, 100, 128), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported grid"):
+        fused_step.fused_multislice(psi, v, np.zeros(100, np.float32),
+                                    np.zeros(128, np.float32),
+                                    sigma=1e-3, lam=0.037, dz=0.5)
