@@ -20,8 +20,6 @@ bug: haadf_data.py:44 vs wf_data.py:22).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .wf_data import WFData

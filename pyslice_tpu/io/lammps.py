@@ -15,7 +15,7 @@ line up. Box origin (xlo, ylo, zlo) is subtracted so coordinates live in
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -11,10 +11,10 @@ cos/sin(sigma*V) on the VPU and applies the complex rotation
 
 reading V once per probe-tile and never materializing the transmission
 function in HBM. The default XLA path (physics.propagate.transmission) hits
-the same fusion; this kernel exists as the Pallas building block for the
-fully fused transmit+propagate pipeline and is validated against the XLA
-path by tests/test_ops.py. Enable in the propagation loop with
-``pyslice_tpu.ops.USE_PALLAS = True`` (TPU only).
+the same fusion; this standalone kernel is the building block that grew into
+the fully fused per-slice pipeline (ops/fused_step.py, which dispatches
+automatically) and is kept as its minimal, independently-tested form
+(tests/test_ops.py; bit-exact vs the XLA path on TPU).
 """
 
 from __future__ import annotations

@@ -17,8 +17,6 @@ paths (engine.pipeline) stay unsharded and identical in math.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -18,8 +18,6 @@ Physics (see /root/reference/math.txt:41-47):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import functools
 
 import jax

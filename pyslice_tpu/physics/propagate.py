@@ -22,7 +22,7 @@ at depth z); the final slice's snapshot equals the reference's return value.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,8 @@ from ..ops import matfft
 from .probe import fresnel_kernel
 
 
-def _fused_eligible(psi_shape, nz, record_layers, prec) -> bool:
+def _fused_eligible(psi_shape, record_layers, prec) -> bool:
     from ..ops import fused_step
-    import jax
     if ops_config.fused_multislice == "off":
         return False
     if record_layers is not None or prec.name != "single":
@@ -59,13 +58,38 @@ def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("eV", "lam", "dz", "record_layers",
-                                    "precision"))
 def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                lam: Optional[float] = None, dz: float,
                record_layers: Optional[Tuple[int, ...]] = None,
-               precision: Optional[Precision] = None) -> jnp.ndarray:
+               precision: Optional[Precision] = None,
+               fused: Optional[bool] = None) -> jnp.ndarray:
+    """Public entry: resolves the fused-path decision OUTSIDE the jit
+    boundary so it participates in the compilation cache key (the
+    ops.config flag alone would not invalidate cached traces)."""
+    prec = get_precision(precision)
+    if fused is None:
+        if ops_config.fused_multislice == "on":
+            fused = True          # strict: raises below if ineligible
+        else:
+            fused = _fused_eligible(jnp.shape(psi), record_layers, prec)
+    elif fused and not _fused_eligible(jnp.shape(psi), record_layers, prec):
+        raise ValueError(
+            "fused=True requested but the problem is not eligible (needs "
+            "TPU, single precision, 3-D probe batch, grid axes divisible "
+            "by 128, no record_layers)")
+    return _multislice_jit(psi, potential_szy, kxs, kys, eV=eV, lam=lam,
+                           dz=dz, record_layers=record_layers,
+                           precision=prec, fused=bool(fused))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eV", "lam", "dz", "record_layers",
+                                    "precision", "fused"))
+def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
+                    lam: Optional[float] = None, dz: float,
+                    record_layers: Optional[Tuple[int, ...]] = None,
+                    precision: Optional[Precision] = None,
+                    fused: bool = False) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
 
     Args:
@@ -91,17 +115,12 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
 
-    if _fused_eligible(psi.shape, nz, record_layers, prec):
+    if fused:
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz)
-    if ops_config.fused_multislice == "on":
-        raise ValueError(
-            "ops.config.fused_multislice == 'on' but the problem is not "
-            "eligible (needs TPU, single precision, 3-D probe batch, grid "
-            "axes divisible by 128, no record_layers)")
     P = fresnel_kernel(kxs, kys, lam, dz, prec)
     # Under shard_map, psi (probe-sharded) and the potential (frame-sharded)
     # carry different device-varying annotations; the scan carry must hold

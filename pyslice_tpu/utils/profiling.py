@@ -19,7 +19,7 @@ from __future__ import annotations
 import collections
 import contextlib
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 _SPANS: Dict[str, float] = collections.defaultdict(float)
 _COUNTS: Dict[str, int] = collections.defaultdict(int)

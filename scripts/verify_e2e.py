@@ -99,6 +99,36 @@ def main():
     adf = pt.HAADFData(calc2.run(progress=False)).ADF(collection_angle=45)
     check("HAADF ADF", adf.shape == (3, 3) and np.all(np.isfinite(adf)))
 
+    # --- fused Pallas path parity (TPU only; 128-divisible grid) -----------
+    if jax.default_backend() == "tpu":
+        from pyslice_tpu.core.grids import grid_from_box
+        from pyslice_tpu.engine.pipeline import SimSpec, frame_exit_waves
+        from pyslice_tpu.physics.potential import make_plan
+        from pyslice_tpu.ops import config as ops_config
+        import jax.numpy as jnp
+
+        g2 = grid_from_box(25.55, 25.55, 6.0, 0.1, 1.5)   # 256 x 256 x 5
+        assert g2.nx == 256 and g2.ny == 256, (g2.nx, g2.ny)
+        rng = np.random.default_rng(0)
+        pos2 = rng.random((1, 40, 3)) * np.array([25.0, 25.0, 5.9])
+        types2 = rng.integers(1, 15, 40).astype(np.int32)
+        plan2 = make_plan(g2.xs, g2.ys, g2.zs, pos2, types2)
+        spec2 = SimSpec.create(g2, plan2, 100e3)
+        probe2 = pt.Probe(g2.xs, g2.ys, 20, 100e3)
+        probes2 = pt.create_batched_probes(probe2, [(5.0, 5.0), (9.0, 3.0)]).array
+        outs = {}
+        for mode in ("auto", "off"):
+            ops_config.fused_multislice = mode
+            spec_m = SimSpec.create(g2, plan2, 100e3)   # fresh spec per mode
+            outs[mode] = to_numpy(frame_exit_waves(
+                jnp.asarray(pos2[0], jnp.float32), probes2, spec_m))
+        ops_config.fused_multislice = "auto"
+        f = np.abs(outs["auto"])
+        d = np.abs(outs["off"])
+        res = float(((f - d) ** 2).sum() / (f ** 2).sum())
+        check("fused Pallas path == XLA path (e2e frame)", res < 1e-6,
+              f"(residual {res:.2e})")
+
     # --- cache resume -------------------------------------------------------------
     with tempfile.TemporaryDirectory() as d:
         c2 = pt.MultisliceCalculator()
