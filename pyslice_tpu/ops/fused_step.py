@@ -314,10 +314,34 @@ def _block_rows(nx: int, ny: int) -> int:
 
 
 def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
-                     lam: float, dz: float) -> jnp.ndarray:
-    """Fused-Pallas equivalent of physics.propagate.multislice (exit wave
-    only, complex64). psi: (n_probes, nx, ny) complex64;
-    potential_szy: (nz, nx, ny) float32."""
+                     lam: float, dz: float,
+                     record_layers=None) -> jnp.ndarray:
+    """Fused-Pallas equivalent of physics.propagate.multislice.
+
+    psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
+    ``record_layers``: optional strictly-increasing tuple of slice indices
+    whose post-transmission wavefunction is snapshotted; the run is split
+    into segments, each resumed by prepending a zero potential slice
+    (t = exp(i*sigma*0) = 1, so the resumed chain's first step is exactly
+    the pending Fresnel propagation). Returns the exit wave, or
+    (n_layers, n_probes, nx, ny) when recording.
+    """
+    if record_layers is not None:
+        layers = tuple(int(l) for l in record_layers)
+        nz = potential_szy.shape[0]
+        zero = jnp.zeros_like(potential_szy[:1])
+        snaps = []
+        cur = psi
+        z = 0
+        for li, layer in enumerate(layers):
+            seg = potential_szy[z:layer + 1]
+            if li > 0:
+                seg = jnp.concatenate([zero, seg], axis=0)
+            cur = fused_multislice(cur, seg, kxs, kys, sigma=sigma,
+                                   lam=lam, dz=dz)
+            snaps.append(cur)
+            z = layer + 1
+        return jnp.stack(snaps, axis=0)
     n_probes, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size(nx) and supported_size(ny)):

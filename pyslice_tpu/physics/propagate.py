@@ -39,7 +39,7 @@ def _fused_eligible(psi_shape, record_layers, prec) -> bool:
     from ..ops import fused_step
     if ops_config.fused_multislice == "off":
         return False
-    if record_layers is not None or prec.name != "single":
+    if prec.name != "single":
         return False
     if len(psi_shape) != 3:
         return False
@@ -119,8 +119,15 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
+        if record_layers is not None:
+            layers = tuple(int(l) for l in record_layers)
+            if any(b <= a for a, b in zip(layers, layers[1:])):
+                raise ValueError("record_layers must be strictly increasing")
+            if layers and (layers[0] < 0 or layers[-1] >= nz):
+                raise ValueError(
+                    f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
-                                lam=lam, dz=dz)
+                                lam=lam, dz=dz, record_layers=record_layers)
     P = fresnel_kernel(kxs, kys, lam, dz, prec)
     # Under shard_map, psi (probe-sharded) and the potential (frame-sharded)
     # carry different device-varying annotations; the scan carry must hold

@@ -59,3 +59,30 @@ def test_unsupported_grid_raises():
         fused_step.fused_multislice(psi, v, np.zeros(100, np.float32),
                                     np.zeros(128, np.float32),
                                     sigma=1e-3, lam=0.037, dz=0.5)
+
+
+def test_fused_record_layers():
+    """Segmented fused run with zero-slice resumes == unfused depth
+    recording."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(3)
+    P, NX, NY, NZ = 2, 256, 128, 6
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    layers = (0, 2, 5)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5,
+                                 record_layers=layers, precision=SINGLE,
+                                 fused=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_step.fused_multislice(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(eV), lam=lam, dz=0.5,
+            record_layers=layers))
+    assert got.shape == want.shape == (3, P, NX, NY)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
