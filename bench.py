@@ -150,7 +150,9 @@ def main():
             return acc + jnp.sum(jnp.abs(f) ** 2)
         return jax.lax.fori_loop(0, R_FFT, body, jnp.float32(0.0))
 
-    re0 = jnp.full((1, 100, grid.nx, grid.ny), 0.5, jnp.float32)
+    ramp = np.linspace(0, 1, 100, dtype=np.float32)[None, :, None, None]
+    re0 = jnp.asarray(np.broadcast_to(0.5 * ramp,
+                                      (1, 100, grid.nx, grid.ny)).copy())
     im0 = jnp.full((1, 100, grid.nx, grid.ny), 0.25, jnp.float32)
     t_tacaw = timed_loop(tacaw_loop, (re0, im0), R_FFT,
                          "TACAW time-FFT (100f x 1024^2)")

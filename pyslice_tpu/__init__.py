@@ -39,6 +39,14 @@ def kirkland(qsq, Z):
     return form_factor(qsq, Z)
 
 
+def loadKirkland(device=None):
+    """Reference-compatible parameter loader (potentials.py:134-185); the
+    table is parsed once and cached — this just forces/returns it."""
+    del device
+    from .physics.kirkland import load_parameters
+    return load_parameters()
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -47,7 +55,7 @@ __all__ = [
     "Propagate", "multislice", "create_batched_probes", "probe_grid",
     "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
     "HAADFData", "wavelength", "interaction_parameter", "m_effective",
-    "form_factor", "kirkland", "getZfromElementName", "element_to_z",
+    "form_factor", "kirkland", "loadKirkland", "getZfromElementName", "element_to_z",
     "z_to_element", "Precision", "SINGLE", "DOUBLE", "get_precision",
     "set_default_precision", "RasterizerPlan", "make_plan", "rasterize",
 ]

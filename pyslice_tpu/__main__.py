@@ -53,6 +53,8 @@ def cmd_run(args) -> int:
         cfg.save_wf = True
     if args.no_cache:
         cfg.use_cache = False
+    if args.fast_grid:
+        cfg.fast_grid = True
     if not cfg.trajectory:
         print("error: no trajectory given (--trajectory or --config)",
               file=sys.stderr)
@@ -80,7 +82,7 @@ def cmd_run(args) -> int:
                probe_positions=cfg.resolve_probe_positions(),
                batch_size=cfg.batch_size, slice_axis=cfg.slice_axis,
                record_layers=cfg.record_layers, use_cache=cfg.use_cache,
-               cache_root=cfg.cache_root)
+               cache_root=cfg.cache_root, fast_grid=cfg.fast_grid)
     print(f"Grid {calc.nx}x{calc.ny}x{calc.nz}, {calc.n_probes} probes")
     t0 = time.time()
     wf = calc.run()
@@ -149,6 +151,8 @@ def main(argv=None) -> int:
     run.add_argument("--max-frames", dest="max_frames", type=int)
     run.add_argument("--output-dir", dest="output_dir")
     run.add_argument("--cache-root", dest="cache_root")
+    run.add_argument("--fast-grid", dest="fast_grid", action="store_true",
+                     help="snap grid to 128-multiples (TPU fused path)")
     run.add_argument("--save-wf", action="store_true")
     run.add_argument("--no-cache", action="store_true")
     run.set_defaults(fn=cmd_run)

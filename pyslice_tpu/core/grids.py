@@ -86,13 +86,27 @@ class Grid:
         return np.fft.fftshift(np.fft.fftfreq(self.ny, d=self.sampling))
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def grid_from_box(lx: float, ly: float, lz: float,
                   sampling: float = 0.1,
-                  slice_thickness: float = 0.5) -> Grid:
-    """Build a Grid from orthogonal box lengths (potentials.py:113-131)."""
+                  slice_thickness: float = 0.5,
+                  fast_grid: bool = False) -> Grid:
+    """Build a Grid from orthogonal box lengths (potentials.py:113-131).
+
+    ``fast_grid=True`` rounds the in-plane point counts UP to multiples of
+    128 (slightly finer than the requested sampling), which qualifies the
+    grid for the fused Pallas propagation path (~3x; see ops/fused_step).
+    Off by default: the reference-exact count is int(l/sampling)+1.
+    """
     nx = int(lx / sampling) + 1
     ny = int(ly / sampling) + 1
     nz = int(lz / slice_thickness) + 1
+    if fast_grid:
+        nx = _round_up(nx, 128)
+        ny = _round_up(ny, 128)
     xs = np.linspace(0.0, lx, nx, endpoint=False)
     ys = np.linspace(0.0, ly, ny, endpoint=False)
     zs = np.linspace(0.0, lz, nz, endpoint=False)
@@ -101,12 +115,14 @@ def grid_from_box(lx: float, ly: float, lz: float,
 
 
 def grid_from_trajectory(trajectory, sampling: float = 0.1,
-                         slice_thickness: float = 0.5) -> Grid:
+                         slice_thickness: float = 0.5,
+                         fast_grid: bool = False) -> Grid:
     """Grid from a trajectory's box matrix diagonal (orthogonal-box assumption,
     potentials.py:115-120)."""
     box = np.asarray(trajectory.box_matrix)
     return grid_from_box(float(box[0, 0]), float(box[1, 1]), float(box[2, 2]),
-                         sampling=sampling, slice_thickness=slice_thickness)
+                         sampling=sampling, slice_thickness=slice_thickness,
+                         fast_grid=fast_grid)
 
 
 def gridFromTrajectory(trajectory, sampling: float = 0.1,

@@ -80,7 +80,8 @@ class MultisliceCalculator:
               slice_axis: int = 2,
               record_layers: Optional[List[int]] = None,
               use_cache: bool = True,
-              cache_root: str = "psi_data"):
+              cache_root: str = "psi_data",
+              fast_grid: bool = False):
         self.trajectory = trajectory
         self.aperture = aperture
         self.voltage_eV = voltage_eV
@@ -93,8 +94,12 @@ class MultisliceCalculator:
         self.batch_size = batch_size
         self.use_cache = use_cache
 
+        # fast_grid snaps in-plane point counts up to multiples of 128 so
+        # the fused Pallas propagation path applies (~3x on TPU); the
+        # effective sampling becomes slightly finer than requested.
         grid = grid_from_trajectory(trajectory, sampling=sampling,
-                                    slice_thickness=slice_thickness)
+                                    slice_thickness=slice_thickness,
+                                    fast_grid=fast_grid)
         self.grid = grid
         self.xs, self.ys, self.zs = grid.xs, grid.ys, grid.zs
         self.lx, self.ly, self.lz = grid.lx, grid.ly, grid.lz

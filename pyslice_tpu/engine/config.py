@@ -35,6 +35,7 @@ class SimulationConfig:
     #   (x0, x1, y0, y1, n, m) -> probe_grid() scan
     # --- execution --------------------------------------------------------------
     precision: str = "single"               # "single" | "double"
+    fast_grid: bool = False                 # snap grid to 128-multiples (fused path)
     batch_size: Optional[int] = None        # probes per propagation call
     record_layers: Optional[List[int]] = None
     use_cache: bool = True

@@ -99,3 +99,15 @@ class TestKirkland:
         assert kirkland.z_to_element(81) == "Tl"
         with pytest.raises(ValueError):
             kirkland.element_to_z("Tl", compat_reference_tl=True)
+
+
+class TestFastGrid:
+    def test_snaps_to_128(self):
+        g = grid_from_box(10.0, 7.3, 5.0, sampling=0.1, slice_thickness=0.5,
+                          fast_grid=True)
+        assert g.nx % 128 == 0 and g.ny % 128 == 0
+        assert g.nx >= int(10.0 / 0.1) + 1     # never coarser than requested
+        assert g.xs[0] == 0.0 and g.xs[-1] < 10.0
+        # default remains reference-exact
+        g2 = grid_from_box(10.0, 7.3, 5.0, sampling=0.1, slice_thickness=0.5)
+        assert g2.nx == int(10.0 / 0.1) + 1
