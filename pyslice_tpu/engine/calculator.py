@@ -33,7 +33,7 @@ from ..data.trajectory import Trajectory
 from ..physics.potential import make_plan
 from ..physics.probe import Probe, create_batched_probes
 from ..utils.host import to_numpy
-from .pipeline import SimSpec, frame_exit_waves
+from .pipeline import SimSpec, frame_exit_waves, simulate_frames
 
 logger = logging.getLogger(__name__)
 
@@ -81,7 +81,8 @@ class MultisliceCalculator:
               record_layers: Optional[List[int]] = None,
               use_cache: bool = True,
               cache_root: str = "psi_data",
-              fast_grid: bool = False):
+              fast_grid: bool = False,
+              frame_block: Optional[int] = None):
         self.trajectory = trajectory
         self.aperture = aperture
         self.voltage_eV = voltage_eV
@@ -93,6 +94,7 @@ class MultisliceCalculator:
         self.slice_axis = slice_axis
         self.batch_size = batch_size
         self.use_cache = use_cache
+        self.frame_block = frame_block
 
         # fast_grid snaps in-plane point counts up to multiples of 128 so
         # the fused Pallas propagation path applies (~3x on TPU); the
@@ -133,6 +135,17 @@ class MultisliceCalculator:
 
     # --- run -------------------------------------------------------------------
 
+    def _auto_frame_block(self) -> int:
+        """Frames computed per device dispatch. Each host round trip costs
+        tens of ms on tunneled runtimes, so frames are batched on device
+        (lax.map) and pulled in blocks, capped at ~1 GB of block output."""
+        if self.frame_block is not None:
+            return max(1, int(self.frame_block))
+        n_layers = (len(self.record_layers)
+                    if self.record_layers is not None else 1)
+        bytes_per_frame = self.n_probes * self.nx * self.ny * n_layers * 8
+        return int(np.clip((1 << 30) // max(bytes_per_frame, 1), 1, 16))
+
     def _frame_kspace(self, positions: np.ndarray, probes) -> np.ndarray:
         """(n_probes, nx, ny, n_layers) k-space exit waves for one frame,
         probe-chunked if batch_size is set."""
@@ -141,6 +154,17 @@ class MultisliceCalculator:
             return to_numpy(frame_exit_waves(positions, probes, self.spec))
         chunks = [to_numpy(frame_exit_waves(positions, probes[i:i + bs],
                                             self.spec))
+                  for i in range(0, self.n_probes, bs)]
+        return np.concatenate(chunks, axis=0)
+
+    def _block_kspace(self, positions_block: np.ndarray, probes) -> np.ndarray:
+        """(n_probes, n_block, nx, ny, n_layers) for a block of frames."""
+        bs = self.batch_size
+        if bs is None or self.n_probes <= bs:
+            return to_numpy(simulate_frames(positions_block, probes,
+                                            self.spec))
+        chunks = [to_numpy(simulate_frames(positions_block,
+                                           probes[i:i + bs], self.spec))
                   for i in range(0, self.n_probes, bs)]
         return np.concatenate(chunks, axis=0)
 
@@ -156,25 +180,51 @@ class MultisliceCalculator:
                                        self.probe_positions).array
 
         frames_computed = frames_cached = 0
-        iterator = range(self.n_frames)
+        block = self._auto_frame_block()
+
+        def cache_path(i):
+            return self.output_dir / f"frame_{i}.npy"
+
+        # Partition frames into cached singles and contiguous uncached runs
+        # computed as device blocks (one dispatch + one pull per block).
+        pending = []
+        progress_bar = None
         if progress:
             try:
                 from tqdm import tqdm
-                iterator = tqdm(iterator, desc="Processing frames", unit="frame")
+                progress_bar = tqdm(total=self.n_frames,
+                                    desc="Processing frames", unit="frame")
             except ImportError:
                 pass
-        for frame_idx in iterator:
-            cache_file = self.output_dir / f"frame_{frame_idx}.npy"
-            if self.use_cache and cache_file.exists():
-                out[:, frame_idx] = np.load(cache_file)
+
+        def flush_pending():
+            nonlocal frames_computed
+            while pending:
+                chunk = pending[:block]
+                del pending[:block]
+                pos_block = np.asarray(
+                    self.trajectory.positions[np.asarray(chunk)])
+                data = self._block_kspace(pos_block, probes)
+                for j, fi in enumerate(chunk):
+                    out[:, fi] = data[:, j]
+                    if self.use_cache:
+                        np.save(cache_path(fi), data[:, j])
+                frames_computed += len(chunk)
+                if progress_bar:
+                    progress_bar.update(len(chunk))
+
+        for frame_idx in range(self.n_frames):
+            if self.use_cache and cache_path(frame_idx).exists():
+                flush_pending()
+                out[:, frame_idx] = np.load(cache_path(frame_idx))
                 frames_cached += 1
-                continue
-            frame_data = self._frame_kspace(
-                np.asarray(self.trajectory.positions[frame_idx]), probes)
-            out[:, frame_idx] = frame_data
-            if self.use_cache:
-                np.save(cache_file, frame_data)
-            frames_computed += 1
+                if progress_bar:
+                    progress_bar.update(1)
+            else:
+                pending.append(frame_idx)
+        flush_pending()
+        if progress_bar:
+            progress_bar.close()
 
         logger.info("Simulation completed in %.2fs (%d computed, %d cached)",
                     time.time() - t0, frames_computed, frames_cached)

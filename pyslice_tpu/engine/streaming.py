@@ -33,14 +33,25 @@ from ..core.constants import wavelength as _wavelength
 from .pipeline import SimSpec, frame_exit_waves
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "layer_index"))
+@functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
+                   donate_argnums=(0, 1))
 def _tacaw_accumulate(acc, mean_acc, positions, probes, phases,
                       spec: SimSpec, layer_index: int):
-    """One frame: acc[f] += psi * phase[f]; mean_acc += psi."""
+    """One frame: acc[f] += psi * phase[f]; mean_acc += psi. Accumulators
+    are donated — updated in place, no double buffering in HBM."""
     psi = frame_exit_waves(positions, probes, spec)[..., layer_index]
     acc = acc + phases[:, None, None, None] * psi[None]
     mean_acc = mean_acc + psi
     return acc, mean_acc
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
+                   donate_argnums=(0,))
+def _tacaw_accumulate_nomean(acc, positions, probes, phases,
+                             spec: SimSpec, layer_index: int):
+    """Accumulate without the mean tracker (no f=0 bin requested)."""
+    psi = frame_exit_waves(positions, probes, spec)[..., layer_index]
+    return acc + phases[:, None, None, None] * psi[None]
 
 
 class StreamingTACAW:
@@ -60,7 +71,7 @@ class StreamingTACAW:
 
     def __init__(self, spec: SimSpec, probes, n_frames: int, timestep: float,
                  frequencies: Optional[Sequence[float]] = None,
-                 layer_index: int = -1):
+                 layer_index: int = -1, probe_chunk: Optional[int] = None):
         self.spec = spec
         self.probes = probes
         self.n_frames = int(n_frames)
@@ -75,15 +86,37 @@ class StreamingTACAW:
             self.bins = np.array([int(np.argmin(np.abs(all_freqs - f)))
                                   for f in frequencies])
         self.frequencies = all_freqs[self.bins]
+        # The mean tracker only matters for the f=0 bin; drop it (and its
+        # HBM) when 0 isn't requested.
+        self._track_mean = bool(np.any(self.bins == 0))
 
         n_probes, nx, ny = probes.shape
-        shape = (len(self.bins), n_probes, nx, ny)
+        self.probe_chunk = min(probe_chunk or n_probes, n_probes)
         prec = spec.precision
-        zeros = jax.jit(
-            lambda: (jnp.zeros(shape, prec.complex),
-                     jnp.zeros((n_probes, nx, ny), prec.complex)))
-        self._acc, self._mean = zeros()
+        # Accumulators live as independent per-probe-chunk arrays so the
+        # donated in-place update actually happens per chunk (a slice of one
+        # big array would copy and defeat donation).
+        self._chunk_slices = [slice(c, min(c + self.probe_chunk, n_probes))
+                              for c in range(0, n_probes, self.probe_chunk)]
+        nb = len(self.bins)
+
+        def zeros(p):
+            return jax.jit(lambda: (jnp.zeros((nb, p, nx, ny), prec.complex),
+                                    jnp.zeros((p, nx, ny), prec.complex)
+                                    if self._track_mean else
+                                    jnp.zeros((), prec.complex)))()
+        pairs = [zeros(sl.stop - sl.start) for sl in self._chunk_slices]
+        self._acc_chunks = [a for a, _ in pairs]
+        self._mean_chunks = ([m for _, m in pairs] if self._track_mean
+                             else None)
         self._seen = 0
+
+    @property
+    def _acc(self):
+        """Full accumulator view (concatenated over probe chunks)."""
+        if len(self._acc_chunks) == 1:
+            return self._acc_chunks[0]
+        return jnp.concatenate(self._acc_chunks, axis=1)
 
     def _phases(self, t: int):
         # exp(-2*pi*i * f * t / n) for each selected bin f.
@@ -94,10 +127,24 @@ class StreamingTACAW:
         return jax.jit(jax.lax.complex)(jnp.asarray(re), jnp.asarray(im))
 
     def add_frame(self, frame_index: int, positions) -> None:
-        """Feed one MD frame (each index exactly once, any order)."""
-        self._acc, self._mean = _tacaw_accumulate(
-            self._acc, self._mean, jnp.asarray(positions), self.probes,
-            self._phases(int(frame_index)), self.spec, self.layer_index)
+        """Feed one MD frame (each index exactly once, any order).
+
+        Probe chunking bounds the per-frame working set: each chunk's exit
+        waves are computed and folded into the (donated, in-place)
+        accumulator before the next chunk's propagation starts.
+        """
+        pos = jnp.asarray(positions)
+        phases = self._phases(int(frame_index))
+        for i, sl in enumerate(self._chunk_slices):
+            if self._track_mean:
+                self._acc_chunks[i], self._mean_chunks[i] =                     _tacaw_accumulate(self._acc_chunks[i],
+                                      self._mean_chunks[i], pos,
+                                      self.probes[sl], phases, self.spec,
+                                      self.layer_index)
+            else:
+                self._acc_chunks[i] = _tacaw_accumulate_nomean(
+                    self._acc_chunks[i], pos, self.probes[sl], phases,
+                    self.spec, self.layer_index)
         self._seen += 1
 
     def intensity(self):
@@ -109,6 +156,11 @@ class StreamingTACAW:
         if self._seen != self.n_frames:
             raise ValueError(
                 f"streamed {self._seen} of {self.n_frames} frames")
+        if not self._track_mean:
+            chunks = [jax.jit(lambda a: jnp.abs(a) ** 2)(a)
+                      for a in self._acc_chunks]
+            return (chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=1))
         zero_mask = jnp.asarray((self.bins == 0).astype(np.float32))
 
         @jax.jit
@@ -116,7 +168,10 @@ class StreamingTACAW:
             corrected = acc - (zero_mask[:, None, None, None]
                                .astype(acc.dtype)) * mean[None]
             return jnp.abs(corrected) ** 2
-        return finish(self._acc, self._mean)
+        chunks = [finish(a, m) for a, m in zip(self._acc_chunks,
+                                               self._mean_chunks)]
+        return (chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=1))
 
     def spectrum(self, probe_index: Optional[int] = None) -> np.ndarray:
         """k-summed spectrum at the selected bins (host array)."""
@@ -133,7 +188,8 @@ class StreamingTACAW:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "layer_index", "intensity"))
+                   static_argnames=("spec", "layer_index", "intensity"),
+                   donate_argnums=(0,))
 def _haadf_accumulate(acc, positions, probes, mask, spec: SimSpec,
                       layer_index: int, intensity: bool):
     psi = frame_exit_waves(positions, probes, spec)[..., layer_index]

@@ -87,3 +87,29 @@ def test_streaming_haadf_matches_batch(setup):
         st.add_frame(short.positions[f])
     got = st.image()
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_streaming_probe_chunks_and_no_zero_bin(setup):
+    """Chunked accumulation + dropped mean tracker match the batch path."""
+    traj, g, spec = setup
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(traj, aperture=0, voltage_eV=100e3, sampling=SAMPLING,
+               slice_thickness=SLICE_T, probe_positions=pg, use_cache=False)
+    tac = TACAWData(calc.run(progress=False))
+
+    targets = [float(tac.frequencies[1]), float(tac.frequencies[4])]  # no 0
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=targets, probe_chunk=3)
+    assert not st._track_mean
+    for f in range(traj.n_frames):
+        st.add_frame(f, traj.positions[f])
+    inten = np.asarray(st.intensity())
+    assert inten.shape[1] == 4
+    for i, f_thz in enumerate(targets):
+        for p in range(4):
+            want = tac.spectral_diffraction(f_thz, probe_index=p)
+            assert np.allclose(inten[i, p], want, rtol=1e-8, atol=1e-12)

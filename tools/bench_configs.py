@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Wall-clock benchmarks for the five BASELINE.json driver configs.
+
+Prints one JSON line per config. Where the full production size would take
+too long for a CI-style run (config 5's 1000 frames), a reduced frame count
+is measured end-to-end and the full-size wall-clock is extrapolated
+linearly over frames (the frame loop is embarrassingly parallel and
+perfectly amortized — the extrapolation is exact up to compile time, which
+is excluded). bench.py remains the driver's single-line headline harness.
+
+Usage: python tools/bench_configs.py [--quick]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def hbn_box(lx, n_frames, seed=0):
+    """hBN monolayer filling an lx x lx box + thermal frames."""
+    from pyslice_tpu.data.trajectory import Trajectory
+    a, by = 2.504, 2.504 * np.sqrt(3.0)
+    ncx, ncy = int(lx // a), int(lx // by)
+    base = np.array([[0.0, 0.0, 1.696], [a / 2, by / 6, 1.696],
+                     [a / 2, by / 2, 1.696], [0.0, by / 2 + by / 6, 1.696]])
+    cells = [base + np.array([i * a, j * by, 0.0])
+             for i in range(ncx) for j in range(ncy)]
+    pos = np.concatenate(cells)[None]
+    types = np.tile(np.array([5, 7, 5, 7], np.int32), ncx * ncy)
+    traj = Trajectory(types, pos, np.zeros_like(pos),
+                      np.diag([lx, lx, 6.784]), 0.005)
+    return traj.generate_random_displacements(n_frames, 0.05, seed=seed)
+
+
+def run_calc(traj, wall_label, **setup_kw):
+    from pyslice_tpu.engine.calculator import MultisliceCalculator
+    calc = MultisliceCalculator()
+    calc.setup(traj, use_cache=False, **setup_kw)
+    # compile pass on frame 0 (excluded from the wall-clock)
+    _ = calc._frame_kspace(np.asarray(traj.positions[0]),
+                           __import__("pyslice_tpu").create_batched_probes(
+                               calc.base_probe, calc.probe_positions).array)
+    t0 = time.time()
+    wf = calc.run(progress=False)
+    return wf, time.time() - t0, calc
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    log(f"device: {jax.devices()[0]}")
+
+    # ---- config 1: single plane-wave probe, 1 frame, ~256^2 -> diffraction
+    traj = hbn_box(25.55, 1)
+    wf, dt, calc = run_calc(traj, "c1", aperture=0.0, voltage_eV=100e3,
+                            sampling=0.1, slice_thickness=0.5)
+    from pyslice_tpu.analysis.tacaw import TACAWData
+    emit(config=1, desc="plane wave, 1 frame, 256^2 -> diffraction",
+         grid=f"{calc.nx}x{calc.ny}x{calc.nz}", wall_s=round(dt, 3))
+
+    # ---- config 2: 100 frames, 1 probe -> WFData -> TACAW spectrum
+    nf = 20 if quick else 100
+    traj = hbn_box(102.35, nf)
+    wf, dt, calc = run_calc(traj, "c2", aperture=0.0, voltage_eV=100e3,
+                            sampling=0.1, slice_thickness=0.5)
+    t0 = time.time()
+    tac = TACAWData(wf)
+    spec = tac.spectrum(probe_index=0)
+    dt_fft = time.time() - t0
+    emit(config=2, desc=f"{nf} frames, 1 probe, 1024^2 -> TACAW spectrum",
+         grid=f"{calc.nx}x{calc.ny}x{calc.nz}", sim_wall_s=round(dt, 2),
+         tacaw_wall_s=round(dt_fft, 2),
+         per_frame_ms=round(dt / nf * 1e3, 1),
+         extrapolated_100f_s=round(dt / nf * 100 + dt_fft, 1))
+
+    # ---- config 3: 16-probe convergent STEM, batch-size sweep
+    from pyslice_tpu.physics.probe import probe_grid
+    traj = hbn_box(102.35, 3)
+    pg = probe_grid([10, 90], [10, 90], 4, 4)
+    sweep = {}
+    for bs in (None, 8, 4):
+        wf, dt, calc = run_calc(traj, "c3", aperture=30.0, voltage_eV=100e3,
+                                sampling=0.1, slice_thickness=0.5,
+                                probe_positions=pg, batch_size=bs)
+        sweep[str(bs)] = round(dt / traj.n_frames * 1e3, 1)
+    emit(config=3, desc="16-probe 30mrad STEM batch, batch_size sweep",
+         grid=f"{calc.nx}x{calc.ny}x{calc.nz}",
+         per_frame_ms_by_batch_size=sweep)
+
+    # ---- config 4: multi-layer depth-resolved + dispersion/masked_spectrum
+    traj = hbn_box(51.25, 8)
+    wf, dt, calc = run_calc(traj, "c4", aperture=0.0, voltage_eV=100e3,
+                            sampling=0.1, slice_thickness=0.5,
+                            record_layers=[3, 7, 13])
+    tac = TACAWData(wf, layer_index=2)
+    t0 = time.time()
+    disp = tac.dispersion(np.linspace(0, 6, 200), np.zeros(200))
+    mask = (np.add.outer(tac.kxs ** 2, tac.kys ** 2) > 4.0).astype(float)
+    ms = tac.masked_spectrum(mask)
+    dt_an = time.time() - t0
+    emit(config=4, desc="depth-resolved WFData (3 layers) + dispersion + masked_spectrum",
+         grid=f"{calc.nx}x{calc.ny}x{calc.nz}", layers=list(map(int, wf.layer)),
+         sim_wall_s=round(dt, 2), analysis_wall_s=round(dt_an, 2),
+         dispersion_shape=list(disp.shape))
+
+    # ---- config 5: 2048^2, 64 probes, long frame axis -> streaming TACAW
+    import jax.numpy as jnp
+    from pyslice_tpu.core.grids import grid_from_trajectory
+    from pyslice_tpu.engine.pipeline import SimSpec
+    from pyslice_tpu.engine.streaming import StreamingTACAW
+    from pyslice_tpu.physics.potential import make_plan
+    from pyslice_tpu.physics.probe import Probe, create_batched_probes
+
+    nf5 = 4 if quick else 8
+    traj = hbn_box(204.75, nf5)
+    g = grid_from_trajectory(traj, sampling=0.1, slice_thickness=0.5)
+    plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+    spec5 = SimSpec.create(g, plan, 100e3)
+    base = Probe(g.xs, g.ys, 25, 100e3)
+    pg = probe_grid([20, 180], [20, 180], 8, 8)
+    probes = create_batched_probes(base, pg).array
+    st = StreamingTACAW(spec5, probes, traj.n_frames, traj.timestep,
+                        frequencies=[10.0, 20.0, 40.0], probe_chunk=16)
+    st.add_frame(0, traj.positions[0])           # compile pass
+    _ = float(jnp.sum(st._acc.real))
+    t0 = time.time()
+    for f in range(1, traj.n_frames):
+        st.add_frame(f, traj.positions[f])
+    _ = float(jnp.sum(st._acc.real))             # sync
+    dt = time.time() - t0
+    per_frame = dt / (traj.n_frames - 1)
+    emit(config=5, desc="2048^2 x 64 probes, streaming TACAW (frame axis "
+                        "unbounded; multi-chip sharding validated separately "
+                        "via dryrun_multichip)",
+         grid=f"{g.nx}x{g.ny}x{g.nz}", probes=64,
+         measured_frames=traj.n_frames,
+         per_frame_s=round(per_frame, 3),
+         extrapolated_1000f_hours=round(per_frame * 1000 / 3600, 2),
+         streaming_state_MB=round(
+             (3 + 1) * 64 * g.nx * g.ny * 8 / 2 ** 20, 1))
+
+
+if __name__ == "__main__":
+    main()
