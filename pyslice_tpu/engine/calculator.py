@@ -136,15 +136,15 @@ class MultisliceCalculator:
     # --- run -------------------------------------------------------------------
 
     def _auto_frame_block(self) -> int:
-        """Frames computed per device dispatch. Each host round trip costs
-        tens of ms on tunneled runtimes, so frames are batched on device
-        (lax.map) and pulled in blocks, capped at ~1 GB of block output."""
+        """Frames computed per device dispatch (setup(frame_block=N)).
+
+        Default 1: on this environment the device->host link is the
+        bottleneck (~50 MB/s tunnel), so batching frames on device buys
+        nothing and costs lax.map overhead. On standard TPU hosts (GB/s DMA,
+        ~1 ms dispatch) set frame_block to 8-16 to amortize dispatch."""
         if self.frame_block is not None:
             return max(1, int(self.frame_block))
-        n_layers = (len(self.record_layers)
-                    if self.record_layers is not None else 1)
-        bytes_per_frame = self.n_probes * self.nx * self.ny * n_layers * 8
-        return int(np.clip((1 << 30) // max(bytes_per_frame, 1), 1, 16))
+        return 1
 
     def _frame_kspace(self, positions: np.ndarray, probes) -> np.ndarray:
         """(n_probes, nx, ny, n_layers) k-space exit waves for one frame,
@@ -202,9 +202,12 @@ class MultisliceCalculator:
             while pending:
                 chunk = pending[:block]
                 del pending[:block]
-                pos_block = np.asarray(
-                    self.trajectory.positions[np.asarray(chunk)])
-                data = self._block_kspace(pos_block, probes)
+                if len(chunk) == 1:
+                    data = self._frame_kspace(np.asarray(
+                        self.trajectory.positions[chunk[0]]), probes)[:, None]
+                else:
+                    data = self._block_kspace(np.asarray(
+                        self.trajectory.positions[np.asarray(chunk)]), probes)
                 for j, fi in enumerate(chunk):
                     out[:, fi] = data[:, j]
                     if self.use_cache:

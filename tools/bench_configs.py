@@ -60,17 +60,40 @@ def run_calc(traj, wall_label, **setup_kw):
 
 def main():
     quick = "--quick" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = int(a.split("=")[1])
     import jax
     log(f"device: {jax.devices()[0]}")
 
+    def want(n):
+        return only is None or only == n
+
+    if want(1):
+        _config1(quick)
+    if want(2):
+        _config2(quick)
+    if want(3):
+        _config3(quick)
+    if want(4):
+        _config4(quick)
+    if want(5):
+        _config5(quick)
+
+
+def _config1(quick):
+    from pyslice_tpu.analysis.tacaw import TACAWData
     # ---- config 1: single plane-wave probe, 1 frame, ~256^2 -> diffraction
     traj = hbn_box(25.55, 1)
     wf, dt, calc = run_calc(traj, "c1", aperture=0.0, voltage_eV=100e3,
                             sampling=0.1, slice_thickness=0.5)
-    from pyslice_tpu.analysis.tacaw import TACAWData
     emit(config=1, desc="plane wave, 1 frame, 256^2 -> diffraction",
          grid=f"{calc.nx}x{calc.ny}x{calc.nz}", wall_s=round(dt, 3))
 
+
+def _config2(quick):
+    from pyslice_tpu.analysis.tacaw import TACAWData
     # ---- config 2: 100 frames, 1 probe -> WFData -> TACAW spectrum
     nf = 20 if quick else 100
     traj = hbn_box(102.35, nf)
@@ -86,6 +109,8 @@ def main():
          per_frame_ms=round(dt / nf * 1e3, 1),
          extrapolated_100f_s=round(dt / nf * 100 + dt_fft, 1))
 
+
+def _config3(quick):
     # ---- config 3: 16-probe convergent STEM, batch-size sweep
     from pyslice_tpu.physics.probe import probe_grid
     traj = hbn_box(102.35, 3)
@@ -100,6 +125,9 @@ def main():
          grid=f"{calc.nx}x{calc.ny}x{calc.nz}",
          per_frame_ms_by_batch_size=sweep)
 
+
+def _config4(quick):
+    from pyslice_tpu.analysis.tacaw import TACAWData
     # ---- config 4: multi-layer depth-resolved + dispersion/masked_spectrum
     traj = hbn_box(51.25, 8)
     wf, dt, calc = run_calc(traj, "c4", aperture=0.0, voltage_eV=100e3,
@@ -116,7 +144,10 @@ def main():
          sim_wall_s=round(dt, 2), analysis_wall_s=round(dt_an, 2),
          dispersion_shape=list(disp.shape))
 
+
+def _config5(quick):
     # ---- config 5: 2048^2, 64 probes, long frame axis -> streaming TACAW
+    from pyslice_tpu.physics.probe import probe_grid
     import jax.numpy as jnp
     from pyslice_tpu.core.grids import grid_from_trajectory
     from pyslice_tpu.engine.pipeline import SimSpec
@@ -133,7 +164,7 @@ def main():
     pg = probe_grid([20, 180], [20, 180], 8, 8)
     probes = create_batched_probes(base, pg).array
     st = StreamingTACAW(spec5, probes, traj.n_frames, traj.timestep,
-                        frequencies=[10.0, 20.0, 40.0], probe_chunk=16)
+                        frequencies=[10.0, 20.0, 40.0], probe_chunk=8)
     st.add_frame(0, traj.positions[0])           # compile pass
     _ = float(jnp.sum(st._acc.real))
     t0 = time.time()
