@@ -166,11 +166,11 @@ def _config5(quick):
     st = StreamingTACAW(spec5, probes, traj.n_frames, traj.timestep,
                         frequencies=[10.0, 20.0, 40.0], probe_chunk=8)
     st.add_frame(0, traj.positions[0])           # compile pass
-    _ = float(jnp.sum(st._acc.real))
+    _ = float(jnp.sum(st._acc_chunks[0].real))
     t0 = time.time()
     for f in range(1, traj.n_frames):
         st.add_frame(f, traj.positions[f])
-    _ = float(jnp.sum(st._acc.real))             # sync
+    _ = float(jnp.sum(st._acc_chunks[0].real))             # sync
     dt = time.time() - t0
     per_frame = dt / (traj.n_frames - 1)
     emit(config=5, desc="2048^2 x 64 probes, streaming TACAW (frame axis "
