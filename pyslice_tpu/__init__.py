@@ -11,6 +11,28 @@ workflows port directly; the execution model is pure-functional JAX sharded
 over a (frame, probe) device mesh.
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (big win here: remote compiles cost
+    minutes; cached reloads cost seconds). Opt out with
+    PYSLICE_TPU_COMPILE_CACHE=0, redirect with =<dir>. Silently skipped if
+    the backend is already initialized."""
+    setting = _os.environ.get("PYSLICE_TPU_COMPILE_CACHE", "")
+    if setting == "0":
+        return
+    cache_dir = setting or _os.path.expanduser("~/.cache/pyslice_tpu_jax")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from .core.constants import (C_LIGHT, H_PLANCK, M_ELECTRON, Q_ELECTRON,
                              interaction_parameter, m_effective, wavelength)
 from .core.dtypes import DOUBLE, SINGLE, Precision, get_precision, set_default_precision
