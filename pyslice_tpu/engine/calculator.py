@@ -61,6 +61,10 @@ class MultisliceCalculator:
             "sampling": self.sampling,
             "probe_positions": np.asarray(self.probe_positions).tolist(),
             "record_layers": self.record_layers,
+            "slice_axis": self.slice_axis,
+            # grid shape captures fast_grid (reference's key misses
+            # slice_axis — a latent collision we don't reproduce)
+            "grid_shape": (self.nx, self.ny, self.nz),
             "backend": f"jax-{self.precision.name}",
         }
         param_str = str(sorted(params.items()))

@@ -42,6 +42,17 @@ def run_sharded(positions_frames, probes, spec: SimSpec, mesh):
         P('probe', 'frame') over the mesh.
     """
 
+    f_extent = mesh.shape[FRAME_AXIS]
+    p_extent = mesh.shape[PROBE_AXIS]
+    if positions_frames.shape[0] % f_extent:
+        raise ValueError(
+            f"n_frames={positions_frames.shape[0]} must divide the mesh "
+            f"frame extent {f_extent}")
+    if probes.shape[0] % p_extent:
+        raise ValueError(
+            f"n_probes={probes.shape[0]} must divide the mesh probe "
+            f"extent {p_extent}")
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(FRAME_AXIS), P(PROBE_AXIS)),

@@ -248,3 +248,15 @@ class TestHAADF:
                      probe=haadf_wf.probe)
         h = HAADFData(wf2)
         assert h.calculateADF(45).shape == (3, 4)
+
+
+def test_cache_key_distinguishes_grid_options(thermal_traj, tmp_path):
+    """fast_grid / slice_axis change results and must not share cache keys."""
+    short = thermal_traj.slice_timesteps([0])
+    keys = set()
+    for kw in ({}, {"fast_grid": True}, {"slice_axis": 1}):
+        c = MultisliceCalculator(precision=DOUBLE)
+        c.setup(short, sampling=SAMPLING, slice_thickness=SLICE_T,
+                cache_root=str(tmp_path), **kw)
+        keys.add(c.output_dir.name)
+    assert len(keys) == 3, keys

@@ -75,3 +75,12 @@ def test_frame_only_mesh(problem):
     single = simulate_frames(traj.positions, probes, spec)
     np.testing.assert_allclose(to_numpy(sharded), to_numpy(single),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_indivisible_shapes_raise(problem):
+    traj, g, spec, probes = problem
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="must divide the mesh frame"):
+        run_sharded(traj.positions[:7], probes, spec, mesh)
+    with pytest.raises(ValueError, match="must divide the mesh probe"):
+        run_sharded(traj.positions, probes[:3], spec, mesh)
