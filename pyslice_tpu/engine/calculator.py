@@ -49,9 +49,15 @@ class MultisliceCalculator:
     def _generate_cache_key(self) -> str:
         """md5-12 of the simulation parameters (calculators.py:78-94)."""
         t = self.trajectory
+        # Hash the actual atomic positions: counts/box/types alone collide
+        # for different thermal realizations of the same system (the
+        # reference's key has this hole, calculators.py:81-92).
+        pos_digest = hashlib.md5(
+            np.ascontiguousarray(t.positions).tobytes()).hexdigest()
         params = {
             "n_frames": t.n_frames,
             "n_atoms": t.n_atoms,
+            "positions_md5": pos_digest,
             "box_matrix": np.asarray(t.box_matrix).tolist(),
             "atom_types": np.asarray(t.atom_types).tolist(),
             "aperture": self.aperture,

@@ -26,14 +26,30 @@ from ..ops import matfft
 from .mesh import FRAME_AXIS, PROBE_AXIS
 
 
+def _check_divisible(mesh, n_frames=None, n_probes=None):
+    """Clear errors instead of shard_map's internal uneven-sharding ones."""
+    if n_frames is not None:
+        f = mesh.shape[FRAME_AXIS]
+        if n_frames % f:
+            raise ValueError(
+                f"n_frames={n_frames} must be divisible by the mesh frame "
+                f"extent {f}")
+    if n_probes is not None:
+        p = mesh.shape[PROBE_AXIS]
+        if n_probes % p:
+            raise ValueError(
+                f"n_probes={n_probes} must be divisible by the mesh probe "
+                f"extent {p}")
+
+
 def run_sharded(positions_frames, probes, spec: SimSpec, mesh):
     """Propagate all (frame, probe) pairs over the mesh.
 
     Args:
-        positions_frames: (n_frames, n_atoms, 3); n_frames must divide the
-            mesh's frame extent.
-        probes: (n_probes, nx, ny) complex; n_probes must divide the probe
-            extent.
+        positions_frames: (n_frames, n_atoms, 3); n_frames must be
+            divisible by the mesh's frame extent.
+        probes: (n_probes, nx, ny) complex; n_probes must be divisible
+            by the probe extent.
         spec: static SimSpec.
         mesh: Mesh with ('frame', 'probe') axes.
 
@@ -42,16 +58,8 @@ def run_sharded(positions_frames, probes, spec: SimSpec, mesh):
         P('probe', 'frame') over the mesh.
     """
 
-    f_extent = mesh.shape[FRAME_AXIS]
-    p_extent = mesh.shape[PROBE_AXIS]
-    if positions_frames.shape[0] % f_extent:
-        raise ValueError(
-            f"n_frames={positions_frames.shape[0]} must divide the mesh "
-            f"frame extent {f_extent}")
-    if probes.shape[0] % p_extent:
-        raise ValueError(
-            f"n_probes={probes.shape[0]} must divide the mesh probe "
-            f"extent {p_extent}")
+    _check_divisible(mesh, n_frames=positions_frames.shape[0],
+                     n_probes=probes.shape[0])
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -83,6 +91,7 @@ def tacaw_intensity_sharded(wf, mesh, layer_index: int = -1,
     """
     n_layers = wf.shape[-1]
     layer_index = layer_index % n_layers
+    _check_divisible(mesh, n_frames=wf.shape[1], n_probes=wf.shape[0])
     nx = wf.shape[2]
     f_extent = mesh.shape[FRAME_AXIS]
     # Grid sizes are odd by construction (int(l/s)+1) — pad kx to a multiple
@@ -126,6 +135,13 @@ def tacaw_spectrum_sharded(intensity, mesh):
     Returns:
         (n_freq,) replicated: mean over probes of the k-space sum.
     """
+
+    _check_divisible(mesh, n_probes=intensity.shape[0])
+    if intensity.shape[2] % mesh.shape[FRAME_AXIS]:
+        raise ValueError(
+            f"kx extent {intensity.shape[2]} must be divisible by the mesh "
+            f"frame extent {mesh.shape[FRAME_AXIS]} (use "
+            f"tacaw_intensity_sharded(crop=False) output)")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

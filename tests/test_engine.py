@@ -260,3 +260,20 @@ def test_cache_key_distinguishes_grid_options(thermal_traj, tmp_path):
                 cache_root=str(tmp_path), **kw)
         keys.add(c.output_dir.name)
     assert len(keys) == 3, keys
+
+
+def test_cache_key_distinguishes_positions(thermal_traj, tmp_path):
+    """Different thermal realizations must not share a frame cache."""
+    a = thermal_traj.slice_timesteps([0])
+    moved = a.positions.copy()
+    moved[0, 0, 0] += 0.25
+    import pyslice_tpu as pt
+    b = pt.Trajectory(a.atom_types, moved, a.velocities, a.box_matrix,
+                      a.timestep)
+    keys = []
+    for t in (a, b):
+        c = MultisliceCalculator(precision=DOUBLE)
+        c.setup(t, sampling=SAMPLING, slice_thickness=SLICE_T,
+                cache_root=str(tmp_path))
+        keys.append(c.output_dir.name)
+    assert keys[0] != keys[1]

@@ -80,7 +80,7 @@ def test_frame_only_mesh(problem):
 def test_indivisible_shapes_raise(problem):
     traj, g, spec, probes = problem
     mesh = make_mesh(4, 2)
-    with pytest.raises(ValueError, match="must divide the mesh frame"):
+    with pytest.raises(ValueError, match="divisible by the mesh frame"):
         run_sharded(traj.positions[:7], probes, spec, mesh)
-    with pytest.raises(ValueError, match="must divide the mesh probe"):
+    with pytest.raises(ValueError, match="divisible by the mesh probe"):
         run_sharded(traj.positions, probes[:3], spec, mesh)
