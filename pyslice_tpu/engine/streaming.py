@@ -71,8 +71,27 @@ class StreamingTACAW:
 
     def __init__(self, spec: SimSpec, probes, n_frames: int, timestep: float,
                  frequencies: Optional[Sequence[float]] = None,
-                 layer_index: int = -1, probe_chunk: Optional[int] = None):
+                 layer_index: int = -1, probe_chunk: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: optional jax Mesh with a 'probe' axis — probes and
+        accumulators are sharded over it and every per-frame accumulation
+        runs probe-parallel with zero collectives (the potential rasterizes
+        redundantly per device; propagation and accumulation are local).
+        Incompatible with probe_chunk (sharding already bounds the per-
+        device working set)."""
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import PROBE_AXIS
+            if probes.shape[0] % mesh.shape[PROBE_AXIS]:
+                raise ValueError(
+                    f"n_probes={probes.shape[0]} must be divisible by the "
+                    f"mesh probe extent {mesh.shape[PROBE_AXIS]}")
+            if probe_chunk is not None:
+                raise ValueError("probe_chunk and mesh are mutually exclusive")
+            probes = jax.device_put(
+                probes, NamedSharding(mesh, P(PROBE_AXIS)))
         self.probes = probes
         self.n_frames = int(n_frames)
         self.timestep = float(timestep)
@@ -109,6 +128,16 @@ class StreamingTACAW:
         self._acc_chunks = [a for a, _ in pairs]
         self._mean_chunks = ([m for _, m in pairs] if self._track_mean
                              else None)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import PROBE_AXIS
+            acc_s = NamedSharding(self.mesh, P(None, PROBE_AXIS))
+            mean_s = NamedSharding(self.mesh, P(PROBE_AXIS))
+            self._acc_chunks = [jax.device_put(a, acc_s)
+                                for a in self._acc_chunks]
+            if self._track_mean:
+                self._mean_chunks = [jax.device_put(m, mean_s)
+                                     for m in self._mean_chunks]
         self._seen = 0
 
     @property

@@ -84,3 +84,34 @@ def test_indivisible_shapes_raise(problem):
         run_sharded(traj.positions[:7], probes, spec, mesh)
     with pytest.raises(ValueError, match="divisible by the mesh probe"):
         run_sharded(traj.positions, probes[:3], spec, mesh)
+
+
+def test_streaming_tacaw_sharded_matches_unsharded(problem):
+    from pyslice_tpu.engine.streaming import StreamingTACAW
+    traj, g, spec, probes = problem
+    mesh = make_mesh(1, 8)           # probe-parallel mesh
+    # 8 probes so the probe axis shards evenly
+    from pyslice_tpu.physics.probe import Probe, create_batched_probes, probe_grid
+    from pyslice_tpu.core.dtypes import DOUBLE
+    base = Probe(g.xs, g.ys, 20, 100e3, precision=DOUBLE)
+    pg = probe_grid([1, 3], [1, 3], 4, 2)
+    probes8 = create_batched_probes(base, pg).array
+
+    targets = [20.0, 40.0]
+    outs = []
+    for m in (None, mesh):
+        st = StreamingTACAW(spec, probes8, traj.n_frames, traj.timestep,
+                            frequencies=targets, mesh=m)
+        for f in range(traj.n_frames):
+            st.add_frame(f, traj.positions[f])
+        outs.append(np.asarray(st.intensity()))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9)
+
+
+def test_streaming_tacaw_sharded_validation(problem):
+    from pyslice_tpu.engine.streaming import StreamingTACAW
+    traj, g, spec, probes = problem   # 4 probes
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError, match="divisible by the mesh probe"):
+        StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                       frequencies=[20.0], mesh=mesh)
