@@ -64,6 +64,24 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
         spec.record_layers is None.
     """
     v = rasterize(positions, spec.plan, spec.precision)
+
+    from ..physics.propagate import _fused_eligible
+    from ..ops import config as ops_config
+    if (spec.record_layers is None
+            and ops_config.fused_multislice != "off"
+            and _fused_eligible(probes.shape, spec.record_layers,
+                                spec.precision)):
+        # Fully fused path: the exit fftshift(fft2(.)) folds into the kernel
+        # chain (ops.fused_step.fused_multislice_kspace) — saves the
+        # standalone conversion's HBM passes.
+        from ..core.constants import interaction_parameter
+        from ..ops.fused_step import fused_multislice_kspace
+        k = fused_multislice_kspace(
+            jnp.asarray(probes, dtype=spec.precision.complex), v,
+            spec.plan.kxs, spec.plan.kys,
+            sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz)
+        return k[..., None]                   # (probes, nx, ny, 1)
+
     psi = multislice(probes, v, spec.plan.kxs, spec.plan.kys, eV=spec.eV,
                      lam=spec.lam, dz=spec.dz,
                      record_layers=spec.record_layers,

@@ -225,6 +225,47 @@ def _kernel_b(static_consts):
     return body
 
 
+def _kernel_c(static_consts):
+    """Final k-conversion kernel: FFT_x only — output is full k-space with
+    BOTH axes in digit-permuted order, (ky_perm, kx_perm) y-major."""
+    n1, n2, w1, w1inv = static_consts
+
+    def body(vr_ref, vi_ref, fr, fi, ir, ii, or_ref, oi_ref):
+        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
+        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], *consts, tin=True)
+        or_ref[0] = re
+        oi_ref[0] = im
+    return body
+
+
+def _call_c(psi_re, psi_im, block_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_probes, nx, ny = psi_re.shape           # x-major input from kernel A
+    static_consts, const_arrays = _make_const_inputs(nx)
+    n1, n2 = static_consts[0], static_consts[1]
+    by = min(block_rows, ny)
+    grid = (p_probes, ny // by)
+
+    state_spec = pl.BlockSpec((1, nx, by), lambda p, j: (p, 0, j),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, by, nx), lambda p, j: (p, j, 0),
+                            memory_space=pltpu.VMEM)
+    body = _kernel_c(static_consts)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[state_spec, state_spec]
+                 + _const_specs(pl, pltpu, n1, n2),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((p_probes, ny, nx), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(psi_re, psi_im, *const_arrays)
+    return out
+
+
 # --- pallas_call wrappers ----------------------------------------------------
 
 
@@ -385,3 +426,61 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     re, im = _call_b(re, im, p_re_t, p_im_t, bb)        # -> x-major
     re, im = _call_a(re, im, vs[nz - 1], "last", ba)    # real space
     return jax.lax.complex(re, im)
+
+
+def unpermute_shift_indices(n: int) -> np.ndarray:
+    """idx such that natural-fftshifted[k] = permuted[idx[k]]."""
+    perm = digit_perm(n)
+    inv = np.empty(n, dtype=np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
+    src = np.fft.ifftshift(np.arange(n))      # fftshift(X)[i] == X[src[i]]
+    return inv[src]
+
+
+def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
+                            lam: float, dz: float) -> jnp.ndarray:
+    """fftshift(fft2(fused_multislice(...))) with the final transforms fused
+    into the kernel chain: the last transmit runs as an A_mid (its FFT_y is
+    the conversion's y transform), kernel C adds the x transform, and one
+    static gather unpermutes both digit orders and applies the fftshift.
+    Returns (n_probes, nx, ny) complex64 k-space exit waves."""
+    n_probes, nx, ny = psi.shape
+    nz = potential_szy.shape[0]
+    if not (supported_size(nx) and supported_size(ny)):
+        raise ValueError(f"unsupported grid {nx}x{ny} for fused path")
+
+    re = jnp.real(psi).astype(jnp.float32)
+    im = jnp.imag(psi).astype(jnp.float32)
+    vs = (jnp.asarray(sigma, jnp.float32)
+          * potential_szy.astype(jnp.float32))
+
+    kxs = jnp.asarray(kxs, jnp.float32)
+    kys = jnp.asarray(kys, jnp.float32)
+    kxp = kxs[jnp.asarray(digit_perm(nx))]
+    kyp = kys[jnp.asarray(digit_perm(ny))]
+    pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
+    p_re_t = jnp.cos(pp).T
+    p_im_t = jnp.sin(pp).T
+
+    ba = _block_rows(nx, ny)
+    bb = _block_rows(ny, nx)
+
+    re, im = _call_a(re, im, vs[0], "first", ba)        # -> x-major (x, ky~)
+    if nz > 2:
+        def body(carry, v_s):
+            r, i = carry
+            r, i = _call_b(r, i, p_re_t, p_im_t, bb)
+            r, i = _call_a(r, i, v_s, "mid", ba)
+            return (r, i), None
+        (re, im), _ = jax.lax.scan(body, (re, im), vs[1:nz - 1])
+    if nz > 1:
+        re, im = _call_b(re, im, p_re_t, p_im_t, bb)    # last Fresnel
+        re, im = _call_a(re, im, vs[nz - 1], "mid", ba)  # last transmit + FFT_y
+    # state: (x, ky~perm) x-major; kernel C adds FFT_x -> (ky~, kx~) y-major
+    cr, ci = _call_c(re, im, bb)
+    iy = jnp.asarray(unpermute_shift_indices(ny))
+    ix = jnp.asarray(unpermute_shift_indices(nx))
+    # natural-shifted [p, kx, ky] = permuted [p, iy[ky], ix[kx]]
+    k = jax.lax.complex(cr, ci)
+    k = jnp.transpose(k[:, iy][:, :, ix], (0, 2, 1))
+    return k

@@ -86,3 +86,37 @@ def test_fused_record_layers():
             record_layers=layers))
     assert got.shape == want.shape == (3, P, NX, NY)
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_fused_kspace_matches_separate_conversion():
+    """fused_multislice_kspace == fftshift(fft2(fused exit wave))."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops.fused_step import fused_multislice_kspace
+    rng = np.random.default_rng(5)
+    for (P, NX, NY, NZ) in [(2, 256, 128, 4), (1, 256, 256, 1)]:
+        psi = (rng.standard_normal((P, NX, NY))
+               + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+        v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+        kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+        kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+        eV = 100e3
+        lam = wavelength(eV)
+        sigma = interaction_parameter(eV)
+        with pltpu.force_tpu_interpret_mode():
+            exitw = np.asarray(fused_step.fused_multislice(
+                jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                sigma=sigma, lam=lam, dz=0.5))
+            got = np.asarray(fused_multislice_kspace(
+                jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                sigma=sigma, lam=lam, dz=0.5))
+        want = np.fft.fftshift(np.fft.fft2(exitw), axes=(-2, -1))
+        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_unpermute_shift_indices():
+    from pyslice_tpu.ops.fused_step import digit_perm, unpermute_shift_indices
+    for n in (128, 256, 1024):
+        x = np.random.rand(n).astype(np.float32)
+        permuted = x[digit_perm(n)]              # what the kernels emit
+        idx = unpermute_shift_indices(n)
+        np.testing.assert_array_equal(permuted[idx], np.fft.fftshift(x))
