@@ -89,12 +89,36 @@ def _defocus_impl(array, kxs, kys, lam, dz, precision):
     return jnp.fft.ifft2(jnp.fft.fft2(array) * P)
 
 
-def defocus(array, kxs, kys, lam: float, dz: float, precision=None) -> jnp.ndarray:
+_warned_negative_defocus = False
+
+
+def defocus(array, kxs, kys, lam: float, dz: float, precision=None,
+            compat_reference: bool = False) -> jnp.ndarray:
     """Defocus by dz Angstrom; positive dz puts the beam waist above the
     sample; negative dz back-propagates (defocus(-d) inverts defocus(+d))
-    (multislice.py:183-190, math.txt:62-71). dz == 0 is the identity."""
+    (multislice.py:183-190, math.txt:62-71). dz == 0 is the identity.
+
+    ``compat_reference=True`` replicates reference quirk #13: the reference's
+    dz < 0 branch divides by P(dz) whose exponent already carries the sign
+    (multislice.py:186-190), a double negation that makes defocus(-d) behave
+    exactly like defocus(+d). Use it for bit-parity studies against reference
+    outputs with negative defocus (same pattern as ``compat_reference_tl``).
+    """
     if dz == 0:
         return jnp.asarray(array)
+    if dz < 0:
+        if compat_reference:
+            dz = -dz   # the reference's double negation: defocus(-d) == defocus(+d)
+        else:
+            global _warned_negative_defocus
+            if not _warned_negative_defocus:
+                _warned_negative_defocus = True
+                import warnings
+                warnings.warn(
+                    "defocus(dz<0) back-propagates here; the reference's "
+                    "dz<0 branch double-negates and behaves like defocus(+dz)"
+                    " (multislice.py:186-190). Pass compat_reference=True to "
+                    "replicate the reference.", stacklevel=2)
     prec = get_precision(precision)
     kxs = np.asarray(kxs, dtype=np.dtype(prec.real))
     kys = np.asarray(kys, dtype=np.dtype(prec.real))
@@ -185,11 +209,13 @@ class Probe:
     def to_cpu(self) -> np.ndarray:
         return to_numpy(self.array)
 
-    def defocus(self, dz: float) -> None:
+    def defocus(self, dz: float, compat_reference: bool = False) -> None:
         """In-place defocus, matching reference mutation semantics
-        (multislice.py:183-190)."""
+        (multislice.py:183-190). ``compat_reference=True`` replicates the
+        reference's dz < 0 double-negation (quirk #13)."""
         self.array = defocus(self.array, self.kxs, self.kys,
-                             self.wavelength, dz, self.precision)
+                             self.wavelength, dz, self.precision,
+                             compat_reference=compat_reference)
 
     def shifted_batch(self, positions) -> "Probe":
         """New Probe whose array is the (n_probes, nx, ny) shifted batch."""
