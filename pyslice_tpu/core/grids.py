@@ -38,6 +38,7 @@ class Grid:
     lz: float
     sampling: float         # requested in-plane sampling (Angstrom/px)
     slice_thickness: float  # requested slice thickness (Angstrom)
+    fast_grid: bool = False  # point counts snapped up to multiples of 128
 
     @property
     def nx(self) -> int:
@@ -79,10 +80,20 @@ class Grid:
         requested_sampling)) (calculators.py:218-219). Kept verbatim for API
         parity; differs from ``fftshift(kxs())`` by the nx/(nx-ish) pitch
         quirk documented in the module docstring.
+
+        With ``fast_grid`` the point count is snapped up to a multiple of
+        128, so the actual pitch can differ from the requested sampling by
+        up to ~15% — there the parity quirk would misstate physical k for
+        every downstream consumer (HAADF annular masks, dispersion k
+        lookups), so the ACTUAL pitch is used instead.
         """
+        if self.fast_grid:
+            return np.fft.fftshift(self.kxs())
         return np.fft.fftshift(np.fft.fftfreq(self.nx, d=self.sampling))
 
     def kys_nominal_shifted(self) -> np.ndarray:
+        if self.fast_grid:
+            return np.fft.fftshift(self.kys())
         return np.fft.fftshift(np.fft.fftfreq(self.ny, d=self.sampling))
 
 
@@ -104,14 +115,17 @@ def grid_from_box(lx: float, ly: float, lz: float,
     nx = int(lx / sampling) + 1
     ny = int(ly / sampling) + 1
     nz = int(lz / slice_thickness) + 1
+    snapped = False
     if fast_grid:
-        nx = _round_up(nx, 128)
-        ny = _round_up(ny, 128)
+        nx2, ny2 = _round_up(nx, 128), _round_up(ny, 128)
+        snapped = (nx2, ny2) != (nx, ny)
+        nx, ny = nx2, ny2
     xs = np.linspace(0.0, lx, nx, endpoint=False)
     ys = np.linspace(0.0, ly, ny, endpoint=False)
     zs = np.linspace(0.0, lz, nz, endpoint=False)
     return Grid(xs=xs, ys=ys, zs=zs, lx=float(lx), ly=float(ly), lz=float(lz),
-                sampling=float(sampling), slice_thickness=float(slice_thickness))
+                sampling=float(sampling), slice_thickness=float(slice_thickness),
+                fast_grid=snapped)
 
 
 def grid_from_trajectory(trajectory, sampling: float = 0.1,

@@ -55,6 +55,15 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
     i = 0
     n_lines = len(lines)
 
+    def bad(msg, line_no):
+        raise ValueError(f"{path}: line {line_no + 1}: {msg}"
+                         + (f" (got: {lines[line_no]!r})"
+                            if line_no < n_lines else " (unexpected EOF)"))
+
+    def expect_header(line_no, prefix):
+        if line_no >= n_lines or not lines[line_no].startswith(prefix):
+            bad(f"expected {prefix!r} header", line_no)
+
     frames_pos, frames_vel = [], []
     atom_types = None
     box_matrix = None
@@ -66,19 +75,40 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
             i += 1
             continue
         i += 2                                    # skip timestep value
-        assert lines[i].startswith("ITEM: NUMBER OF ATOMS"), lines[i]
-        n_atoms = int(lines[i + 1])
+        expect_header(i, "ITEM: NUMBER OF ATOMS")
+        try:
+            n_atoms = int(lines[i + 1])
+        except (ValueError, IndexError):
+            bad("expected an integer atom count", i + 1)
         i += 2
-        assert lines[i].startswith("ITEM: BOX BOUNDS"), lines[i]
+        expect_header(i, "ITEM: BOX BOUNDS")
         tilted = ("xy" in lines[i]) or ("xz" in lines[i]) or ("yz" in lines[i])
-        box_matrix, origin = _parse_box(lines[i + 1:i + 4], tilted)
+        if i + 4 > n_lines:
+            bad("truncated BOX BOUNDS block", n_lines)
+        try:
+            box_matrix, origin = _parse_box(lines[i + 1:i + 4], tilted)
+        except (ValueError, IndexError):
+            bad("malformed BOX BOUNDS values", i + 1)
         i += 4
-        assert lines[i].startswith("ITEM: ATOMS"), lines[i]
+        expect_header(i, "ITEM: ATOMS")
         cols = lines[i].split()[2:]
+        header_line = i
         i += 1
 
-        block = np.array([ln.split() for ln in lines[i:i + n_atoms]],
-                         dtype=np.float64)
+        if i + n_atoms > n_lines:
+            bad(f"truncated frame: expected {n_atoms} atom lines, file ends "
+                f"after {n_lines - i}", n_lines)
+        try:
+            block = np.array([ln.split() for ln in lines[i:i + n_atoms]],
+                             dtype=np.float64)
+        except ValueError:
+            widths = {len(ln.split()) for ln in lines[i:i + n_atoms]}
+            bad(f"malformed atom block (row widths {sorted(widths)}, header "
+                f"declares {len(cols)} columns)", i)
+        if block.ndim != 2 or block.shape[1] != len(cols):
+            bad(f"atom rows have {block.shape[-1] if block.ndim == 2 else '?'}"
+                f" values but the ITEM: ATOMS header declares {len(cols)}",
+                header_line)
         i += n_atoms
 
         col = {c: j for j, c in enumerate(cols)}
@@ -89,7 +119,6 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
         if atom_types is None and "type" in col:
             atom_types = block[:, col["type"]].astype(np.int32)
 
-        diag = np.diag(box_matrix)
         if all(c in col for c in ("x", "y", "z")):
             pos = block[:, [col["x"], col["y"], col["z"]]] - origin
         elif all(c in col for c in ("xu", "yu", "zu")):
@@ -120,25 +149,32 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
     if atom_types is None:
         atom_types = np.ones(positions.shape[1], dtype=np.int32)
 
-    diag = np.diag(box_matrix)
     if has_images:
-        positions = positions + np.stack(images_list) * diag[None, None, :]
+        # Unwrap with the full cell: pos += i1*a1 + i2*a2 + i3*a3 where the
+        # cell vectors a_j are box_matrix COLUMNS — for triclinic dumps the
+        # tilt components matter (diag-only unwrap corrupts tilted cells).
+        positions = positions + np.stack(images_list) @ box_matrix.T
     else:
-        positions = unwrap_continuity(positions, diag)
+        positions = unwrap_continuity(positions, box_matrix)
     return atom_types, positions, velocities, box_matrix
 
 
-def unwrap_continuity(positions: np.ndarray, box_lengths: np.ndarray) -> np.ndarray:
-    """Frame-to-frame minimum-image unwrap (orthogonal box components).
+def unwrap_continuity(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarray:
+    """Frame-to-frame minimum-image unwrap (general, possibly tilted cell).
 
     Equivalent in effect to OVITO's UnwrapTrajectoriesModifier for
     trajectories sampled finely enough that no atom moves more than half a
-    box length between frames.
+    box length between frames. ``box_matrix`` may also be a (3,) diagonal.
     """
     if positions.shape[0] < 2:
         return positions
+    box_matrix = np.asarray(box_matrix, dtype=np.float64)
+    if box_matrix.ndim == 1:
+        box_matrix = np.diag(box_matrix)
     deltas = np.diff(positions, axis=0)
-    deltas -= np.round(deltas / box_lengths[None, None, :]) * box_lengths[None, None, :]
+    # Minimum image in fractional coordinates (exact for any cell shape).
+    frac = deltas @ np.linalg.inv(box_matrix).T
+    deltas = deltas - np.round(frac) @ box_matrix.T
     out = np.empty_like(positions)
     out[0] = positions[0]
     out[1:] = positions[0] + np.cumsum(deltas, axis=0)

@@ -8,7 +8,11 @@ API-parity facade over the pure-NumPy parsers in io.lammps / io.xyz / io.cif
   names (str); deprecated ``atomic_numbers`` / ``element_names`` kwargs kept.
 * Transparent 4-file ``.npy`` cache next to the input, same layout as the
   reference (loader.py:104-157): <stem>.positions.npy / .velocities.npy /
-  .atom_types.npy / .box_matrix.npy.
+  .atom_types.npy / .box_matrix.npy. Unlike the reference, the cached
+  ``atom_types`` are the RAW dump types and ``atom_mapping`` is applied
+  after every cache load — re-running with a different mapping cannot
+  silently return the previous mapping's atomic numbers (the reference
+  inherits exactly that staleness, loader.py:114-145).
 """
 
 from __future__ import annotations
@@ -97,7 +101,9 @@ class TrajectoryLoader:
             "box_matrix": stem.with_suffix(".box_matrix.npy"),
         }
 
-    def _load_from_cache(self) -> Optional[Trajectory]:
+    def _load_from_cache(self):
+        """Returns raw (atom_types, positions, velocities, box) or None.
+        Types are the RAW dump types — the mapping is applied by load()."""
         files = self._get_cache_files()
         if not all(f.exists() for f in files.values()):
             return None
@@ -106,43 +112,45 @@ class TrajectoryLoader:
             box = np.load(files["box_matrix"])
             if box.shape != (3, 3):
                 raise ValueError(f"Invalid box_matrix shape: {box.shape}")
-            return Trajectory(atom_types=np.load(files["atom_types"]),
-                              positions=np.load(files["positions"]),
-                              velocities=np.load(files["velocities"]),
-                              box_matrix=box, timestep=self.timestep)
+            return (np.load(files["atom_types"]), np.load(files["positions"]),
+                    np.load(files["velocities"]), box)
         except Exception as e:   # stale/corrupt cache falls through to re-parse
             logger.warning("Cache loading failed: %s", e)
             return None
 
-    def _save_to_cache(self, trajectory: Trajectory) -> None:
+    def _save_to_cache(self, types, pos, vel, box) -> None:
         files = self._get_cache_files()
         files["positions"].parent.mkdir(parents=True, exist_ok=True)
-        np.save(files["positions"], trajectory.positions)
-        np.save(files["velocities"], trajectory.velocities)
-        np.save(files["atom_types"], trajectory.atom_types)
-        np.save(files["box_matrix"], trajectory.box_matrix)
+        np.save(files["positions"], pos)
+        np.save(files["velocities"], vel)
+        np.save(files["atom_types"], types)
+        np.save(files["box_matrix"], box)
 
     # --- load ------------------------------------------------------------------
 
     def load(self) -> Trajectory:
-        if self.use_cache:
-            cached = self._load_from_cache()
-            if cached is not None:
-                return cached
-
-        suffix = self.filepath.suffix.lower()
-        if suffix == ".cif":
-            types, pos, box = cif_io.parse_cif(self.filepath)
-            vel = np.zeros_like(pos)
-        elif suffix == ".xyz":
-            types, pos, vel, box = xyz_io.parse_xyz(self.filepath)
-        else:   # LAMMPS dump (.lammpstrj, .dump, ...)
-            from .native_loader import parse_lammps_dump_native
-            native = parse_lammps_dump_native(self.filepath)
-            if native is not None:
-                types, pos, vel, box = native
-            else:
-                types, pos, vel, box = lammps_io.parse_lammps_dump(self.filepath)
+        cached = self._load_from_cache() if self.use_cache else None
+        if cached is not None:
+            types, pos, vel, box = cached
+        else:
+            suffix = self.filepath.suffix.lower()
+            if suffix == ".cif":
+                types, pos, box = cif_io.parse_cif(self.filepath)
+                vel = np.zeros_like(pos)
+            elif suffix == ".xyz":
+                types, pos, vel, box = xyz_io.parse_xyz(self.filepath)
+            else:   # LAMMPS dump (.lammpstrj, .dump, ...)
+                from .native_loader import parse_lammps_dump_native
+                native = parse_lammps_dump_native(self.filepath)
+                if native is not None:
+                    types, pos, vel, box = native
+                else:
+                    types, pos, vel, box = lammps_io.parse_lammps_dump(
+                        self.filepath)
+            if self.use_cache:
+                # Cache RAW types: a later load with a different atom_mapping
+                # must not inherit this run's mapping (reference quirk).
+                self._save_to_cache(np.asarray(types), pos, vel, box)
 
         types = self._apply_atomic_mapping(np.asarray(types))
         trajectory = Trajectory(atom_types=types, positions=pos,
@@ -150,6 +158,4 @@ class TrajectoryLoader:
                                 timestep=self.timestep)
         logger.info("Loaded %d frames with %d atoms",
                     trajectory.n_frames, trajectory.n_atoms)
-        if self.use_cache:
-            self._save_to_cache(trajectory)
         return trajectory

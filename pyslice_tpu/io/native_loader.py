@@ -113,9 +113,11 @@ def parse_lammps_dump_native(path) -> Optional[
     box_matrix = box.reshape(3, 3)
 
     from .lammps import unwrap_continuity
+    # The native parser only accepts orthogonal boxes (triclinic dumps fall
+    # back to the Python parser), so image unwrap via the diagonal is exact.
     diag = np.diag(box_matrix)
     if flags.value & _FLAG_IMAGES:
         positions = positions + images * diag[None, None, :]
     else:
-        positions = unwrap_continuity(positions, diag)
+        positions = unwrap_continuity(positions, box_matrix)
     return types, positions, velocities, box_matrix

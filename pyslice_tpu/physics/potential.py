@@ -259,6 +259,18 @@ def rasterize(positions, plan: RasterizerPlan,
     bucket_slices = jnp.asarray(plan.bucket_slices)
     bucket_bins = bucket_types * plan.nz + bucket_slices
 
+    # Runtime coverage guard: a frame not covered by the plan (a bucket
+    # holding more than the planned a_max atoms, or atoms in a (type, slice)
+    # bin the plan never saw — e.g. a streamed frame outside
+    # make_plan(positions_all_frames)) would silently drop atoms. Poison the
+    # output with NaN instead so corrupted physics cannot pass unnoticed;
+    # see validate_frame() for a host-side diagnosis with a real error
+    # message, and make_plan(pad_fraction=...) for headroom.
+    planned_counts = counts[bucket_bins]
+    covered = (jnp.max(planned_counts) <= plan.a_max) & (
+        jnp.sum(planned_counts) == jnp.sum(counts[:n_bins]))
+    poison = jnp.where(covered, 0.0, np.nan).astype(prec.real)
+
     def body(recip, bucket_idx):
         b = bucket_bins[bucket_idx]
         t = bucket_types[bucket_idx]
@@ -292,7 +304,40 @@ def rasterize(positions, plan: RasterizerPlan,
 
     pot = jnp.real(matfft.ifft2(recip))
     norm = 1.0 / (plan.dx ** 2 * plan.dy ** 2)
-    return pot * jnp.asarray(norm, dtype=prec.real)
+    return pot * jnp.asarray(norm, dtype=prec.real) + poison
+
+
+def validate_frame(positions, plan: RasterizerPlan) -> None:
+    """Host-side check that a frame is covered by ``plan`` (every atom lands
+    in a planned (type, slice) bucket with capacity to spare). rasterize()
+    NaN-poisons uncovered frames at run time; this helper gives the
+    actionable error message. Raises ValueError on the first violation."""
+    pos = np.asarray(positions, dtype=np.float64)
+    sl, valid = bin_atoms_np(pos[:, plan.slice_axis], plan.edges)
+    bins = plan.type_ids[valid] * plan.nz + sl[valid]
+    n_bins = plan.n_types * plan.nz
+    counts = np.bincount(bins, minlength=n_bins)
+    planned = np.zeros(n_bins, dtype=bool)
+    planned[plan.bucket_types.astype(np.int64) * plan.nz
+            + plan.bucket_slices.astype(np.int64)] = True
+    unplanned = np.nonzero((counts > 0) & ~planned)[0]
+    if unplanned.size:
+        b = int(unplanned[0])
+        raise ValueError(
+            f"frame not covered by the rasterizer plan: {counts[b]} atom(s) "
+            f"of type Z={plan.unique_z[b // plan.nz]} fall in slice "
+            f"{b % plan.nz}, which held no atoms in any planning frame. "
+            "Rebuild the plan including this frame "
+            "(make_plan(positions_all_frames=...)) or add headroom via "
+            "pad_fraction.")
+    over = np.nonzero(counts > plan.a_max)[0]
+    if over.size:
+        b = int(over[0])
+        raise ValueError(
+            f"frame overflows the rasterizer plan: {counts[b]} atom(s) of "
+            f"type Z={plan.unique_z[b // plan.nz]} in slice {b % plan.nz} "
+            f"exceed the planned per-bucket capacity a_max={plan.a_max}. "
+            "Rebuild the plan including this frame or increase pad_fraction.")
 
 
 # --- class facade -------------------------------------------------------------

@@ -111,3 +111,25 @@ class TestFastGrid:
         # default remains reference-exact
         g2 = grid_from_box(10.0, 7.3, 5.0, sampling=0.1, slice_thickness=0.5)
         assert g2.nx == int(10.0 / 0.1) + 1
+
+    def test_exported_k_axes_use_actual_pitch(self):
+        """With fast_grid the actual pitch differs from the requested
+        sampling; exported k axes (and thus HAADF masks / dispersion k
+        lookups) must reflect the physical pitch, not the request."""
+        g = grid_from_box(10.0, 7.3, 5.0, sampling=0.1, slice_thickness=0.5,
+                          fast_grid=True)
+        assert g.fast_grid
+        np.testing.assert_allclose(g.kxs_nominal_shifted(),
+                                   np.fft.fftshift(np.fft.fftfreq(g.nx, g.dx)))
+        np.testing.assert_allclose(g.kys_nominal_shifted(),
+                                   np.fft.fftshift(np.fft.fftfreq(g.ny, g.dy)))
+        # without fast_grid the reference quirk (#12) is preserved verbatim
+        g2 = grid_from_box(10.0, 7.3, 5.0, sampling=0.1, slice_thickness=0.5)
+        assert not g2.fast_grid
+        np.testing.assert_allclose(
+            g2.kxs_nominal_shifted(),
+            np.fft.fftshift(np.fft.fftfreq(g2.nx, 0.1)))
+        # fast_grid that happens to change nothing keeps parity axes
+        g3 = grid_from_box(12.75, 12.75, 5.0, sampling=0.1,
+                           slice_thickness=0.5, fast_grid=True)
+        assert g3.nx == 128 and not g3.fast_grid

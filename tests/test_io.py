@@ -67,6 +67,99 @@ class TestLammps:
         assert box[0, 0] == pytest.approx(10.0)
         assert box[0, 1] == pytest.approx(1.0)   # xy tilt
 
+    def test_triclinic_image_flag_unwrap(self, tmp_path):
+        """Image flags in a tilted cell must add i @ cell-vectors, including
+        the tilt components (iy=1 contributes (xy, ly, 0), not (0, ly, 0))."""
+        path = tmp_path / "tri_im.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n1\n"
+            "ITEM: BOX BOUNDS xy xz yz pp pp pp\n"
+            "0.0 11.0 1.0\n0.0 5.0 0.0\n0.0 8.0 0.0\n"
+            "ITEM: ATOMS id type x y z ix iy iz\n"
+            "1 1 1.0 1.0 1.0 0 1 0\n")
+        _, pos, _, box = lammps_io.parse_lammps_dump(path)
+        # cell vectors are box columns: a2 = (xy, ly, 0) = (1, 5, 0)
+        np.testing.assert_allclose(pos[0, 0], [1.0 + 1.0, 1.0 + 5.0, 1.0])
+
+    def test_unwrap_continuity_triclinic(self):
+        """Continuity unwrap uses the full cell (min image in fractional
+        coords), so a jump by one tilted cell vector is removed exactly."""
+        box = np.array([[10.0, 3.0, 0.0], [0.0, 8.0, 0.0], [0.0, 0.0, 6.0]])
+        p0 = np.array([[9.0, 7.5, 1.0]])
+        p1_true = p0 + np.array([0.2, 0.3, 0.0])
+        p1_wrapped = p1_true - box[:, 1]        # rewrapped along a2=(3,8,0)
+        out = lammps_io.unwrap_continuity(np.stack([p0, p1_wrapped]), box)
+        np.testing.assert_allclose(out[1], p1_true, atol=1e-12)
+
+    # --- malformed-file fuzzing (errors must be ValueError w/ line info) ----
+
+    def _base_dump(self):
+        return ("ITEM: TIMESTEP\n0\nITEM: NUMBER OF ATOMS\n2\n"
+                "ITEM: BOX BOUNDS pp pp pp\n0 10.0\n0 10.0\n0 10.0\n"
+                "ITEM: ATOMS id type x y z\n"
+                "1 1 1.0 2.0 3.0\n2 2 4.0 5.0 6.0\n")
+
+    def test_truncated_frame(self, tmp_path):
+        path = tmp_path / "t.lammpstrj"
+        good = self._base_dump()
+        path.write_text(good[:good.rfind("2 2")])    # drop the last atom row
+        with pytest.raises(ValueError, match="truncated frame"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_missing_columns(self, tmp_path):
+        path = tmp_path / "m.lammpstrj"
+        path.write_text(self._base_dump().replace(
+            "ITEM: ATOMS id type x y z", "ITEM: ATOMS id type q1 q2 q3"))
+        with pytest.raises(ValueError, match="coordinate columns"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_ragged_atom_rows(self, tmp_path):
+        path = tmp_path / "r.lammpstrj"
+        path.write_text(self._base_dump().replace(
+            "2 2 4.0 5.0 6.0", "2 2 4.0 5.0"))
+        with pytest.raises(ValueError, match="line"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_row_width_vs_header_mismatch(self, tmp_path):
+        path = tmp_path / "w.lammpstrj"
+        path.write_text(self._base_dump().replace(
+            "1 1 1.0 2.0 3.0\n2 2 4.0 5.0 6.0",
+            "1 1 1.0 2.0 3.0 9.0\n2 2 4.0 5.0 6.0 9.0"))
+        with pytest.raises(ValueError, match="declares 5"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_bad_atom_count(self, tmp_path):
+        path = tmp_path / "c.lammpstrj"
+        path.write_text(self._base_dump().replace(
+            "ITEM: NUMBER OF ATOMS\n2", "ITEM: NUMBER OF ATOMS\nxx"))
+        with pytest.raises(ValueError, match="integer atom count"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_missing_box_header(self, tmp_path):
+        path = tmp_path / "b.lammpstrj"
+        path.write_text(self._base_dump().replace(
+            "ITEM: BOX BOUNDS pp pp pp\n", ""))
+        with pytest.raises(ValueError, match="BOX BOUNDS"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_no_assertion_errors_reachable(self, tmp_path):
+        """Arbitrary garbage never raises bare AssertionError."""
+        rng = np.random.default_rng(0)
+        base = self._base_dump()
+        for k in range(20):
+            # random truncations and byte deletions
+            cut = rng.integers(1, len(base))
+            for text in (base[:cut], base[:cut] + base[cut + 7:]):
+                path = tmp_path / f"fuzz{k}.lammpstrj"
+                path.write_text(text)
+                try:
+                    lammps_io.parse_lammps_dump(path)
+                except (ValueError, KeyError, IndexError):
+                    pass
+                except AssertionError:
+                    raise AssertionError(
+                        f"bare assert reachable with cut={cut}")
+
 
 class TestXYZ:
     def test_roundtrip(self, traj, tmp_path):
@@ -172,6 +265,23 @@ class TestLoader:
         assert (tmp_path / "t.positions.npy").exists()
         t2 = TrajectoryLoader(str(path), timestep=0.005).load()
         np.testing.assert_allclose(t2.positions, t.positions)
+
+    def test_cache_hit_applies_new_mapping(self, traj, tmp_path):
+        """The cache stores RAW dump types; a reload with a different
+        atom_mapping must reflect the new mapping, not the cached one
+        (the reference silently returns the old mapping's types)."""
+        path = tmp_path / "m.lammpstrj"
+        generic = np.where(traj.atom_types == 5, 1, 2)
+        lammps_io.write_lammps_dump(path, generic, traj.positions,
+                                    traj.velocities, traj.box_matrix)
+        t1 = TrajectoryLoader(str(path), atom_mapping={1: "B", 2: "N"}).load()
+        assert sorted(np.unique(t1.atom_types)) == [5, 7]
+        # cache now exists; different mapping must win over the cache
+        t2 = TrajectoryLoader(str(path), atom_mapping={1: "C", 2: "O"}).load()
+        assert sorted(np.unique(t2.atom_types)) == [6, 8]
+        # and no mapping returns the raw types
+        t3 = TrajectoryLoader(str(path)).load()
+        assert sorted(np.unique(t3.atom_types)) == [1, 2]
 
     def test_missing_file(self):
         with pytest.raises(FileNotFoundError):

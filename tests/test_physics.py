@@ -177,6 +177,26 @@ class TestPotential:
                                            traj.atom_types)
             assert oracle.residual(got.transpose(1, 2, 0), want) < 1e-18
 
+    def test_uncovered_frame_poisons_and_validates(self, setup):
+        """A frame outside the plan's (type, slice) occupancy or capacity
+        must NaN-poison rather than silently drop atoms; validate_frame
+        gives the actionable error (ADVICE round-1 finding)."""
+        from pyslice_tpu.physics.potential import validate_frame
+        traj, g = setup
+        plan = make_plan(g.xs, g.ys, g.zs, traj.positions[0],
+                         traj.atom_types)
+        # covered frame: finite output, validator passes
+        ok = to_numpy(rasterize(traj.positions[0], plan, DOUBLE))
+        assert np.all(np.isfinite(ok))
+        validate_frame(traj.positions[0], plan)
+        # move every atom to the last slice -> unplanned bins + overflow
+        bad = np.array(traj.positions[0])
+        bad[:, 2] = float(g.zs[-1]) + 0.1
+        with pytest.raises(ValueError, match="rasterizer plan"):
+            validate_frame(bad, plan)
+        poisoned = to_numpy(rasterize(bad, plan, DOUBLE))
+        assert np.all(np.isnan(poisoned))
+
     def test_slice_axis_0(self, setup):
         """slice_axis=0: slices along the first grid axis, in-plane =
         (positions[:,1], positions[:,2]) painted on the (xs, ys) k grid —
