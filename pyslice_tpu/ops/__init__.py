@@ -3,8 +3,14 @@
 ``config.fused_multislice``: "auto" (default — use the fused Pallas
 multislice step on TPU when the grid qualifies), "on" (require it; error if
 unsupported), or "off" (always the XLA/matfft path).
+
+``config.scrambled_fft``: "auto" (default — on TPU, run the unfused
+multislice loop's FFT pairs in digit-scrambled frequency order for composite
+non-power-of-two axes; see ops.matfft), "on" (use scrambled order on any
+backend whenever an axis is composite — used by CPU tests), or "off".
 """
 
 
 class config:
     fused_multislice = "auto"
+    scrambled_fft = "auto"

@@ -77,9 +77,9 @@ def _fft_last(x, inverse: bool):
 
     # HIGHEST precision: full-fp32 MXU passes. DEFAULT would drop to bf16
     # (~6e-3 relative error — far outside the regression bar); HIGHEST
-    # keeps ~2e-7.
+    # keeps ~2e-7. PYSLICE_MATFFT_PRECISION=high selects bf16x3 (~1e-5).
     ein = functools.partial(jnp.einsum, preferred_element_type=pet,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_matmul_precision())
     if n2 == 1:   # prime size: single full DFT matmul
         w = _consts(w1, x)
         out = ein("...a,ka->...k", x, w)
@@ -116,6 +116,186 @@ def fft2_matmul(x):
 
 def ifft2_matmul(x):
     return ifft_matmul(ifft_matmul(x, axis=-1), axis=-2)
+
+
+# --- scrambled (digit-permuted) transforms ------------------------------------
+#
+# The four-step DFT's only data movement beyond its two matmuls is the final
+# digit transpose (swapaxes + reshape above) — on TPU that relayout costs as
+# much as a matmul stage. Inside the multislice loop the transform is always
+# sandwiched around a *diagonal* k-space multiply (the Fresnel propagator), so
+# frequency ORDER is irrelevant: we emit k-space in digit-scrambled order
+# (position p = k1*n2 + k2 holds true frequency k2*n1 + k1), pre-scramble the
+# propagator to match, and let the inverse transform consume scrambled order
+# directly. Forward and inverse are then two einsums + one fused elementwise
+# each — ZERO transposes, the same trick ops.fused_step uses in Pallas
+# (digit_perm / pre-permuted Fresnel multipliers), here in pure XLA for
+# arbitrary composite sizes (reference grids are int(l/s)+1 — generically odd).
+
+
+def scrambled_factors(n: int) -> Tuple[int, int]:
+    """(n1, n2) split for the scrambled four-step: n1 SMALL (unrolled
+    elementwise FMA stage on the VPU), n2 = n/n1 LARGE (one big matmul on
+    the MXU at high tile utilization). Tiny *balanced* factors (e.g. 33x31)
+    make XLA emit batched micro-matmuls that waste >90% of the MXU —
+    measured slower than the transpose-heavy path they replace.
+
+    Heuristic: smallest divisor d of n with 2 <= d <= 16, preferring the
+    largest such d that keeps n2's 128-lane padding waste low; falls back
+    to (n, 1) for primes (scrambled path then unsupported).
+    """
+    import os
+    override = os.environ.get("PYSLICE_SCRAMBLED_D")
+    if override and n % int(override) == 0 and 1 < int(override) < n:
+        d = int(override)
+        return (d, n // d)
+    # Smallest prime factor (capped at 16): measured on v5e at 1023^2, the
+    # LARGEST n2 wins despite more MXU FLOPs — big last-dim matmuls at high
+    # tile utilization beat "balanced" micro-matmuls by 1.6x (d=3: 1612 vs
+    # d=11: 1015 slice-steps/s at HIGHEST).
+    for d in range(2, 17):
+        if n % d == 0:
+            return (d, n // d)
+    return (n, 1)
+
+
+def scramble_perm(n: int) -> np.ndarray:
+    """perm[p] = true frequency index stored at scrambled position p
+    (p = k1*n2 + k2  ->  k = k2*n1 + k1, with (n1, n2) = scrambled_factors)."""
+    n1, n2 = scrambled_factors(n)
+    p = np.arange(n)
+    return (p % n2) * n1 + p // n2
+
+
+def scrambled_ok(n: int) -> bool:
+    """Scrambled path needs a composite size (primes have no digit split)."""
+    return scrambled_factors(n)[1] > 1
+
+
+@functools.lru_cache(maxsize=64)
+def _scrambled_plan(n: int, dtype_name: str):
+    """Forward/inverse four-step constants with twiddles FOLDED into the
+    stage-2 matrices (one (n1, n2, n2) batched-matmul constant per
+    direction — no separate twiddle pass):
+
+    Forward (natural in, scrambled out):
+        y[k1,a2] = sum_a1 W1[k1,a1] x[a1,a2]           (unrolled FMA, n1^2 terms)
+        z[k1,k2] = sum_a2 (T[k1,a2] W2[k2,a2]) y[k1,a2] (batched matmul over k1)
+    Inverse (scrambled in, natural out; 1/n folded into W1i):
+        u[k1,a2] = sum_k2 conj(W2)[a2,k2] z[k1,k2], then * conj(T)[k1,a2]
+                 = sum_k2 (conj(T)[k1,a2] conj(W2)[k2,a2]) z[k1,k2]
+        x[a1,a2] = sum_k1 W1i[a1,k1] u[k1,a2]
+    """
+    n1, n2 = scrambled_factors(n)
+    dt = np.complex64 if dtype_name == "complex64" else np.complex128
+    a1 = np.arange(n1)
+    a2 = np.arange(n2)
+    w1 = np.exp(-2j * np.pi * np.outer(a1, a1) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(a2, a2) / n2)         # (k2, a2), symmetric
+    t = np.exp(-2j * np.pi * np.outer(a1, a2) / n)           # (k1, a2)
+    # fwd2[k1, a2, k2] = T[k1, a2] * W2[k2, a2]  (contract a2, last-dim matmul)
+    fwd2 = (t[:, :, None] * w2.T[None, :, :]).astype(dt)
+    # inv2[k1, k2, a2] = conj(T)[k1, a2] * conj(W2)[k2, a2]
+    inv2 = (np.conj(t)[:, None, :] * np.conj(w2)[None, :, :]).astype(dt)
+    w1c = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
+    w1ic = [[complex(np.conj(w1[a, k])) / n for k in range(n1)]
+            for a in range(n1)]
+    return n1, n2, w1c, w1ic, fwd2, inv2
+
+
+def _plan_consts(n, x):
+    dtype_name = "complex64" if x.dtype == jnp.complex64 else "complex128"
+    n1, n2, w1c, w1ic, fwd2, inv2 = _scrambled_plan(n, dtype_name)
+    return n1, n2, w1c, w1ic, _consts(fwd2, x), _consts(inv2, x)
+
+
+def _stage1(v_slices, coeffs):
+    """Unrolled small-DFT stage: out[k] = sum_a coeffs[k][a] * v_slices[a].
+    Pure fused elementwise work (the n1 factor is small by construction)."""
+    outs = []
+    for row in coeffs:
+        acc = row[0] * v_slices[0]
+        for a in range(1, len(v_slices)):
+            acc = acc + row[a] * v_slices[a]
+        outs.append(acc)
+    return outs
+
+
+def _matmul_precision():
+    """MXU precision for the DFT matmuls: HIGHEST (f32-full, default) or —
+    via PYSLICE_MATFFT_PRECISION=high — bf16x3, ~2x faster at ~1e-5 relative
+    error (well inside the 1e-6 squared-residual regression bar)."""
+    import os
+    name = os.environ.get("PYSLICE_MATFFT_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
+
+
+def _stage2(y, mat, k1_axis):
+    """Batched last-dim matmul: contract y's last dim against mat[k1],
+    where k1 is y's ``k1_axis`` dim. mat: (n1, last, out)."""
+    # Move nothing: einsum with k1 as a shared batch label; contraction is
+    # over the minor (contiguous) dim on both sides.
+    if k1_axis == -2:
+        return jnp.einsum("...kb,kbc->...kc", y, mat,
+                          preferred_element_type=y.dtype,
+                          precision=_matmul_precision())
+    if k1_axis == -3:
+        return jnp.einsum("...kbm,kbc->...kcm", y, mat,
+                          preferred_element_type=y.dtype,
+                          precision=_matmul_precision())
+    raise ValueError(k1_axis)
+
+
+def fft_scrambled(x, axis: int):
+    """Forward DFT along ``axis`` (-1 or -2), natural order in, digit-
+    scrambled order out (see scramble_perm). One unrolled FMA stage + one
+    big batched matmul — no transposes anywhere."""
+    n = x.shape[axis]
+    n1, n2, w1c, _, fwd2, _ = _plan_consts(n, x)
+    if axis == -1:
+        v = x.reshape(x.shape[:-1] + (n1, n2))
+        ys = _stage1([v[..., a, :] for a in range(n1)], w1c)
+        y = jnp.stack(ys, axis=-2)                    # (..., k1, a2)
+        z = _stage2(y, fwd2, k1_axis=-2)              # (..., k1, k2)
+        return z.reshape(x.shape)
+    if axis == -2:
+        m = x.shape[-1]
+        v = x.reshape(x.shape[:-2] + (n1, n2, m))
+        ys = _stage1([v[..., a, :, :] for a in range(n1)], w1c)
+        y = jnp.stack(ys, axis=-3)                    # (..., k1, a2, m)
+        z = _stage2(y, fwd2, k1_axis=-3)              # (..., k1, k2, m)
+        return z.reshape(x.shape)
+    raise ValueError("axis must be -1 or -2")
+
+
+def ifft_scrambled(x, axis: int):
+    """Inverse DFT along ``axis``: digit-scrambled order in, natural out."""
+    n = x.shape[axis]
+    n1, n2, _, w1ic, _, inv2 = _plan_consts(n, x)
+    if axis == -1:
+        v = x.reshape(x.shape[:-1] + (n1, n2))        # (..., k1, k2)
+        u = _stage2(v, inv2, k1_axis=-2)              # (..., k1, a2)
+        outs = _stage1([u[..., k, :] for k in range(n1)], w1ic)
+        out = jnp.stack(outs, axis=-2)                # (..., a1, a2)
+        return out.reshape(x.shape)
+    if axis == -2:
+        m = x.shape[-1]
+        v = x.reshape(x.shape[:-2] + (n1, n2, m))
+        u = _stage2(v, inv2, k1_axis=-3)
+        outs = _stage1([u[..., k, :, :] for k in range(n1)], w1ic)
+        out = jnp.stack(outs, axis=-3)
+        return out.reshape(x.shape)
+    raise ValueError("axis must be -1 or -2")
+
+
+def fft2_scrambled(x):
+    """2-D forward, both axes digit-scrambled: equals
+    fft2(x)[..., perm_x, :][..., :, perm_y] with perm = scramble_perm."""
+    return fft_scrambled(fft_scrambled(x, -1), -2)
+
+
+def ifft2_scrambled(x):
+    return ifft_scrambled(ifft_scrambled(x, -2), -1)
 
 
 # --- dispatch: pick the fastest correct transform per size -------------------

@@ -51,6 +51,27 @@ def _fused_eligible(psi_shape, record_layers, prec) -> bool:
     return True
 
 
+def _scrambled_axes(psi_shape) -> Tuple[bool, bool]:
+    """Per-axis decision: run the in-loop FFT pair in digit-scrambled
+    frequency order (ops.matfft.fft_scrambled — transpose-free four-step)?
+    Only the *order* of k-space changes, and only between the forward
+    transform and the Fresnel multiply, which is diagonal — the propagator
+    is pre-scrambled to match, so results are identical."""
+    nx, ny = psi_shape[-2], psi_shape[-1]
+    mode = ops_config.scrambled_fft
+    if mode == "off":
+        return False, False
+
+    def ok(n):
+        if not matfft.scrambled_ok(n):
+            return False
+        if mode == "on":
+            return True
+        return matfft._prefer_matmul(n)    # auto: TPU and not power of two
+
+    return ok(nx), ok(ny)
+
+
 def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
     """t = exp(i sigma V) (multislice.py:281-286). |t| == 1 exactly."""
     prec = get_precision(precision)
@@ -77,19 +98,23 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
             "fused=True requested but the problem is not eligible (needs "
             "TPU, single precision, 3-D probe batch, grid axes divisible "
             "by 128, no record_layers)")
+    scrambled = (False, False) if fused else _scrambled_axes(jnp.shape(psi))
     return _multislice_jit(psi, potential_szy, kxs, kys, eV=eV, lam=lam,
                            dz=dz, record_layers=record_layers,
-                           precision=prec, fused=bool(fused))
+                           precision=prec, fused=bool(fused),
+                           scrambled=scrambled)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
-                                    "precision", "fused"))
+                                    "precision", "fused", "scrambled"))
 def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
                     precision: Optional[Precision] = None,
-                    fused: bool = False) -> jnp.ndarray:
+                    fused: bool = False,
+                    scrambled: Tuple[bool, bool] = (False, False)
+                    ) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
 
     Args:
@@ -128,7 +153,25 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
                     f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers)
-    P = fresnel_kernel(kxs, kys, lam, dz, prec)
+    # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
+    # propagator are pre-permuted to the transform's digit-scrambled output
+    # order — the diagonal multiply is order-agnostic, so the loop does the
+    # exact same math with zero transposes (see ops.matfft scrambled docs).
+    scr_x, scr_y = scrambled
+    kxs_p = kxs[jnp.asarray(matfft.scramble_perm(psi.shape[-2]))] if scr_x else kxs
+    kys_p = kys[jnp.asarray(matfft.scramble_perm(psi.shape[-1]))] if scr_y else kys
+    P = fresnel_kernel(kxs_p, kys_p, lam, dz, prec)
+
+    def loop_fft2(p):
+        p = matfft.fft_scrambled(p, -1) if scr_y else matfft.fft(p, axis=-1)
+        p = matfft.fft_scrambled(p, -2) if scr_x else matfft.fft(p, axis=-2)
+        return p
+
+    def loop_ifft2(p):
+        p = matfft.ifft_scrambled(p, -2) if scr_x else matfft.ifft(p, axis=-2)
+        p = matfft.ifft_scrambled(p, -1) if scr_y else matfft.ifft(p, axis=-1)
+        return p
+
     # Under shard_map, psi (probe-sharded) and the potential (frame-sharded)
     # carry different device-varying annotations; the scan carry must hold
     # their union from step 0, so fold a zero contribution of the potential
@@ -143,7 +186,7 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
         # FFTs dispatch to the MXU matmul-FFT for non-power-of-two sizes on
         # TPU (ops.matfft) — 2-5x faster than XLA's FFT there.
         p = transmit(p, v_slice)
-        p = matfft.ifft2(P * matfft.fft2(p))
+        p = loop_ifft2(P * loop_fft2(p))
         return p
 
     if record_layers is None:
@@ -173,7 +216,7 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
         # Continue: the running wave gets the Fresnel step unless `layer`
         # is the final slice (skip-last rule).
         if layer < nz - 1:
-            psi = matfft.ifft2(P * matfft.fft2(snap))
+            psi = loop_ifft2(P * loop_fft2(snap))
         z = layer + 1
     return jnp.stack(snapshots, axis=0)
 

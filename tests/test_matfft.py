@@ -66,3 +66,87 @@ def test_balanced_factors():
     assert matfft.balanced_factors(1023) == (33, 31)
     assert matfft.balanced_factors(12) == (4, 3)
     assert matfft.balanced_factors(13) == (13, 1)   # prime
+
+
+# --- scrambled (digit-permuted) transforms ------------------------------------
+
+
+@pytest.mark.parametrize("n,m", [(15, 21), (33, 31), (12, 9), (48, 33)])
+def test_fft2_scrambled_is_permuted_fft2(n, m):
+    rng = np.random.default_rng(n * m)
+    x = (rng.standard_normal((3, n, m))
+         + 1j * rng.standard_normal((3, n, m)))
+    px, py = matfft.scramble_perm(n), matfft.scramble_perm(m)
+    want = np.fft.fft2(x)[:, px][:, :, py]
+    got = np.asarray(matfft.fft2_scrambled(jnp.asarray(x)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+
+@pytest.mark.parametrize("n,m", [(15, 21), (33, 31)])
+def test_scrambled_roundtrip_and_diagonal_multiply(n, m):
+    """The use case: ifft2(P * fft2(x)) computed entirely in scrambled
+    order with a pre-scrambled P must equal the natural-order result."""
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((2, n, m)) + 1j * rng.standard_normal((2, n, m)))
+    P = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+    want = np.fft.ifft2(P * np.fft.fft2(x))
+    px, py = matfft.scramble_perm(n), matfft.scramble_perm(m)
+    P_scr = jnp.asarray(P[px][:, py])
+    got = np.asarray(matfft.ifft2_scrambled(
+        P_scr * matfft.fft2_scrambled(jnp.asarray(x))))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+    rt = np.asarray(matfft.ifft2_scrambled(matfft.fft2_scrambled(jnp.asarray(x))))
+    assert np.abs(rt - x).max() < 1e-12
+
+
+def test_scramble_perm_is_permutation():
+    for n in (6, 15, 33, 1023):
+        p = matfft.scramble_perm(n)
+        assert sorted(p) == list(range(n))
+    assert matfft.scrambled_ok(33) and matfft.scrambled_ok(1023)
+    assert not matfft.scrambled_ok(13) and not matfft.scrambled_ok(1009)
+
+
+def test_multislice_scrambled_matches_natural():
+    """Force the scrambled loop on (CPU) and compare the full multislice
+    propagation against the natural-order path on an odd grid."""
+    from pyslice_tpu.ops import config as ops_config
+    from pyslice_tpu.physics.propagate import multislice
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz, n_probes = 33, 21, 5, 2
+    psi = (rng.standard_normal((n_probes, nx, ny))
+           + 1j * rng.standard_normal((n_probes, nx, ny))).astype(np.complex128)
+    pot = rng.standard_normal((nz, nx, ny))
+    kxs = np.fft.fftfreq(nx, d=0.1)
+    kys = np.fft.fftfreq(ny, d=0.1)
+
+    def run():
+        return np.asarray(multislice(jnp.asarray(psi), jnp.asarray(pot),
+                                     jnp.asarray(kxs), jnp.asarray(kys),
+                                     eV=100e3, dz=0.5, precision="double"))
+
+    old = ops_config.scrambled_fft
+    try:
+        ops_config.scrambled_fft = "off"
+        want = run()
+        ops_config.scrambled_fft = "on"
+        got = run()
+    finally:
+        ops_config.scrambled_fft = old
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    # record_layers path too
+    def run_layers():
+        return np.asarray(multislice(jnp.asarray(psi), jnp.asarray(pot),
+                                     jnp.asarray(kxs), jnp.asarray(kys),
+                                     eV=100e3, dz=0.5, precision="double",
+                                     record_layers=(1, nz - 1)))
+    try:
+        ops_config.scrambled_fft = "off"
+        want = run_layers()
+        ops_config.scrambled_fft = "on"
+        got = run_layers()
+    finally:
+        ops_config.scrambled_fft = old
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
