@@ -18,6 +18,15 @@ so the frame axis streams indefinitely:
 Both consume frames in any order (each frame index enters exactly once) and
 produce results identical to the batch path at the selected outputs
 (tests/test_streaming.py).
+
+Multi-device: ``StreamingTACAW(mesh=...)`` composes BOTH mesh axes with
+streaming. Probes shard over the 'probe' axis (accumulation is local, zero
+collectives). Frames shard over the 'frame' axis: feed one frame per
+frame-row at a time via ``add_frame_block`` — each row accumulates its
+frame subset into a local partial accumulator, and ``intensity()`` merges
+the partials with one psum. Frame throughput then scales with the frame
+extent while memory stays O(selected bins) per device (the config-5 regime:
+2048^2, 1000 frames, 64 probes on a pod).
 """
 
 from __future__ import annotations
@@ -31,6 +40,12 @@ import numpy as np
 
 from ..core.constants import wavelength as _wavelength
 from .pipeline import SimSpec, frame_exit_waves
+
+# Hoisted jitted helpers (constructing jax.jit(...) per call re-traces a tiny
+# program every frame — milliseconds of pure overhead on a 1000-frame stream).
+_complex_jit = jax.jit(jax.lax.complex)
+_abs2_jit = jax.jit(lambda a: jnp.abs(a) ** 2)
+_ksum_jit = jax.jit(lambda x: jnp.sum(x, axis=(2, 3)))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
@@ -73,23 +88,31 @@ class StreamingTACAW:
                  frequencies: Optional[Sequence[float]] = None,
                  layer_index: int = -1, probe_chunk: Optional[int] = None,
                  mesh=None):
-        """``mesh``: optional jax Mesh with a 'probe' axis — probes and
-        accumulators are sharded over it and every per-frame accumulation
-        runs probe-parallel with zero collectives (the potential rasterizes
-        redundantly per device; propagation and accumulation are local).
+        """``mesh``: optional jax Mesh with ('frame', 'probe') axes — probes
+        and accumulators shard over 'probe' (accumulation is local, zero
+        collectives; the potential rasterizes redundantly per probe shard).
+        A frame extent > 1 additionally shards the STREAM: feed one frame
+        per frame-row via ``add_frame_block``; each row keeps a partial
+        accumulator and ``intensity()`` merges them with one psum.
         Incompatible with probe_chunk (sharding already bounds the per-
         device working set)."""
         self.spec = spec
         self.mesh = mesh
+        self._frame_extent = 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.mesh import PROBE_AXIS
+            from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
             if probes.shape[0] % mesh.shape[PROBE_AXIS]:
                 raise ValueError(
                     f"n_probes={probes.shape[0]} must be divisible by the "
                     f"mesh probe extent {mesh.shape[PROBE_AXIS]}")
             if probe_chunk is not None:
                 raise ValueError("probe_chunk and mesh are mutually exclusive")
+            self._frame_extent = int(mesh.shape.get(FRAME_AXIS, 1))
+            if n_frames % self._frame_extent:
+                raise ValueError(
+                    f"n_frames={n_frames} must be divisible by the mesh "
+                    f"frame extent {self._frame_extent}")
             probes = jax.device_put(
                 probes, NamedSharding(mesh, P(PROBE_AXIS)))
         self.probes = probes
@@ -119,6 +142,11 @@ class StreamingTACAW:
                               for c in range(0, n_probes, self.probe_chunk)]
         nb = len(self.bins)
 
+        if self._frame_extent > 1:
+            self._init_frame_sharded(nb, n_probes, nx, ny)
+            self._seen = 0
+            return
+
         def zeros(p):
             return jax.jit(lambda: (jnp.zeros((nb, p, nx, ny), prec.complex),
                                     jnp.zeros((p, nx, ny), prec.complex)
@@ -140,6 +168,119 @@ class StreamingTACAW:
                                      for m in self._mean_chunks]
         self._seen = 0
 
+    # --- frame-sharded streaming (mesh frame extent > 1) ---------------------
+
+    def _init_frame_sharded(self, nb, n_probes, nx, ny):
+        """Per-frame-row partial accumulators, merged by one psum at
+        intensity(): acc has a leading frame-row axis sharded over 'frame'
+        (each row holds the partial sum of ITS streamed frame subset), and
+        add_frame_block feeds one frame per row per call — frame throughput
+        scales with the frame extent, memory stays O(bins) per device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
+
+        mesh = self.mesh
+        spec = self.spec
+        layer_index = self.layer_index
+        F = self._frame_extent
+        prec = spec.precision
+        track_mean = self._track_mean
+
+        acc_s = NamedSharding(mesh, P(FRAME_AXIS, None, PROBE_AXIS))
+        mean_s = NamedSharding(mesh, P(FRAME_AXIS, PROBE_AXIS))
+        self._acc_f = jax.jit(
+            lambda: jnp.zeros((F, nb, n_probes, nx, ny), prec.complex),
+            out_shardings=acc_s)()
+        self._mean_f = (jax.jit(
+            lambda: jnp.zeros((F, n_probes, nx, ny), prec.complex),
+            out_shardings=mean_s)() if track_mean else None)
+
+        in_common = (P(FRAME_AXIS), P(PROBE_AXIS), P(FRAME_AXIS))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(FRAME_AXIS, None, PROBE_AXIS),
+                      P(FRAME_AXIS, PROBE_AXIS)) + in_common,
+            out_specs=(P(FRAME_AXIS, None, PROBE_AXIS),
+                       P(FRAME_AXIS, PROBE_AXIS)))
+        def acc_block(acc, mean, pos, probes_l, phases):
+            psi = frame_exit_waves(pos[0], probes_l, spec)[..., layer_index]
+            acc = acc + (phases[0][:, None, None, None] * psi[None])[None]
+            mean = mean + psi[None]
+            return acc, mean
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(FRAME_AXIS, None, PROBE_AXIS),) + in_common,
+            out_specs=P(FRAME_AXIS, None, PROBE_AXIS))
+        def acc_block_nomean(acc, pos, probes_l, phases):
+            psi = frame_exit_waves(pos[0], probes_l, spec)[..., layer_index]
+            return acc + (phases[0][:, None, None, None] * psi[None])[None]
+
+        self._acc_block = jax.jit(acc_block, donate_argnums=(0, 1))
+        self._acc_block_nomean = jax.jit(acc_block_nomean, donate_argnums=(0,))
+
+        zero_mask_np = (self.bins == 0).astype(np.dtype(prec.real))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(FRAME_AXIS, None, PROBE_AXIS),
+                      P(FRAME_AXIS, PROBE_AXIS), P()),
+            out_specs=P(None, PROBE_AXIS))
+        def finish(acc, mean, zero_mask):
+            total = jax.lax.psum(acc[0], FRAME_AXIS)
+            m = jax.lax.psum(mean[0], FRAME_AXIS)
+            corrected = total - (zero_mask[:, None, None, None]
+                                 .astype(total.dtype) * m[None])
+            return jnp.abs(corrected) ** 2
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(FRAME_AXIS, None, PROBE_AXIS),),
+            out_specs=P(None, PROBE_AXIS))
+        def finish_nomean(acc):
+            total = jax.lax.psum(acc[0], FRAME_AXIS)
+            return jnp.abs(total) ** 2
+
+        self._zero_mask_np = zero_mask_np
+        self._finish_f = jax.jit(finish)
+        self._finish_f_nomean = jax.jit(finish_nomean)
+
+    def add_frame_block(self, frame_indices, positions_block) -> None:
+        """Feed one frame per mesh frame-row (frame extent F frames at once).
+
+        Args:
+            frame_indices: sequence of F frame indices (each streamed index
+                must enter exactly once over the whole run).
+            positions_block: (F, n_atoms, 3) — frame f's positions in row f.
+        """
+        F = self._frame_extent
+        frame_indices = [int(t) for t in frame_indices]
+        if len(frame_indices) != F:
+            raise ValueError(
+                f"add_frame_block needs exactly {F} frames per call "
+                f"(mesh frame extent); got {len(frame_indices)}")
+        if F == 1:
+            self.add_frame(frame_indices[0], positions_block[0])
+            return
+        pos = jnp.asarray(positions_block)
+        if pos.ndim != 3 or pos.shape[0] != F:
+            raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
+        phase = (-2.0 * np.pi / self.n_frames) * np.outer(
+            np.asarray(frame_indices, dtype=np.float64),
+            self.bins.astype(np.float64))
+        prec = self.spec.precision
+        phases = _complex_jit(
+            jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
+            jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
+        if self._track_mean:
+            self._acc_f, self._mean_f = self._acc_block(
+                self._acc_f, self._mean_f, pos, self.probes, phases)
+        else:
+            self._acc_f = self._acc_block_nomean(
+                self._acc_f, pos, self.probes, phases)
+        self._seen += F
+
     @property
     def _acc(self):
         """Full accumulator view (concatenated over probe chunks)."""
@@ -153,7 +294,7 @@ class StreamingTACAW:
         prec = self.spec.precision
         re = np.cos(phase).astype(np.dtype(prec.real))
         im = np.sin(phase).astype(np.dtype(prec.real))
-        return jax.jit(jax.lax.complex)(jnp.asarray(re), jnp.asarray(im))
+        return _complex_jit(jnp.asarray(re), jnp.asarray(im))
 
     def add_frame(self, frame_index: int, positions) -> None:
         """Feed one MD frame (each index exactly once, any order).
@@ -162,6 +303,11 @@ class StreamingTACAW:
         waves are computed and folded into the (donated, in-place)
         accumulator before the next chunk's propagation starts.
         """
+        if self._frame_extent > 1:
+            raise ValueError(
+                "this stream is frame-sharded (mesh frame extent "
+                f"{self._frame_extent} > 1); feed frames through "
+                "add_frame_block")
         pos = jnp.asarray(positions)
         phases = self._phases(int(frame_index))
         for i, sl in enumerate(self._chunk_slices):
@@ -185,9 +331,13 @@ class StreamingTACAW:
         if self._seen != self.n_frames:
             raise ValueError(
                 f"streamed {self._seen} of {self.n_frames} frames")
+        if self._frame_extent > 1:
+            if self._track_mean:
+                return self._finish_f(self._acc_f, self._mean_f,
+                                      jnp.asarray(self._zero_mask_np))
+            return self._finish_f_nomean(self._acc_f)
         if not self._track_mean:
-            chunks = [jax.jit(lambda a: jnp.abs(a) ** 2)(a)
-                      for a in self._acc_chunks]
+            chunks = [_abs2_jit(a) for a in self._acc_chunks]
             return (chunks[0] if len(chunks) == 1
                     else jnp.concatenate(chunks, axis=1))
         zero_mask = jnp.asarray((self.bins == 0).astype(np.float32))
@@ -205,12 +355,7 @@ class StreamingTACAW:
     def spectrum(self, probe_index: Optional[int] = None) -> np.ndarray:
         """k-summed spectrum at the selected bins (host array)."""
         inten = self.intensity()
-
-        @jax.jit
-        def reduce(x):
-            s = jnp.sum(x, axis=(2, 3))          # (n_sel, n_probes)
-            return s
-        s = np.asarray(reduce(inten))
+        s = np.asarray(_ksum_jit(inten))         # (n_sel, n_probes)
         if probe_index is None:
             return s.mean(axis=1)
         return s[:, probe_index]
