@@ -20,6 +20,8 @@ bug: haadf_data.py:44 vs wf_data.py:22).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .wf_data import WFData
@@ -56,12 +58,16 @@ class HAADFData:
         nearest = np.argmin(d2, axis=1)                          # (nxy,)
 
         # Per-probe collected signal: mean over frames of the masked k sum of
-        # the last recorded layer (haadf_data.py:56-64).
-        exits = np.abs(self.wavefunction_data[:, :, :, :, -1])
+        # the last recorded layer (haadf_data.py:56-64). Device-resident
+        # WFData (calculator device_output=True) reduces on device; only the
+        # (n_probes,) result crosses to the host.
+        xp = (jnp if isinstance(self.wavefunction_data, jax.Array) else np)
+        exits = xp.abs(self.wavefunction_data[:, :, :, :, -1])
         if intensity:
             exits = exits ** 2
-        collected = np.mean(np.sum(exits * mask[None, None, :, :],
-                                   axis=(2, 3)), axis=1)         # (n_probes,)
+        collected = np.asarray(
+            xp.mean(xp.sum(exits * xp.asarray(mask)[None, None, :, :],
+                           axis=(2, 3)), axis=1))                # (n_probes,)
 
         self.adf = collected[nearest].reshape(len(self.xs), len(self.ys))
 
@@ -69,8 +75,9 @@ class HAADFData:
             import matplotlib.pyplot as plt
             fig, ax = plt.subplots()
             p0 = nearest[0]
-            ax.imshow(np.mean(np.abs(self.wavefunction_data[p0, :, :, :, -1]),
-                              axis=0) ** 0.1 * (1 - mask), cmap="inferno")
+            amp = np.asarray(xp.mean(
+                xp.abs(self.wavefunction_data[p0, :, :, :, -1]), axis=0))
+            ax.imshow(amp ** 0.1 * (1 - mask), cmap="inferno")
             plt.show()
         return self.adf
 

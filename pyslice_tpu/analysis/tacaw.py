@@ -42,19 +42,35 @@ def _time_fft_block(re, im):
     Real inputs/outputs only: complex buffers cannot cross the host/device
     boundary on the target TPU runtime (see utils.host).
     """
-    blk = jax.lax.complex(re, im)
+    return _time_fft_block_c(jax.lax.complex(re, im))
+
+
+@jax.jit
+def _time_fft_block_c(blk):
+    """Device-resident variant: complex block already on device."""
     blk = blk - jnp.mean(blk, axis=1, keepdims=True)
     fft = jnp.fft.fftshift(matfft.fft(blk, axis=1), axes=1)
     return jnp.abs(fft) ** 2
 
 
-def time_fft_intensity(wf_layer: np.ndarray, chunk_elems: int = 1 << 26) -> np.ndarray:
+def time_fft_intensity(wf_layer, chunk_elems: int = 1 << 26):
     """|fftshift_t(fft_t(wf - mean_t(wf)))|^2 along axis 1 of a
-    (probes, time, kx, ky) array, computed on device in probe chunks."""
-    wf_layer = np.asarray(wf_layer)
+    (probes, time, kx, ky) array, computed on device in probe chunks.
+
+    A host (numpy) input is uploaded chunk-by-chunk and returns a host
+    array; a device (jax) input stays device-resident end to end and
+    returns a device array.
+    """
     n_probes = wf_layer.shape[0]
     per_probe = int(np.prod(wf_layer.shape[1:]))
     chunk = max(1, int(chunk_elems // max(per_probe, 1)))
+    if isinstance(wf_layer, jax.Array):
+        if chunk >= n_probes:
+            return _time_fft_block_c(wf_layer)
+        return jnp.concatenate(
+            [_time_fft_block_c(wf_layer[i:i + chunk])
+             for i in range(0, n_probes, chunk)], axis=0)
+    wf_layer = np.asarray(wf_layer)
     out = np.empty(wf_layer.shape, dtype=wf_layer.real.dtype)
     for i in range(0, n_probes, chunk):
         blk = wf_layer[i:i + chunk]
@@ -102,10 +118,26 @@ class TACAWData:
         n_freq = len(self.time)
         dt = self.time[1] - self.time[0]
         self.frequencies = np.fft.fftshift(np.fft.fftfreq(n_freq, d=dt))
-        wf_layer = np.asarray(self.wavefunction_data[:, :, :, :, layer_index])
-        self.intensity = time_fft_intensity(wf_layer)
+        wf = self.wavefunction_data
+        if isinstance(wf, jax.Array):
+            # Device-resident path (calculator.setup(device_output=True)):
+            # the exit waves never visit the host; intensity stays a device
+            # array and the analysis methods below reduce on device,
+            # converting only their (small, real) results.
+            self.intensity = time_fft_intensity(wf[:, :, :, :, layer_index])
+        else:
+            wf_layer = np.asarray(wf[:, :, :, :, layer_index])
+            self.intensity = time_fft_intensity(wf_layer)
 
     # --- analysis methods --------------------------------------------------
+    #
+    # Each reduces with the array module matching where intensity lives
+    # (jnp on device, numpy on host) and returns a HOST numpy array — the
+    # reference API contract (spectrum() etc. return host arrays,
+    # tacaw_data.py:119-143).
+
+    def _xp(self):
+        return jnp if isinstance(self.intensity, jax.Array) else np
 
     def _check_probe(self, probe_index: int) -> None:
         if probe_index >= len(self.probe_positions):
@@ -114,40 +146,48 @@ class TACAWData:
     def spectrum(self, probe_index: Optional[int] = None) -> np.ndarray:
         """Sum over k-space -> (n_freq,). probe_index=None averages probes
         (tacaw_data.py:109-143)."""
+        xp = self._xp()
         if probe_index is None:
-            return np.mean(np.sum(self.intensity, axis=(2, 3)), axis=0)
+            return np.asarray(
+                xp.mean(xp.sum(self.intensity, axis=(2, 3)), axis=0))
         self._check_probe(probe_index)
-        return np.sum(self.intensity[probe_index], axis=(1, 2))
+        return np.asarray(xp.sum(self.intensity[probe_index], axis=(1, 2)))
 
     def spectrum_image(self, frequency: float,
                        probe_indices: Optional[List[int]] = None) -> np.ndarray:
         """Real-space map: summed k intensity at the nearest frequency, one
         scalar per selected probe (tacaw_data.py:145-179)."""
+        xp = self._xp()
         freq_idx = int(np.argmin(np.abs(self.frequencies - frequency)))
         if probe_indices is None:
             probe_indices = list(range(len(self.probe_positions)))
         sel = self.intensity[np.asarray(probe_indices), freq_idx, :, :]
-        return np.sum(sel, axis=(1, 2))
+        return np.asarray(xp.sum(sel, axis=(1, 2)))
 
     def diffraction(self, probe_index: Optional[int] = None) -> np.ndarray:
         """Sum over frequency -> (kx, ky) (tacaw_data.py:183-217)."""
+        xp = self._xp()
         if probe_index is None:
-            return np.mean(np.sum(self.intensity, axis=1), axis=0)
+            return np.asarray(
+                xp.mean(xp.sum(self.intensity, axis=1), axis=0))
         self._check_probe(probe_index)
-        return np.sum(self.intensity[probe_index], axis=0)
+        return np.asarray(xp.sum(self.intensity[probe_index], axis=0))
 
     def spectral_diffraction(self, frequency: float,
                              probe_index: Optional[int] = None) -> np.ndarray:
         """Nearest-frequency (kx, ky) slice (tacaw_data.py:219-255)."""
+        xp = self._xp()
         freq_idx = int(np.argmin(np.abs(self.frequencies - frequency)))
         if probe_index is None:
-            return np.mean(self.intensity[:, freq_idx, :, :], axis=0)
+            return np.asarray(
+                xp.mean(self.intensity[:, freq_idx, :, :], axis=0))
         self._check_probe(probe_index)
-        return self.intensity[probe_index, freq_idx, :, :]
+        return np.asarray(self.intensity[probe_index, freq_idx, :, :])
 
     def masked_spectrum(self, mask: np.ndarray,
                         probe_index: Optional[int] = None) -> np.ndarray:
         """Apply a (kx, ky) mask, then sum over k (tacaw_data.py:257-298)."""
+        xp = self._xp()
         mask = np.asarray(mask)
         if mask.shape != (len(self.kxs), len(self.kys)):
             raise ValueError(
@@ -155,21 +195,22 @@ class TACAWData:
                 f"({len(self.kxs)}, {len(self.kys)})")
         if probe_index is None:
             masked = self.intensity * mask[None, None, :, :]
-            return np.mean(np.sum(masked, axis=(2, 3)), axis=0)
+            return np.asarray(xp.mean(xp.sum(masked, axis=(2, 3)), axis=0))
         self._check_probe(probe_index)
         masked = self.intensity[probe_index] * mask[None, :, :]
-        return np.sum(masked, axis=(1, 2))
+        return np.asarray(xp.sum(masked, axis=(1, 2)))
 
     def dispersion(self, kx_path: np.ndarray, ky_path: np.ndarray,
                    probe_index: Optional[int] = None) -> np.ndarray:
         """Intensity along a k path -> (n_freq, n_k) via nearest-neighbor
         k lookup (tacaw_data.py:301-353)."""
+        xp = self._xp()
         kx_idx = np.argmin(
             np.abs(self.kxs[None, :] - np.asarray(kx_path)[:, None]), axis=1)
         ky_idx = np.argmin(
             np.abs(self.kys[None, :] - np.asarray(ky_path)[:, None]), axis=1)
         if probe_index is None:
             picked = self.intensity[:, :, kx_idx, ky_idx]   # (p, f, k)
-            return np.mean(picked, axis=0)
+            return np.asarray(xp.mean(picked, axis=0))
         self._check_probe(probe_index)
-        return self.intensity[probe_index][:, kx_idx, ky_idx]
+        return np.asarray(self.intensity[probe_index][:, kx_idx, ky_idx])

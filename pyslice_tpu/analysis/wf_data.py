@@ -36,7 +36,10 @@ class WFData:
         return self.wavefunction_data.shape[1]
 
     def save(self, path) -> None:
-        """Persist to a single .npz (probe is stored by its parameters)."""
+        """Persist to a single .npz (probe is stored by its parameters).
+        Device-resident wavefunction_data is pulled via the split-transfer
+        helper (complex buffers cannot cross the boundary directly)."""
+        from ..utils.host import to_numpy
         path = Path(path)
         np.savez_compressed(
             path,
@@ -45,7 +48,7 @@ class WFData:
             kxs=np.asarray(self.kxs),
             kys=np.asarray(self.kys),
             layer=np.asarray(self.layer),
-            wavefunction_data=np.asarray(self.wavefunction_data),
+            wavefunction_data=to_numpy(self.wavefunction_data),
             probe_xs=np.asarray(self.probe.xs),
             probe_ys=np.asarray(self.probe.ys),
             probe_mrad=np.asarray(self.probe.mrad),

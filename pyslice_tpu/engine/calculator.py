@@ -92,7 +92,8 @@ class MultisliceCalculator:
               use_cache: bool = True,
               cache_root: str = "psi_data",
               fast_grid: bool = False,
-              frame_block: Optional[int] = None):
+              frame_block: Optional[int] = None,
+              device_output: bool = False):
         self.trajectory = trajectory
         self.aperture = aperture
         self.voltage_eV = voltage_eV
@@ -103,6 +104,13 @@ class MultisliceCalculator:
         self.cleanup_temp_files = cleanup_temp_files
         self.slice_axis = slice_axis
         self.batch_size = batch_size
+        self.device_output = device_output
+        if device_output and use_cache:
+            # The per-frame .npy cache exists to survive crashes, but every
+            # entry is a host transfer — the exact cost device_output avoids.
+            logger.info("device_output=True disables the frame cache "
+                        "(use WFData.save for checkpointing)")
+            use_cache = False
         self.use_cache = use_cache
         self.frame_block = frame_block
 
@@ -178,7 +186,79 @@ class MultisliceCalculator:
                   for i in range(0, self.n_probes, bs)]
         return np.concatenate(chunks, axis=0)
 
+    def _wf_axes(self):
+        """(kxs, kys, time, layer) exported arrays (quirk #12 handling in
+        core.grids.kxs_nominal_shifted)."""
+        kxs = self.grid.kxs_nominal_shifted()
+        kys = self.grid.kys_nominal_shifted()
+        time_array = np.arange(self.n_frames) * self.trajectory.timestep
+        layer_array = (np.asarray(self.record_layers)
+                       if self.record_layers is not None else np.array([0]))
+        return kxs, kys, time_array, layer_array
+
+    def _run_device(self, progress: bool = True) -> WFData:
+        """Device-resident run: exit waves accumulate into one HBM array and
+        NEVER cross to the host — WFData.wavefunction_data is a jax array
+        that TACAWData / HAADFData consume directly (host conversion happens
+        only at their final, small reductions). Closes the >99%-transfer
+        bottleneck of the host path on slow-DMA hosts (VERDICT item 3)."""
+        import jax
+        import jax.numpy as jnp
+        from .pipeline import frame_exit_waves
+
+        t0 = time.time()
+        n_layers = (len(self.record_layers)
+                    if self.record_layers is not None else 1)
+        shape = (self.n_probes, self.n_frames, self.nx, self.ny, n_layers)
+        out = jax.jit(
+            lambda: jnp.zeros(shape, dtype=self.precision.complex))()
+        probes = create_batched_probes(self.base_probe,
+                                       self.probe_positions).array
+
+        place = jax.jit(
+            lambda o, frame, i: jax.lax.dynamic_update_slice_in_dim(
+                o, frame[:, None], i, axis=1),
+            donate_argnums=(0,))
+
+        bs = self.batch_size
+        progress_bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+                progress_bar = tqdm(total=self.n_frames,
+                                    desc="Processing frames", unit="frame")
+            except ImportError:
+                pass
+        for i in range(self.n_frames):
+            pos = jnp.asarray(np.asarray(self.trajectory.positions[i]))
+            if bs is None or self.n_probes <= bs:
+                fk = frame_exit_waves(pos, probes, self.spec)
+            else:
+                fk = jnp.concatenate(
+                    [frame_exit_waves(pos, probes[j:j + bs], self.spec)
+                     for j in range(0, self.n_probes, bs)], axis=0)
+            out = place(out, fk, i)
+            if progress_bar:
+                progress_bar.update(1)
+        if progress_bar:
+            progress_bar.close()
+        logger.info("Device-resident simulation dispatched in %.2fs",
+                    time.time() - t0)
+
+        kxs, kys, time_array, layer_array = self._wf_axes()
+        wf_data = WFData(probe_positions=self.probe_positions,
+                         time=time_array, kxs=kxs, kys=kys,
+                         layer=layer_array, wavefunction_data=out,
+                         probe=self.base_probe)
+        if self.save_path is not None:
+            save_dir = Path(self.save_path)
+            save_dir.mkdir(parents=True, exist_ok=True)
+            wf_data.save(save_dir / "wf_data.npz")
+        return wf_data
+
     def run(self, progress: bool = True) -> WFData:
+        if self.device_output:
+            return self._run_device(progress)
         t0 = time.time()
         n_layers = (len(self.record_layers)
                     if self.record_layers is not None else 1)
@@ -245,11 +325,7 @@ class MultisliceCalculator:
         # Reference parity: exported k axes use the *requested* sampling
         # (calculators.py:218-219), not the actual grid pitch — see
         # core.grids docstring for the quirk.
-        kxs = self.grid.kxs_nominal_shifted()
-        kys = self.grid.kys_nominal_shifted()
-        time_array = np.arange(self.n_frames) * self.trajectory.timestep
-        layer_array = (np.asarray(self.record_layers)
-                       if self.record_layers is not None else np.array([0]))
+        kxs, kys, time_array, layer_array = self._wf_axes()
 
         wf_data = WFData(probe_positions=self.probe_positions,
                          time=time_array, kxs=kxs, kys=kys,
