@@ -144,7 +144,7 @@ class StreamingTACAW:
 
         if self._frame_extent > 1:
             self._init_frame_sharded(nb, n_probes, nx, ny)
-            self._seen = 0
+            self._seen = set()
             return
 
         def zeros(p):
@@ -166,7 +166,7 @@ class StreamingTACAW:
             if self._track_mean:
                 self._mean_chunks = [jax.device_put(m, mean_s)
                                      for m in self._mean_chunks]
-        self._seen = 0
+        self._seen = set()
 
     # --- frame-sharded streaming (mesh frame extent > 1) ---------------------
 
@@ -273,13 +273,17 @@ class StreamingTACAW:
         phases = _complex_jit(
             jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
             jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
+        dup = self._seen.intersection(frame_indices)
+        if dup or len(set(frame_indices)) != F:
+            raise ValueError(f"frame indices fed more than once: "
+                             f"{sorted(dup) or frame_indices}")
         if self._track_mean:
             self._acc_f, self._mean_f = self._acc_block(
                 self._acc_f, self._mean_f, pos, self.probes, phases)
         else:
             self._acc_f = self._acc_block_nomean(
                 self._acc_f, pos, self.probes, phases)
-        self._seen += F
+        self._seen.update(frame_indices)
 
     @property
     def _acc(self):
@@ -320,7 +324,7 @@ class StreamingTACAW:
                 self._acc_chunks[i] = _tacaw_accumulate_nomean(
                     self._acc_chunks[i], pos, self.probes[sl], phases,
                     self.spec, self.layer_index)
-        self._seen += 1
+        self._seen.add(int(frame_index))
 
     def intensity(self):
         """(n_selected, n_probes, nx, ny) real intensity (device array).
@@ -328,9 +332,9 @@ class StreamingTACAW:
         Applies the mean-subtraction correction: only the f=0 bin is
         affected for integer bins (X0 - n*mean == 0 exactly).
         """
-        if self._seen != self.n_frames:
+        if len(self._seen) != self.n_frames:
             raise ValueError(
-                f"streamed {self._seen} of {self.n_frames} frames")
+                f"streamed {len(self._seen)} of {self.n_frames} frames")
         if self._frame_extent > 1:
             if self._track_mean:
                 return self._finish_f(self._acc_f, self._mean_f,

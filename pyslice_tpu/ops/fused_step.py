@@ -67,9 +67,10 @@ def _dft_consts(n: int, mode: str):
     scalars are python complex immediates; the inverse 1/n scale is folded
     into the inverse stage-1 scalars.
 
-    ``mode``: 'highest'/'default' -> 4 const planes (fwd re/im, inv re/im);
-    'bf16x3' -> 8 planes (each split into a bf16-representable hi part and
-    an f32 lo remainder — see _cdot).
+    ``mode``: 'highest'/'default' -> 6 const planes (fwd re/im/sum,
+    inv re/im/sum — the sum planes feed the Karatsuba 3-product complex
+    dot); 'bf16x3' -> 12 planes (each split into a bf16-representable hi
+    part and an f32 lo remainder — see _make_cdot).
     """
     n2 = 128
     n1 = n // n2
@@ -87,15 +88,11 @@ def _dft_consts(n: int, mode: str):
     w1_scalars = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
     w1_inv_scalars = [[complex(np.conj(w1[k, a])) / n for a in range(n1)]
                       for k in range(n1)]
-    raw = [fwd.real, fwd.imag, inv.real, inv.imag]
+    raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
+           inv.real, inv.imag, inv.real + inv.imag]
     if mode == "bf16x3":
-        planes = []
-        for r in raw:
-            hi, lo = _split_hi_lo(r)
-            planes.append(hi)
-        for r in raw:
-            hi, lo = _split_hi_lo(r)
-            planes.append(lo)
+        planes = ([_split_hi_lo(r)[0] for r in raw]
+                  + [_split_hi_lo(r)[1] for r in raw])
     else:
         planes = [r.astype(f32) for r in raw]
     return (n1, n2, w1_scalars, w1_inv_scalars, planes)
@@ -139,12 +136,14 @@ def digit_perm(n: int) -> np.ndarray:
 def _make_cdot(mode: str, tin: bool):
     """Complex (R, n2) x (n2, n2) dot at the selected MXU strategy.
 
-    'highest': 4 full-f32 dots. 'default': 4 single-pass bf16 dots (timing
-    experiments). 'bf16x3': 12 single-pass dots implementing the classic
-    hi/lo split a@W ~= a@Wh + (a - bf16(a))@Wh + a@Wl with Wh
-    bf16-representable and Wl = W - Wh (error ~2^-16 relative — Mosaic has
-    no Precision.HIGH, so this is the hand-rolled equivalent).
-    Returns cdot(yr, yi, consts_tuple) -> (re, im)."""
+    All modes use the Karatsuba 3-product form (W-sums precomputed):
+        t1 = yr@Wr, t2 = yi@Wi, t3 = (yr+yi)@(Wr+Wi)
+        re = t1 - t2,  im = t3 - t1 - t2
+    — 25% fewer MXU passes than the 4-product form at a ~2x error constant
+    (still ~2^-16 relative in bf16x3 mode: hi/lo split per product,
+    a@W ~= ah@Wh + al@Wh + ah@Wl, the hand-rolled Precision.HIGH Mosaic
+    lacks). 'highest' = full-f32 dots; 'default' = single bf16 pass (timing
+    experiments only). Returns cdot(yr, yi, consts_tuple) -> (re, im)."""
     prec = (jax.lax.Precision.HIGHEST if mode == "highest"
             else jax.lax.Precision.DEFAULT)
     dot = functools.partial(jnp.einsum,
@@ -153,42 +152,49 @@ def _make_cdot(mode: str, tin: bool):
                             precision=prec)
     if mode != "bf16x3":
         def cdot(yr, yi, w):
-            wr, wi = w[0], w[1]
-            return (dot(yr, wr) - dot(yi, wi),
-                    dot(yr, wi) + dot(yi, wr))
+            wr, wi, ws = w
+            t1 = dot(yr, wr)
+            t2 = dot(yi, wi)
+            t3 = dot(yr + yi, ws)
+            return t1 - t2, t3 - t1 - t2
         return cdot
 
     def cdot(yr, yi, w):
-        wr, wi, wrl, wil = w
+        wr, wi, ws, wrl, wil, wsl = w
         # Explicitly rounded hi parts: the decomposition must use yh (not
         # raw y) in the yh@Wh and yh@Wl products — on hardware DEFAULT dots
         # round operands anyway, but the interpreter (and any exact dot)
         # would otherwise double-count the lo contribution.
+        ysum = yr + yi
         yhr = yr.astype(jnp.bfloat16).astype(jnp.float32)
         yhi = yi.astype(jnp.bfloat16).astype(jnp.float32)
-        ylr = yr - yhr
-        yli = yi - yhi
+        yhs = ysum.astype(jnp.bfloat16).astype(jnp.float32)
 
-        def p(ah, al, b, bl):
-            return dot(ah, b) + dot(al, b) + dot(ah, bl)
-        return (p(yhr, ylr, wr, wrl) - p(yhi, yli, wi, wil),
-                p(yhr, ylr, wi, wil) + p(yhi, yli, wr, wrl))
+        def p(a, ah, b, bl):
+            return dot(ah, b) + dot(a - ah, b) + dot(ah, bl)
+        t1 = p(yr, yhr, wr, wrl)
+        t2 = p(yi, yhi, wi, wil)
+        t3 = p(ysum, yhs, ws, wsl)
+        return t1 - t2, t3 - t1 - t2
     return cdot
 
 
 def _fwd_w(planes, mode, k1, n2):
-    """Per-k1 stage-2 matrices for the forward transform."""
+    """Per-k1 stage-2 matrices (re, im, sum[, lo...]) for the forward
+    transform."""
     s = slice(k1 * n2, (k1 + 1) * n2)
     if mode == "bf16x3":
-        return (planes[0][s], planes[1][s], planes[4][s], planes[5][s])
-    return (planes[0][s], planes[1][s])
+        return (planes[0][s], planes[1][s], planes[2][s],
+                planes[6][s], planes[7][s], planes[8][s])
+    return (planes[0][s], planes[1][s], planes[2][s])
 
 
 def _inv_w(planes, mode, k1, n2):
     s = slice(k1 * n2, (k1 + 1) * n2)
     if mode == "bf16x3":
-        return (planes[2][s], planes[3][s], planes[6][s], planes[7][s])
-    return (planes[2][s], planes[3][s])
+        return (planes[3][s], planes[4][s], planes[5][s],
+                planes[9][s], planes[10][s], planes[11][s])
+    return (planes[3][s], planes[4][s], planes[5][s])
 
 
 def _fft_minor_perm(re, im, static, planes, tin: bool = False):

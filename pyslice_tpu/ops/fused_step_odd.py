@@ -1,0 +1,359 @@
+"""Fused Pallas multislice step for ODD (non-128-multiple) grids.
+
+Reference-natural grids are int(l/sampling)+1 — generically odd
+(/root/reference/src/multislice/potentials.py:123-129) — and the 1024-lane
+kernel (ops.fused_step) cannot touch them: its stage-2 structure needs
+128-aligned lane slices. This kernel generalizes the same two-pass design to
+any composite n = d * m with a SMALL d (the grid's smallest prime factor)
+by changing the data layout instead of the slicing rules:
+
+* the minor (lane) axis is stored pre-split in HBM — kernel A reads
+  x-stripes of natural-split (R, dx, mx, dy, my) input (or the y-major
+  state) and writes the dy-major x-major state (R, dy, dx, mx, my) so that
+  kernel B can block one ky1 group at a time; kernel B writes the y-major
+  state (R, dx, dy, my, mx). Every in-kernel digit access is a static
+  MIDDLE-dim index (always legal in Mosaic), never an unaligned lane slice,
+  and every BlockSpec keeps its last two dims FULL (the Pallas TPU lowering
+  requires the last two block dims to be (8, 128)-divisible or equal to the
+  array dims — m is neither). The layout changes are free: each kernel
+  writes the next kernel's preferred layout directly;
+* in-kernel data lives as LISTS of (rows, m) tiles, one per digit. The
+  four-step stages map onto them directly: stage 1 is d^2 scalar complex
+  FMAs across tiles (VPU), stage 2 is one (rows, m) @ (m, m) MXU dot per
+  digit with the twiddles folded in (per-k1 matrices, as in fused_step);
+* layout changes ride the dots: tin-style lhs-transposed contractions
+  ('nr,nc->rc') consume the producer's orthogonal block column-major and
+  emit the flipped orientation — no transpose ops anywhere (Mosaic compiles
+  those for hours, see fused_step docstring);
+* k-space stays digit-scrambled between kernels (matfft.scramble_perm
+  ordering); the Fresnel multiplier is pre-scrambled AND pre-transposed to
+  (dy, my, dx, mx) so kernel B multiplies its (my, mx) tiles directly.
+
+Kernel chain per slice (identical roles to fused_step):
+
+    A_first :  transmit, FFT_y          natural -> x-major (grid: R x dx)
+    B       :  FFT_x, * P, IFFT_x       x-major -> y-major (grid: R x dy)
+    A_mid   :  IFFT_y, transmit, FFT_y  y-major -> x-major
+    A_last  :  IFFT_y, transmit         y-major -> natural exit wave
+
+Eligibility: both axes composite with smallest prime factor <= MAX_D and
+m = n/d >= 128 (below that the XLA scrambled path is already fine). Stage-2
+dots use the same PYSLICE_FUSED_DOT strategy as fused_step (bf16x3 hi/lo
+split by default).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import matfft
+from .fused_step import _dot_mode, _make_cdot, _split_hi_lo
+
+MAX_D = 8
+
+
+def supported_size_odd(n: int) -> bool:
+    d, m = matfft.scrambled_factors(n)
+    # Block VMEM ~ 5 * (n * m) f32 planes + stage-2 constants
+    # (n * m * 4B * n_planes): cap the per-axis footprint at ~60 MB.
+    footprint = n * m * 4 * (5 + 8)
+    return 1 < d <= MAX_D and m >= 128 and footprint < 60 * 1024 * 1024
+
+
+def _axis_consts(n: int, mode: str):
+    """(d, m, w1_scalars, w1_inv_scalars, planes) for one axis.
+
+    planes: stacked (d*m, m) stage-2 matrices with twiddles folded per k1
+    (fwd re/im, inv re/im; + lo parts in bf16x3 mode), exactly the
+    fused_step._dft_consts construction generalized from n2=128 to n2=m.
+    """
+    d, m = matfft.scrambled_factors(n)
+    a1 = np.arange(d)
+    a2 = np.arange(m)
+    w1 = np.exp(-2j * np.pi * np.outer(a1, a1) / d)
+    w2 = np.exp(-2j * np.pi * np.outer(a2, a2) / m)
+    tw = np.exp(-2j * np.pi * np.outer(a1, a2) / n)
+    fwd = np.concatenate([tw[k1][:, None] * w2 for k1 in range(d)], axis=0)
+    inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :]
+                          for k1 in range(d)], axis=0)
+    w1s = [[complex(w1[k, a]) for a in range(d)] for k in range(d)]
+    w1inv = [[complex(np.conj(w1[k, a])) / n for a in range(d)]
+             for k in range(d)]
+    raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
+           inv.real, inv.imag, inv.real + inv.imag]
+    if mode == "bf16x3":
+        planes = ([_split_hi_lo(r)[0] for r in raw]
+                  + [_split_hi_lo(r)[1] for r in raw])
+    else:
+        planes = [r.astype(np.float32) for r in raw]
+    return d, m, w1s, w1inv, planes
+
+
+def _w_sel(planes, mode, k1, m, inverse: bool):
+    """Per-k1 stage-2 matrix tuple (re, im, sum[, lo...]) for _make_cdot."""
+    s = slice(k1 * m, (k1 + 1) * m)
+    base = 3 if inverse else 0
+    if mode == "bf16x3":
+        return (planes[base][s], planes[base + 1][s], planes[base + 2][s],
+                planes[base + 6][s], planes[base + 7][s],
+                planes[base + 8][s])
+    return (planes[base][s], planes[base + 1][s], planes[base + 2][s])
+
+
+def _stage1(tiles_r, tiles_i, coeffs):
+    """out[k] = sum_a coeffs[k][a] * tiles[a] (complex scalar FMAs, VPU)."""
+    outs_r, outs_i = [], []
+    for row in coeffs:
+        c0, s0 = row[0].real, row[0].imag
+        zr = c0 * tiles_r[0] - s0 * tiles_i[0]
+        zi = c0 * tiles_i[0] + s0 * tiles_r[0]
+        for a in range(1, len(tiles_r)):
+            c, s = row[a].real, row[a].imag
+            zr = zr + (c * tiles_r[a] - s * tiles_i[a])
+            zi = zi + (c * tiles_i[a] + s * tiles_r[a])
+        outs_r.append(zr)
+        outs_i.append(zi)
+    return outs_r, outs_i
+
+
+def _fft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
+    """Forward DFT over digit tiles: natural digit groups in, k1 groups out.
+    ``tin`` uses the lhs-transposed dot (flips tile orientation)."""
+    d, m, w1s, w1inv, planes = ax
+    cdot = _make_cdot(dotmode, tin)
+    ys_r, ys_i = _stage1(tiles_r, tiles_i, w1s)
+    outs_r, outs_i = [], []
+    for k1 in range(d):
+        zr, zi = cdot(ys_r[k1], ys_i[k1],
+                      _w_sel(planes, dotmode, k1, m, inverse=False))
+        outs_r.append(zr)
+        outs_i.append(zi)
+    return outs_r, outs_i
+
+
+def _ifft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
+    """Inverse DFT over digit tiles: k1 groups in, natural groups out."""
+    d, m, w1s, w1inv, planes = ax
+    cdot = _make_cdot(dotmode, tin)
+    us_r, us_i = [], []
+    for k1 in range(d):
+        ur, ui = cdot(tiles_r[k1], tiles_i[k1],
+                      _w_sel(planes, dotmode, k1, m, inverse=True))
+        us_r.append(ur)
+        us_i.append(ui)
+    return _stage1(us_r, us_i, w1inv)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+# --- kernel bodies -------------------------------------------------------------
+
+
+def _kernel_a(mode, ax_y, dotmode, n_const):
+    """Row-work kernel over one x-stripe (the mx natural-contiguous x values
+    of x-digit i; grid (R, dx)).
+
+    Input:  'first'/'only': natural-split (1, 1, mx, dy, my) psi block.
+            'mid'/'last':   y-major (1, 1, dy, my, mx) block from kernel B.
+    Output: 'first'/'mid': dy-major x-major (1, dy, 1, mx, my) for kernel B;
+            'last'/'only': natural-split (1, 1, mx, dy, my) exit block.
+    """
+    dy = ax_y[0]
+
+    def body(vr_ref, vi_ref, vs_ref, *rest):
+        or_ref, oi_ref = rest[n_const:]
+        # Bind the stage-2 constant PLANES from the passed refs (the host
+        # copies inside ax_y must not be captured by the kernel).
+        ax_local = ax_y[:4] + ([r[:] for r in rest[:n_const]],)
+        if mode in ("mid", "last"):
+            # z[k1] tiles (my, mx): IFFT_y stage-2 tin-dot flips to (mx, my)
+            zr = [vr_ref[0, 0, k1, :, :] for k1 in range(dy)]
+            zi = [vi_ref[0, 0, k1, :, :] for k1 in range(dy)]
+            tr, ti = _ifft_tiles(zr, zi, ax_local, dotmode, tin=True)
+        else:
+            tr = [vr_ref[0, 0, :, a, :] for a in range(dy)]
+            ti = [vi_ref[0, 0, :, a, :] for a in range(dy)]
+        # transmit: potential stripe pre-split (1, mx, dy, my)
+        for a in range(dy):
+            phase = vs_ref[0, :, a, :]
+            c = jnp.cos(phase)
+            sn = jnp.sin(phase)
+            tr[a], ti[a] = _cmul(tr[a], ti[a], c, sn)
+        if mode in ("first", "mid"):
+            tr, ti = _fft_tiles(tr, ti, ax_local, dotmode, tin=False)
+            for a in range(dy):
+                or_ref[0, a, 0, :, :] = tr[a]     # dy-major for kernel B
+                oi_ref[0, a, 0, :, :] = ti[a]
+        else:
+            for a in range(dy):
+                or_ref[0, 0, :, a, :] = tr[a]     # natural exit layout
+                oi_ref[0, 0, :, a, :] = ti[a]
+    return body
+
+
+def _kernel_b(ax_x, dotmode, n_const):
+    """Column-work kernel over one (probe, ky1 group) (grid (R, dy)).
+
+    Input: dy-major x-major (1, 1, dx, mx, my) block -> (dx, mx, my). FFT_x
+    over the (mx, my) x-digit tiles (tin: flip to (my, mx)), Fresnel
+    multiply against the pre-scrambled P block (1, my, dx, mx), IFFT_x back
+    to natural x digits. Output: y-major (1, dx, 1, my, mx).
+    """
+    dx = ax_x[0]
+
+    def body(vr_ref, vi_ref, pr_ref, pi_ref, *rest):
+        or_ref, oi_ref = rest[n_const:]
+        ax_local = ax_x[:4] + ([r[:] for r in rest[:n_const]],)
+        vr = [vr_ref[0, 0, a, :, :] for a in range(dx)]
+        vi = [vi_ref[0, 0, a, :, :] for a in range(dx)]
+        zr, zi = _fft_tiles(vr, vi, ax_local, dotmode, tin=True)
+        for k1 in range(dx):
+            zr[k1], zi[k1] = _cmul(zr[k1], zi[k1],
+                                   pr_ref[0, :, k1, :],
+                                   pi_ref[0, :, k1, :])
+        ur, ui = _ifft_tiles(zr, zi, ax_local, dotmode, tin=False)
+        for a in range(dx):
+            or_ref[0, a, 0, :, :] = ur[a]
+            oi_ref[0, a, 0, :, :] = ui[a]
+    return body
+
+
+# --- pallas_call wrappers --------------------------------------------------------
+
+
+def _vmem_params(pltpu):
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _call_a(re, im, vs_split, mode, ax_y, dims, dotmode, consts_y):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, dx, mx, dy, my = dims
+    n_const = len(consts_y)
+    grid = (R, dx)
+
+    if mode in ("first", "only"):
+        state_spec = pl.BlockSpec((1, 1, mx, dy, my),
+                                  lambda p, i: (p, i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        state_spec = pl.BlockSpec((1, 1, dy, my, mx),
+                                  lambda p, i: (p, i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, mx, dy, my), lambda p, i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dm, m = consts_y[0].shape
+    const_spec = pl.BlockSpec((dm, m), lambda p, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    if mode in ("first", "mid"):
+        # dy-major x-major output, ready for kernel B's (p, j) blocks
+        out_spec = pl.BlockSpec((1, dy, 1, mx, my),
+                                lambda p, i: (p, 0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (R, dy, dx, mx, my)
+    else:
+        out_spec = pl.BlockSpec((1, 1, mx, dy, my),
+                                lambda p, i: (p, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (R, dx, mx, dy, my)
+
+    body = _kernel_a(mode, ax_y, dotmode, n_const)
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[state_spec, state_spec, v_spec] + [const_spec] * n_const,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
+        compiler_params=_vmem_params(pltpu),
+    )(re, im, vs_split, *consts_y)
+
+
+def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, dx, mx, dy, my = dims
+    n_const = len(consts_x)
+    grid = (R, dy)
+
+    state_spec = pl.BlockSpec((1, 1, dx, mx, my),
+                              lambda p, j: (p, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, my, dx, mx), lambda p, j: (j, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dm, m = consts_x[0].shape
+    const_spec = pl.BlockSpec((dm, m), lambda p, j: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, dx, 1, my, mx),
+                            lambda p, j: (p, 0, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    body = _kernel_b(ax_x, dotmode, n_const)
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[state_spec, state_spec, p_spec, p_spec]
+                 + [const_spec] * n_const,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((R, dx, dy, my, mx),
+                                        jnp.float32)] * 2,
+        compiler_params=_vmem_params(pltpu),
+    )(re, im, p_re, p_im, *consts_x)
+
+
+def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
+                         lam: float, dz: float) -> jnp.ndarray:
+    """Fused-Pallas multislice for composite odd grids; same contract as
+    ops.fused_step.fused_multislice (exit wave, no depth recording)."""
+    R, nx, ny = psi.shape
+    nz = potential_szy.shape[0]
+    if not (supported_size_odd(nx) and supported_size_odd(ny)):
+        raise ValueError(f"unsupported grid {nx}x{ny} for fused odd path")
+    dotmode = _dot_mode()
+    ax_x = _axis_consts(nx, dotmode)
+    ax_y = _axis_consts(ny, dotmode)
+    dx, mx = ax_x[0], ax_x[1]
+    dy, my = ax_y[0], ax_y[1]
+    dims = (R, dx, mx, dy, my)
+    consts_x = [jnp.asarray(a) for a in ax_x[4]]
+    consts_y = [jnp.asarray(a) for a in ax_y[4]]
+
+    re = jnp.real(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
+    im = jnp.imag(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
+    vs = (jnp.asarray(sigma, jnp.float32)
+          * potential_szy.astype(jnp.float32)).reshape(nz, dx, mx, dy, my)
+
+    # Pre-scrambled, pre-transposed Fresnel multiplier (dy, my, dx, mx):
+    # tile [ky1, :, kx1, :] multiplies kernel B's (my, mx) tiles directly.
+    kxp = jnp.asarray(kxs, jnp.float32)[jnp.asarray(matfft.scramble_perm(nx))]
+    kyp = jnp.asarray(kys, jnp.float32)[jnp.asarray(matfft.scramble_perm(ny))]
+    pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
+    p_re = jnp.cos(pp).reshape(dy, my, dx, mx)
+    p_im = jnp.sin(pp).reshape(dy, my, dx, mx)
+
+    if nz == 1:
+        re, im = _call_a(re, im, vs[0], "only", ax_y, dims, dotmode,
+                         consts_y)
+        return jax.lax.complex(re, im).reshape(R, nx, ny)
+
+    re, im = _call_a(re, im, vs[0], "first", ax_y, dims, dotmode, consts_y)
+
+    if nz > 2:
+        def bstep(carry, v_s):
+            r, i = carry
+            r, i = _call_b(r, i, p_re, p_im, ax_x, dims, dotmode, consts_x)
+            r, i = _call_a(r, i, v_s, "mid", ax_y, dims, dotmode, consts_y)
+            return (r, i), None
+        (re, im), _ = jax.lax.scan(bstep, (re, im), vs[1:nz - 1])
+
+    re, im = _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x)
+    re, im = _call_a(re, im, vs[nz - 1], "last", ax_y, dims, dotmode,
+                     consts_y)
+    return jax.lax.complex(re, im).reshape(R, nx, ny)

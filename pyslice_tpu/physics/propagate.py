@@ -51,6 +51,28 @@ def _fused_eligible(psi_shape, record_layers, prec) -> bool:
     return True
 
 
+def _fused_odd_eligible(psi_shape, record_layers, prec) -> bool:
+    """Composite odd grids: the digit-split Pallas kernel
+    (ops.fused_step_odd). Same constraints as the aligned kernel except the
+    size rule: both axes composite with smallest prime factor <= MAX_D."""
+    from ..ops import fused_step_odd
+    if ops_config.fused_multislice == "off":
+        return False
+    if record_layers is not None:
+        return False
+    if prec.name != "single":
+        return False
+    if len(psi_shape) != 3:
+        return False
+    nx, ny = psi_shape[-2], psi_shape[-1]
+    if not (fused_step_odd.supported_size_odd(nx)
+            and fused_step_odd.supported_size_odd(ny)):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return True
+
+
 def _scrambled_axes(psi_shape) -> Tuple[bool, bool]:
     """Per-axis decision: run the in-loop FFT pair in digit-scrambled
     frequency order (ops.matfft.fft_scrambled — transpose-free four-step)?
@@ -88,31 +110,45 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     boundary so it participates in the compilation cache key (the
     ops.config flag alone would not invalidate cached traces)."""
     prec = get_precision(precision)
+    shape = jnp.shape(psi)
     if fused is None:
         if ops_config.fused_multislice == "on":
-            fused = True          # strict: raises below if ineligible
+            kernel = "aligned"    # strict: fused_multislice raises if unfit
+        elif _fused_eligible(shape, record_layers, prec):
+            kernel = "aligned"
+        elif _fused_odd_eligible(shape, record_layers, prec):
+            kernel = "odd"
         else:
-            fused = _fused_eligible(jnp.shape(psi), record_layers, prec)
-    elif fused and not _fused_eligible(jnp.shape(psi), record_layers, prec):
-        raise ValueError(
-            "fused=True requested but the problem is not eligible (needs "
-            "TPU, single precision, 3-D probe batch, grid axes divisible "
-            "by 128, no record_layers)")
-    scrambled = (False, False) if fused else _scrambled_axes(jnp.shape(psi))
+            kernel = "xla"
+    elif fused:
+        if _fused_eligible(shape, record_layers, prec):
+            kernel = "aligned"
+        elif _fused_odd_eligible(shape, record_layers, prec):
+            kernel = "odd"
+        else:
+            raise ValueError(
+                "fused=True requested but the problem is not eligible "
+                "(needs TPU, single precision, 3-D probe batch, and grid "
+                "axes either divisible by 128 or composite with a small "
+                "prime factor; depth recording only on the aligned path)")
+    else:
+        kernel = "xla"
+    scrambled = ((False, False) if kernel != "xla"
+                 else _scrambled_axes(shape))
     return _multislice_jit(psi, potential_szy, kxs, kys, eV=eV, lam=lam,
                            dz=dz, record_layers=record_layers,
-                           precision=prec, fused=bool(fused),
+                           precision=prec, kernel=kernel,
                            scrambled=scrambled)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
-                                    "precision", "fused", "scrambled"))
+                                    "precision", "kernel", "scrambled"))
 def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
                     precision: Optional[Precision] = None,
-                    fused: bool = False,
+                    kernel: str = "xla",
                     scrambled: Tuple[bool, bool] = (False, False)
                     ) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
@@ -140,7 +176,7 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
 
-    if fused:
+    if kernel == "aligned":
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
@@ -153,6 +189,11 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
                     f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers)
+    if kernel == "odd":
+        # Digit-split Pallas path for composite odd grids (fused_step_odd).
+        from ..ops.fused_step_odd import fused_multislice_odd
+        return fused_multislice_odd(psi, potential_szy, kxs, kys,
+                                    sigma=sigma, lam=lam, dz=dz)
     # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
     # propagator are pre-permuted to the transform's digit-scrambled output
     # order — the diagonal multiply is order-agnostic, so the loop does the

@@ -43,6 +43,49 @@ def test_fused_matches_reference(shape):
     assert _compare(*shape) < TOL
 
 
+def _compare_odd(P, NX, NY, NZ, seed=0):
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_odd
+    rng = np.random.default_rng(seed)
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5, precision=SINGLE,
+                                 fused=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_step_odd.fused_multislice_odd(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(eV), lam=lam, dz=0.5))
+    return np.abs(got - want).max() / np.abs(want).max()
+
+
+@pytest.mark.parametrize("shape", [(2, 387, 393, 3), (1, 393, 387, 2),
+                                   (1, 387, 387, 1), (2, 389 * 1 + 4, 387, 2)])
+def test_fused_odd_matches_reference(shape):
+    """Digit-split odd-grid Pallas kernel vs the XLA path (interpreter)."""
+    from pyslice_tpu.ops import fused_step_odd
+    P, NX, NY, NZ = shape
+    if not (fused_step_odd.supported_size_odd(NX)
+            and fused_step_odd.supported_size_odd(NY)):
+        pytest.skip(f"{NX}x{NY} not odd-kernel eligible")
+    assert _compare_odd(*shape) < TOL
+
+
+def test_supported_size_odd():
+    from pyslice_tpu.ops import fused_step_odd
+    assert fused_step_odd.supported_size_odd(1023)   # 3 * 341
+    assert fused_step_odd.supported_size_odd(387)    # 3 * 129
+    assert fused_step_odd.supported_size_odd(1022)   # 2 * 511
+    assert not fused_step_odd.supported_size_odd(1009)  # prime
+    assert not fused_step_odd.supported_size_odd(385)   # 5*77: m < 128
+    assert not fused_step_odd.supported_size_odd(187)   # 11*17: d > 8
+
+
 def test_supported_size():
     assert fused_step.supported_size(1024)
     assert fused_step.supported_size(128)
