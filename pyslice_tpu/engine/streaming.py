@@ -312,6 +312,8 @@ class StreamingTACAW:
                 "this stream is frame-sharded (mesh frame extent "
                 f"{self._frame_extent} > 1); feed frames through "
                 "add_frame_block")
+        if int(frame_index) in self._seen:
+            raise ValueError(f"frame {int(frame_index)} already streamed")
         pos = jnp.asarray(positions)
         phases = self._phases(int(frame_index))
         for i, sl in enumerate(self._chunk_slices):
@@ -363,6 +365,105 @@ class StreamingTACAW:
         if probe_index is None:
             return s.mean(axis=1)
         return s[:, probe_index]
+
+    # --- checkpoint / resume --------------------------------------------------
+    #
+    # Mid-trajectory crash-resume for streamed runs (SURVEY §5's
+    # "sharded per-frame-block checkpoints" plan): the accumulator state plus
+    # the set of frames already folded in, written per SHARD (one file per
+    # frame-row / probe-chunk) under a tree keyed by the stream's config
+    # hash. Resume = build an identically-configured stream, restore(), and
+    # feed only the remaining frames; results are bit-identical because
+    # accumulation order within each accumulator is preserved exactly.
+
+    def checkpoint_key(self) -> str:
+        """md5-12 over everything that must match for a restore to be valid
+        (same idea as the calculator's frame-cache key, calculators.py:78-94)."""
+        import hashlib
+        g = self.spec.grid
+        from ..utils.host import to_numpy
+        probes_digest = hashlib.md5(
+            np.ascontiguousarray(to_numpy(self.probes)).tobytes()).hexdigest()
+        mesh_shape = (tuple(sorted(self.mesh.shape.items()))
+                      if self.mesh is not None else None)
+        params = str((g.nx, g.ny, g.nz, self.spec.eV, self.spec.dz,
+                      self.spec.record_layers, self.layer_index,
+                      self.n_frames, self.timestep,
+                      tuple(int(b) for b in self.bins), probes_digest,
+                      mesh_shape, tuple(s.start for s in self._chunk_slices),
+                      self._frame_extent))
+        return hashlib.md5(params.encode()).hexdigest()[:12]
+
+    def _shard_arrays(self):
+        """Name -> device array mapping of all accumulator shards."""
+        if self._frame_extent > 1:
+            out = {"acc_f": self._acc_f}
+            if self._track_mean:
+                out["mean_f"] = self._mean_f
+            return out
+        out = {f"acc_{i}": a for i, a in enumerate(self._acc_chunks)}
+        if self._track_mean:
+            out.update({f"mean_{i}": m
+                        for i, m in enumerate(self._mean_chunks)})
+        return out
+
+    def save_checkpoint(self, directory) -> None:
+        """Write accumulators + progress to ``directory`` (atomic: temp
+        files then rename of the manifest last)."""
+        import json
+        from pathlib import Path
+        from ..utils.host import to_numpy
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        for name, arr in self._shard_arrays().items():
+            host = to_numpy(arr)
+            tmp = d / f"{name}.tmp.npy"     # np.save appends .npy otherwise
+            np.save(tmp, host)
+            tmp.replace(d / f"{name}.npy")
+        manifest = {
+            "key": self.checkpoint_key(),
+            "seen": sorted(int(t) for t in self._seen),
+            "n_frames": self.n_frames,
+        }
+        tmp = d / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.replace(d / "manifest.json")
+
+    def restore(self, directory) -> set:
+        """Load a checkpoint written by an identically-configured stream.
+        Returns the set of frame indices already folded in (feed the rest).
+        Raises ValueError on config mismatch."""
+        import json
+        from pathlib import Path
+        from ..utils.host import put_complex_or_real
+        d = Path(directory)
+        manifest = json.loads((d / "manifest.json").read_text())
+        if manifest["key"] != self.checkpoint_key():
+            raise ValueError(
+                "checkpoint config mismatch: the stream's parameters "
+                f"(key {self.checkpoint_key()}) differ from the checkpoint's "
+                f"(key {manifest['key']})")
+        prec = self.spec.precision
+
+        def load(name, like):
+            host = np.load(d / f"{name}.npy")
+            arr = put_complex_or_real(host, prec.complex)
+            if self.mesh is not None:
+                arr = jax.device_put(arr, like.sharding)
+            return arr
+
+        if self._frame_extent > 1:
+            self._acc_f = load("acc_f", self._acc_f)
+            if self._track_mean:
+                self._mean_f = load("mean_f", self._mean_f)
+        else:
+            self._acc_chunks = [load(f"acc_{i}", a)
+                                for i, a in enumerate(self._acc_chunks)]
+            if self._track_mean:
+                self._mean_chunks = [load(f"mean_{i}", m)
+                                     for i, m in enumerate(self._mean_chunks)]
+        self._seen = set(int(t) for t in manifest["seen"])
+        return set(self._seen)
 
 
 @functools.partial(jax.jit,

@@ -8,13 +8,41 @@ Note: JAX_PLATFORMS=cpu via env is ineffective here (the environment's
 sitecustomize imports jax first); jax.config.update is the reliable path.
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+import pytest
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
+# PYSLICE_TPU_TESTS=1 keeps the real backend for the on-hardware tier:
+#   PYSLICE_TPU_TESTS=1 python -m pytest tests/ -m tpu
+# (x64 is unavailable on TPU, so the double-precision oracle suite only
+# runs in the default CPU mode.)
+TPU_MODE = os.environ.get("PYSLICE_TPU_TESTS") == "1"
+
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs real TPU hardware "
+        "(run with PYSLICE_TPU_TESTS=1 python -m pytest -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if TPU_MODE:
+            # On hardware, run ONLY the tpu tier (the CPU suite needs x64).
+            if "tpu" not in item.keywords:
+                item.add_marker(pytest.mark.skip(
+                    reason="CPU-tier test (x64) skipped in TPU mode"))
+        else:
+            if "tpu" in item.keywords:
+                item.add_marker(pytest.mark.skip(
+                    reason="needs PYSLICE_TPU_TESTS=1 and TPU hardware"))

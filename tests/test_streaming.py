@@ -113,3 +113,56 @@ def test_streaming_probe_chunks_and_no_zero_bin(setup):
         for p in range(4):
             want = tac.spectral_diffraction(f_thz, probe_index=p)
             assert np.allclose(inten[i, p], want, rtol=1e-8, atol=1e-12)
+
+
+def test_streaming_checkpoint_resume(setup, tmp_path):
+    """Kill-and-resume (single device, probe chunks): bit-identical."""
+    traj, g, spec = setup
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    def new_stream():
+        return StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                              frequencies=[20.0, 0.0], probe_chunk=3)
+
+    st0 = new_stream()
+    for f in range(traj.n_frames):
+        st0.add_frame(f, traj.positions[f])
+    want = np.asarray(st0.intensity())
+
+    # crash after a prefix -> resume preserves accumulation order exactly
+    st1 = new_stream()
+    for f in (0, 1, 2):
+        st1.add_frame(f, traj.positions[f])
+    st1.save_checkpoint(tmp_path / "c")
+    st2 = new_stream()
+    seen = st2.restore(tmp_path / "c")
+    assert seen == {0, 1, 2}
+    for f in range(traj.n_frames):
+        if f not in seen:
+            st2.add_frame(f, traj.positions[f])
+    np.testing.assert_array_equal(np.asarray(st2.intensity()), want)
+
+    # out-of-order resume is numerically equivalent (fp reordering only)
+    st3 = new_stream()
+    for f in (5, 2, 0):
+        st3.add_frame(f, traj.positions[f])
+    st3.save_checkpoint(tmp_path / "c2")
+    st4 = new_stream()
+    seen = st4.restore(tmp_path / "c2")
+    for f in (4, 1, 3):
+        st4.add_frame(f, traj.positions[f])
+    np.testing.assert_allclose(np.asarray(st4.intensity()), want,
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_streaming_duplicate_frame_rejected(setup):
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(1.0, 1.0)]).array
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=[20.0])
+    st.add_frame(0, traj.positions[0])
+    with pytest.raises(ValueError, match="already streamed"):
+        st.add_frame(0, traj.positions[0])

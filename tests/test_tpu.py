@@ -1,0 +1,134 @@
+"""On-hardware regression tier (VERDICT item 10).
+
+Run with:  PYSLICE_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+These catch Mosaic/runtime regressions the CPU interpreter cannot: the
+fused kernels' actual compiled numerics, the fully-fused k-conversion, the
+odd-grid kernel, and the persistent compile cache. Everything here uses
+single precision (x64 is unavailable on TPU) and compares against the XLA
+path on the same device at the reference's squared-magnitude-residual bar
+(dz <= 1e-6, 00_probe.py:26-28). Budget: a few minutes cold, <1 min warm
+(persistent compile cache).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+
+
+def _residual(a, b):
+    f = np.abs(a)
+    d = np.abs(b)
+    return float(((f - d) ** 2).sum() / (f ** 2).sum())
+
+
+def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0):
+    """(fused 'auto' output, XLA 'off' output) for one synthetic frame."""
+    from pyslice_tpu.core.grids import Grid
+    from pyslice_tpu.engine.pipeline import SimSpec, frame_exit_waves
+    from pyslice_tpu.ops import config as ops_config
+    from pyslice_tpu.physics.potential import make_plan
+    from pyslice_tpu.physics.probe import Probe, create_batched_probes
+    from pyslice_tpu.utils.host import to_numpy
+
+    lx, ly, lz = nx * 0.1, ny * 0.1, nz * 1.0
+    xs = np.linspace(0, lx, nx, endpoint=False)
+    ys = np.linspace(0, ly, ny, endpoint=False)
+    zs = np.linspace(0, lz, nz, endpoint=False)
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=lx, ly=ly, lz=lz,
+                sampling=0.1, slice_thickness=1.0)
+    rng = np.random.default_rng(seed)
+    pos = rng.random((1, 60, 3)) * np.array([lx, ly, lz - 0.1])
+    types = rng.integers(1, 15, 60).astype(np.int32)
+    plan = make_plan(grid.xs, grid.ys, grid.zs, pos, types)
+    probe = Probe(grid.xs, grid.ys, 20, 100e3)
+    probes = create_batched_probes(
+        probe, [(lx * (0.2 + 0.5 * i / n_probes), ly * 0.4)
+                for i in range(n_probes)]).array
+    outs = {}
+    old = ops_config.fused_multislice
+    try:
+        for mode in ("auto", "off"):
+            ops_config.fused_multislice = mode
+            spec = SimSpec.create(grid, plan, 100e3)   # fresh per mode
+            outs[mode] = to_numpy(frame_exit_waves(
+                jnp.asarray(pos[0], jnp.float32), probes, spec))
+    finally:
+        ops_config.fused_multislice = old
+    return outs["auto"], outs["off"]
+
+
+def test_fused_1024_parity_on_hardware():
+    """Aligned Pallas kernel + fused k-conversion vs the XLA path at
+    1024^2 (the headline shape), on the real MXU."""
+    _require_tpu()
+    fused, xla = _frame_pair(1024, 1024, n_probes=2, nz=4)
+    assert np.all(np.isfinite(fused))
+    assert _residual(xla, fused) < 1e-6
+
+
+def test_fused_odd_parity_on_hardware():
+    """Digit-split odd kernel vs the XLA path at a reference-natural odd
+    size (387 = 3 * 129)."""
+    _require_tpu()
+    from pyslice_tpu.ops import fused_step_odd
+    assert fused_step_odd.supported_size_odd(387)
+    fused, xla = _frame_pair(387, 387, n_probes=2, nz=4)
+    assert np.all(np.isfinite(fused))
+    assert _residual(xla, fused) < 1e-6
+
+
+def test_fused_kspace_checksum():
+    """fused_multislice_kspace (k-conversion folded into the kernel chain)
+    against the unfused conversion of the fused exit wave."""
+    _require_tpu()
+    from pyslice_tpu.core.constants import interaction_parameter, wavelength
+    from pyslice_tpu.ops import matfft
+    from pyslice_tpu.ops.fused_step import (fused_multislice,
+                                            fused_multislice_kspace)
+    rng = np.random.default_rng(1)
+    nx = ny = 256
+    nz = 4
+    re = jnp.asarray(rng.standard_normal((2, nx, ny)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((2, nx, ny)).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((nz, nx, ny)) * 30)
+                    .astype(np.float32))
+    kxs = np.fft.fftfreq(nx, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(ny, 0.1).astype(np.float32)
+    eV = 100e3
+    kw = dict(sigma=interaction_parameter(eV), lam=wavelength(eV), dz=0.5)
+
+    @jax.jit
+    def run(r, i, v):
+        psi = jax.lax.complex(r, i)
+        k1 = fused_multislice_kspace(psi, v, kxs, kys, **kw)
+        exit_wave = fused_multislice(psi, v, kxs, kys, **kw)
+        k2 = jnp.fft.fftshift(matfft.fft2(exit_wave), axes=(-2, -1))
+        return jnp.sum(jnp.abs(k1)), jnp.sum(jnp.abs(k1 - k2))
+
+    total, diff = run(re, im, v)
+    assert float(diff) / float(total) < 1e-5
+
+
+def test_persistent_compile_cache_active():
+    """The persistent XLA compile cache (enabled at import) must be
+    writing entries — it is what turns minutes of recompiles into seconds."""
+    _require_tpu()
+    from pathlib import Path
+    import pyslice_tpu  # noqa: F401  (import enables the cache)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    assert cache_dir, "compilation cache not configured"
+    # force at least one compilation with a fresh shape
+    x = jnp.zeros((17, 33), jnp.float32)
+    jax.jit(lambda a: (a * 3).sum())(x).block_until_ready()
+    p = Path(cache_dir)
+    assert p.exists() and any(p.iterdir()), f"no cache entries in {p}"
