@@ -285,12 +285,11 @@ def rasterize(positions, plan: RasterizerPlan,
         py = (-2.0 * np.pi) * (by[:, None] * kys[None, :])   # (a_max, ny)
         ex = jax.lax.complex(jnp.cos(px), jnp.sin(px)) * w[:, None]
         ey = jax.lax.complex(jnp.cos(py), jnp.sin(py))
-        # Structure factor: (nx, a_max) @ (a_max, ny) — MXU matmul at
-        # HIGHEST precision (DEFAULT drops to bf16 on TPU: passes the 1e-6
-        # residual bar but leaves ~1e-4 pointwise error; HIGHEST costs a few
-        # ms/frame and restores ~1e-6).
-        s_factor = jnp.matmul(ex.T, ey, preferred_element_type=prec.complex,
-                              precision=jax.lax.Precision.HIGHEST)
+        # Structure factor: (nx, a_max) @ (a_max, ny) MXU contraction.
+        # complex64 -> Karatsuba/bf16x3 (~2e-5 pointwise, matches HIGHEST
+        # checksums to 6 digits, and avoids HIGHEST's ~200 s compile through
+        # the remote relay); complex128 (CPU verify) -> exact HIGHEST.
+        s_factor = matfft.complex_einsum("ax,ay->xy", ex, ey)
         contrib = s_factor * ffs[t].astype(prec.complex)
         recip = recip.at[s].add(contrib)
         return recip, None

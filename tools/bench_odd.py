@@ -8,7 +8,6 @@ formulation (ops.matfft.fft_scrambled: zero transposes in the slice loop).
 Usage: python tools/bench_odd.py [n ...]   (default: 1023 1009 1024)
 Env:   PYSLICE_BENCH_MODES=off,auto   (scrambled_fft modes to time)
        PYSLICE_SCRAMBLED_D=3          (force the small factor)
-       PYSLICE_MATFFT_PRECISION=high  (bf16x3 matmuls)
 Run ONE config per process on the axon relay — mixing many distinct jit
 programs in one process can poison subsequent executions (UNIMPLEMENTED).
 """
