@@ -94,16 +94,22 @@ def _config1(quick):
 
 def _config2(quick):
     from pyslice_tpu.analysis.tacaw import TACAWData
-    # ---- config 2: 100 frames, 1 probe -> WFData -> TACAW spectrum
+    # ---- config 2: 100 frames, 1 probe -> WFData -> TACAW spectrum.
+    # Production route: device_output=True keeps exit waves on device
+    # end-to-end (the host path materializes every frame over the
+    # ~50 MB/s tunnel here and is transfer-bound).
     nf = 20 if quick else 100
     traj = hbn_box(102.35, nf)
     wf, dt, calc = run_calc(traj, "c2", aperture=0.0, voltage_eV=100e3,
-                            sampling=0.1, slice_thickness=0.5)
+                            sampling=0.1, slice_thickness=0.5,
+                            device_output=True)
     t0 = time.time()
     tac = TACAWData(wf)
     spec = tac.spectrum(probe_index=0)
+    assert np.all(np.isfinite(spec))
     dt_fft = time.time() - t0
-    emit(config=2, desc=f"{nf} frames, 1 probe, 1024^2 -> TACAW spectrum",
+    emit(config=2, desc=f"{nf} frames, 1 probe, 1024^2 -> TACAW spectrum "
+                        "(device-resident)",
          grid=f"{calc.nx}x{calc.ny}x{calc.nz}", sim_wall_s=round(dt, 2),
          tacaw_wall_s=round(dt_fft, 2),
          per_frame_ms=round(dt / nf * 1e3, 1),
@@ -119,7 +125,13 @@ def _config3(quick):
     for bs in (None, 8, 4):
         wf, dt, calc = run_calc(traj, "c3", aperture=30.0, voltage_eV=100e3,
                                 sampling=0.1, slice_thickness=0.5,
-                                probe_positions=pg, batch_size=bs)
+                                probe_positions=pg, batch_size=bs,
+                                device_output=True)
+        # materialize the async device work in the wall-clock (scalar readback)
+        import jax.numpy as jnp
+        t0 = time.time()
+        float(jnp.sum(jnp.abs(wf.wavefunction_data)))
+        dt += time.time() - t0
         sweep[str(bs)] = round(dt / traj.n_frames * 1e3, 1)
     emit(config=3, desc="16-probe 30mrad STEM batch, batch_size sweep",
          grid=f"{calc.nx}x{calc.ny}x{calc.nz}",
