@@ -84,7 +84,7 @@ class MultisliceCalculator:
               slice_thickness: float = 0.5,
               sampling: float = 0.1,
               probe_positions: Optional[List[Tuple[float, float]]] = None,
-              batch_size: Optional[int] = None,
+              batch_size: Optional[int] = None,   # PROBES per call; see below
               save_path: Optional[Path] = None,
               cleanup_temp_files: bool = False,
               slice_axis: int = 2,
@@ -94,6 +94,16 @@ class MultisliceCalculator:
               fast_grid: bool = False,
               frame_block: Optional[int] = None,
               device_output: bool = False):
+        """Reference-compatible setup (calculators.py:96-161).
+
+        batch_size semantic note (ledger #9): the reference accepts
+        ``batch_size: int = 10`` documented as "frames to process at once"
+        but never reads it. Here it bounds the PROBES propagated per device
+        call (None = all at once) — a caller porting positional arguments
+        that relied on the reference's unused frames-meaning gets an HBM
+        bound instead of a no-op, never different physics. Frames per
+        dispatch are controlled separately by ``frame_block``.
+        """
         self.trajectory = trajectory
         self.aperture = aperture
         self.voltage_eV = voltage_eV
