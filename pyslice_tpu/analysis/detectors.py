@@ -1,0 +1,142 @@
+"""Detector geometries and virtual imaging for 4D-STEM / CBED data.
+
+The reference ships one hard-coded detector (HAADFData's annular mask,
+/root/reference/src/postprocessing/haadf_data.py:47-50). The WFData layout
+(probes, time, kx, ky, layer) already IS a 4D-STEM dataset — these helpers
+add the standard detector geometries over it:
+
+* ``annular_mask``    — bright field / ABF / ADF by (inner, outer) angles;
+* ``segmented_mask``  — quadrant / DPC-style azimuthal segments;
+* ``virtual_image``   — scan-grid image for any mask (generalizes
+  HAADFData.calculateADF, sharing its nearest-probe reconstruction);
+* ``center_of_mass``  — DPC center-of-mass deflection per scan point;
+* ``bin_k``           — pixelated-detector downsampling of k-space.
+
+All reductions run on device when the WFData is device-resident
+(calculator ``device_output=True``) and return host arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _k_grids(kxs, kys):
+    kxs = np.asarray(kxs)
+    kys = np.asarray(kys)
+    return kxs[:, None], kys[None, :]
+
+
+def _angle_to_k(mrad: float, lam: float) -> float:
+    """Scattering semi-angle (mrad) -> |k| (1/Angstrom), as the reference
+    converts its collection angle (haadf_data.py:49)."""
+    return (mrad * 1e-3) / lam
+
+
+def annular_mask(kxs, kys, lam: float, inner_mrad: float = 0.0,
+                 outer_mrad: Optional[float] = None) -> np.ndarray:
+    """(nx, ny) float mask for inner <= theta < outer (mrad).
+
+    inner=0 gives a disk (bright field); outer=None extends to the grid
+    corner (the reference's ADF is inner_mrad=collection_angle, outer=None).
+    """
+    kx, ky = _k_grids(kxs, kys)
+    q = np.sqrt(kx ** 2 + ky ** 2)
+    if inner_mrad > 0:
+        mask = q > _angle_to_k(inner_mrad, lam)   # strict >, haadf_data.py:50
+    else:
+        mask = np.ones_like(q, dtype=bool)
+    if outer_mrad is not None:
+        mask = mask & (q <= _angle_to_k(outer_mrad, lam))
+    return mask.astype(np.float64)
+
+
+def segmented_mask(kxs, kys, lam: float, inner_mrad: float,
+                   outer_mrad: float, n_segments: int = 4,
+                   rotation_deg: float = 0.0) -> np.ndarray:
+    """(n_segments, nx, ny) azimuthal segments of an annulus (DPC / first-
+    moment detectors). Segment s covers azimuth [s, s+1) * 2pi/n (+rotation)."""
+    kx, ky = _k_grids(kxs, kys)
+    ring = annular_mask(kxs, kys, lam, inner_mrad, outer_mrad)
+    phi = (np.arctan2(ky, kx) - np.deg2rad(rotation_deg)) % (2 * np.pi)
+    edges = np.linspace(0.0, 2 * np.pi, n_segments + 1)
+    segs = [(ring * ((phi >= edges[s]) & (phi < edges[s + 1])))
+            for s in range(n_segments)]
+    return np.stack(segs, axis=0)
+
+
+def _collected(wf_data, mask, intensity: bool, layer_index: int = -1):
+    """Per-(probe,) mean-over-frames masked k sum; device-aware."""
+    wf = wf_data.wavefunction_data
+    xp = jnp if isinstance(wf, jax.Array) else np
+    exits = xp.abs(wf[:, :, :, :, layer_index])
+    if intensity:
+        exits = exits ** 2
+    m = xp.asarray(mask)
+    if m.ndim == 2:
+        m = m[None]
+    # (P, T, 1, nx, ny) * (1, 1, S, nx, ny) -> sum k -> mean frames -> (P, S)
+    out = xp.mean(xp.sum(exits[:, :, None] * m[None, None], axis=(3, 4)),
+                  axis=1)
+    return np.asarray(out)
+
+
+def _scan_grid(probe_positions):
+    positions = np.asarray(probe_positions, dtype=np.float64)
+    xs = np.array(sorted(set(positions[:, 0].tolist())))
+    ys = np.array(sorted(set(positions[:, 1].tolist())))
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    d2 = (np.sum(pts ** 2, axis=1)[:, None] - 2.0 * pts @ positions.T
+          + np.sum(positions ** 2, axis=1)[None, :])
+    nearest = np.argmin(d2, axis=1)
+    return xs, ys, nearest
+
+
+def virtual_image(wf_data, mask, intensity: bool = True,
+                  layer_index: int = -1) -> np.ndarray:
+    """Scan-grid image(s) for an arbitrary detector mask.
+
+    mask: (nx, ny) -> returns (n_x, n_y); (n_seg, nx, ny) -> returns
+    (n_seg, n_x, n_y). Scan-grid reconstruction matches
+    HAADFData.calculateADF (nearest probe per unique-x/unique-y point).
+    """
+    mask = np.asarray(mask)
+    squeeze = mask.ndim == 2
+    collected = _collected(wf_data, mask, intensity, layer_index)
+    xs, ys, nearest = _scan_grid(wf_data.probe_positions)
+    img = collected[nearest].reshape(len(xs), len(ys), -1)
+    img = np.moveaxis(img, -1, 0)
+    return img[0] if squeeze else img
+
+
+def center_of_mass(wf_data, layer_index: int = -1) -> np.ndarray:
+    """DPC center-of-mass deflection <k> per scan point: (2, n_x, n_y)
+    (kx and ky first moments of the frame-averaged intensity)."""
+    wf = wf_data.wavefunction_data
+    xp = jnp if isinstance(wf, jax.Array) else np
+    inten = xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1)
+    kx = xp.asarray(np.asarray(wf_data.kxs, dtype=np.float64))
+    ky = xp.asarray(np.asarray(wf_data.kys, dtype=np.float64))
+    total = xp.sum(inten, axis=(1, 2))
+    comx = xp.sum(inten * kx[None, :, None], axis=(1, 2)) / total
+    comy = xp.sum(inten * ky[None, None, :], axis=(1, 2)) / total
+    com = np.stack([np.asarray(comx), np.asarray(comy)], axis=0)
+    xs, ys, nearest = _scan_grid(wf_data.probe_positions)
+    return com[:, nearest].reshape(2, len(xs), len(ys))
+
+
+def bin_k(array, factor: int):
+    """Pixelated-detector binning: sum k-space in (factor x factor) blocks
+    over the last two axes (trailing remainders are cropped, as real
+    detectors crop to their pixel grid)."""
+    array = np.asarray(array)
+    nx, ny = array.shape[-2:]
+    bx, by = nx // factor, ny // factor
+    a = array[..., :bx * factor, :by * factor]
+    a = a.reshape(*array.shape[:-2], bx, factor, by, factor)
+    return a.sum(axis=(-3, -1))

@@ -103,6 +103,27 @@ def main():
     adf = pt.HAADFData(calc2.run(progress=False)).ADF(collection_angle=45)
     check("HAADF ADF", adf.shape == (3, 3) and np.all(np.isfinite(adf)))
 
+    # --- 4D-STEM detectors + frozen phonon -----------------------------------
+    from pyslice_tpu.analysis import detectors
+    wf3 = calc2.run(progress=False)
+    lam = wf3.probe.wavelength
+    mask = detectors.annular_mask(wf3.kxs, wf3.kys, lam, inner_mrad=45.0)
+    vi = detectors.virtual_image(wf3, mask, intensity=False)
+    ref_adf = pt.HAADFData(wf3).calculateADF(collection_angle=45)
+    check("virtual_image == calculateADF",
+          np.allclose(vi, ref_adf, rtol=1e-6), "")
+    segs = detectors.segmented_mask(wf3.kxs, wf3.kys, lam, 5.0, 60.0, 4)
+    com = detectors.center_of_mass(wf3)
+    check("segmented masks + DPC center-of-mass",
+          segs.shape[0] == 4 and com.shape[0] == 2
+          and np.all(np.isfinite(com)))
+    from pyslice_tpu.engine.thermal import frozen_phonon_diffraction
+    patt = frozen_phonon_diffraction(traj5, n_configs=2, sigma=0.05,
+                                     voltage_eV=100e3, sampling=0.25,
+                                     slice_thickness=1.0)
+    check("frozen-phonon diffraction", np.all(np.isfinite(patt))
+          and float(patt.sum()) > 0)
+
     # --- fused Pallas path parity (TPU only; 128-divisible grid) -----------
     if jax.default_backend() == "tpu":
         from pyslice_tpu.core.grids import grid_from_box

@@ -1,0 +1,129 @@
+"""Detector geometries / virtual imaging + frozen-phonon facades."""
+
+import numpy as np
+import pytest
+
+from pyslice_tpu.analysis import detectors
+from pyslice_tpu.analysis.haadf import HAADFData
+from pyslice_tpu.core.dtypes import DOUBLE
+from pyslice_tpu.engine.calculator import MultisliceCalculator
+from pyslice_tpu.engine.thermal import (frozen_phonon_diffraction,
+                                        frozen_phonon_haadf,
+                                        thermal_configs)
+from pyslice_tpu.physics.probe import probe_grid
+from tests.fixtures import hbn_thermal
+
+SAMPLING = 0.25
+SLICE_T = 0.8
+
+
+@pytest.fixture(scope="module")
+def haadf_wf():
+    traj = hbn_thermal(n_frames=2, sigma=0.05, seed=5)
+    pg = probe_grid((1.0, 4.0), (1.0, 4.0), 3, 2)
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(traj, aperture=25, voltage_eV=100e3, sampling=SAMPLING,
+               slice_thickness=SLICE_T, probe_positions=pg, use_cache=False)
+    return calc.run(progress=False)
+
+
+class TestMasks:
+    def test_annular_matches_haadf_mask(self, haadf_wf):
+        """inner-only annular_mask reproduces HAADFData's detector
+        (q > theta/lambda, haadf_data.py:47-50)."""
+        lam = haadf_wf.probe.wavelength
+        m = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                   inner_mrad=45.0)
+        q = np.sqrt(np.add.outer(np.asarray(haadf_wf.kxs) ** 2,
+                                 np.asarray(haadf_wf.kys) ** 2))
+        want = (q > (45.0 * 1e-3) / lam).astype(float)
+        np.testing.assert_array_equal(m, want)
+
+    def test_bright_field_disk(self, haadf_wf):
+        lam = haadf_wf.probe.wavelength
+        bf = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                    inner_mrad=0.0, outer_mrad=10.0)
+        adf = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                     inner_mrad=10.0)
+        # disk + annulus covers k-space except the exact ring boundary
+        both = bf + adf
+        assert np.all((both == 1.0) | (both == 0.0))
+        assert bf[len(haadf_wf.kxs) // 2, len(haadf_wf.kys) // 2] == 1.0
+
+    def test_segmented_sums_to_annulus(self, haadf_wf):
+        lam = haadf_wf.probe.wavelength
+        segs = detectors.segmented_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                        10.0, 40.0, n_segments=4,
+                                        rotation_deg=15.0)
+        ring = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                      10.0, 40.0)
+        assert segs.shape[0] == 4
+        np.testing.assert_allclose(segs.sum(axis=0), ring)
+
+
+class TestVirtualImaging:
+    def test_virtual_image_matches_calculateADF(self, haadf_wf):
+        """virtual_image with the HAADF mask and amplitude detector equals
+        HAADFData.calculateADF exactly."""
+        lam = haadf_wf.probe.wavelength
+        mask = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                      inner_mrad=45.0)
+        got = detectors.virtual_image(haadf_wf, mask, intensity=False)
+        want = HAADFData(haadf_wf).calculateADF(collection_angle=45)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_segmented_virtual_images(self, haadf_wf):
+        lam = haadf_wf.probe.wavelength
+        segs = detectors.segmented_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                        5.0, 60.0, n_segments=4)
+        imgs = detectors.virtual_image(haadf_wf, segs)
+        assert imgs.shape == (4, 3, 2)
+        ring = detectors.annular_mask(haadf_wf.kxs, haadf_wf.kys, lam,
+                                      5.0, 60.0)
+        total = detectors.virtual_image(haadf_wf, ring)
+        np.testing.assert_allclose(imgs.sum(axis=0), total, rtol=1e-10)
+
+    def test_center_of_mass_shape_and_scale(self, haadf_wf):
+        com = detectors.center_of_mass(haadf_wf)
+        assert com.shape == (2, 3, 2)
+        kmax = np.abs(np.asarray(haadf_wf.kxs)).max()
+        assert np.all(np.abs(com) <= kmax)
+
+    def test_bin_k(self):
+        a = np.arange(24, dtype=float).reshape(4, 6)
+        b = detectors.bin_k(a, 2)
+        assert b.shape == (2, 3)
+        assert b[0, 0] == a[0, 0] + a[0, 1] + a[1, 0] + a[1, 1]
+        # trailing remainder cropped
+        c = detectors.bin_k(np.ones((5, 7)), 2)
+        assert c.shape == (2, 3) and np.all(c == 4.0)
+
+
+class TestFrozenPhonon:
+    def test_thermal_configs(self):
+        traj = hbn_thermal(n_frames=3, sigma=0.05)
+        cfg = thermal_configs(traj, 5, 0.08, seed=1)
+        assert cfg.n_frames == 5
+        # gaussian, zero-mean-ish around the mean structure
+        d = cfg.positions - traj.get_mean_positions()[None]
+        assert abs(d.mean()) < 0.05
+        assert 0.04 < d.std() < 0.13
+
+    def test_frozen_phonon_haadf(self):
+        traj = hbn_thermal(n_frames=2, sigma=0.05)
+        pg = probe_grid((1.0, 4.0), (1.0, 4.0), 2, 2)
+        img, xs, ys = frozen_phonon_haadf(
+            traj, pg, n_configs=3, sigma=0.05, aperture=25,
+            voltage_eV=100e3, sampling=SAMPLING, slice_thickness=SLICE_T)
+        assert img.shape == (2, 2)
+        assert np.all(np.isfinite(img)) and np.all(img >= 0)
+        assert len(xs) == 2 and len(ys) == 2
+
+    def test_frozen_phonon_diffraction(self):
+        traj = hbn_thermal(n_frames=2, sigma=0.05)
+        patt = frozen_phonon_diffraction(
+            traj, n_configs=3, sigma=0.05, voltage_eV=100e3,
+            sampling=SAMPLING, slice_thickness=SLICE_T)
+        assert patt.ndim == 2 and np.all(np.isfinite(patt))
+        # thermal average keeps total intensity ~ the elastic total
+        assert patt.sum() > 0
