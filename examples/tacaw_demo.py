@@ -76,9 +76,11 @@ def main():
     # --- TACAW: plane wave, center probe ------------------------------------
     t0 = time.time()
     calc = pt.MultisliceCalculator()
+    # device_output keeps the exit waves in HBM; the TACAW analysis below
+    # consumes them on device (host arrays are returned by the methods).
     calc.setup(traj, aperture=0.0, voltage_eV=100e3,
                slice_thickness=args.slice_thickness, sampling=args.sampling,
-               use_cache=False)
+               use_cache=False, device_output=True)
     wf = calc.run()
     print(f"Simulation: {time.time() - t0:.1f}s "
           f"(grid {calc.nx}x{calc.ny}x{calc.nz})")
