@@ -64,8 +64,11 @@ def _dft_consts(n: int, mode: str):
     @ W2) for the forward, u = x @ (conj(W2) * conj(tw_k1)[None, :]) for the
     inverse), so kernels do no twiddle multiplies or narrow-row slicing —
     only clean (R,128) @ (128,128) dots and static sublane slices. Stage-1
-    scalars are python complex immediates; the inverse 1/n scale is folded
-    into the inverse stage-1 scalars.
+    runs as radix-2 butterflies across the digit tiles when n1 is a power
+    of two (12 tile-ops for n1=8 vs 64 for the unrolled matrix form — the
+    VPU stage was the post-bf16x3 bottleneck), falling back to the unrolled
+    DFT for odd factors; the inverse 1/n scale is folded into the inverse
+    stage-2 matrices.
 
     ``mode``: 'highest'/'default' -> 6 const planes (fwd re/im/sum,
     inv re/im/sum — the sum planes feed the Karatsuba 3-product complex
@@ -81,12 +84,13 @@ def _dft_consts(n: int, mode: str):
     tw = np.exp(-2j * np.pi * np.outer(a1, a2) / n)      # (n1, n2)
     # forward: stacked (n1*128, 128) of diag(tw[k1]) @ W2
     fwd = np.concatenate([tw[k1][:, None] * w2 for k1 in range(n1)], axis=0)
-    # inverse: stacked conj(W2) * conj(tw[k1]) (columns scaled)
-    inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :]
+    # inverse: stacked conj(W2) * conj(tw[k1]) (columns scaled); the 1/n
+    # normalization lives HERE so stage 1 stays pure butterflies
+    inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :] / n
                           for k1 in range(n1)], axis=0)
     f32 = np.float32
     w1_scalars = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
-    w1_inv_scalars = [[complex(np.conj(w1[k, a])) / n for a in range(n1)]
+    w1_inv_scalars = [[complex(np.conj(w1[k, a])) for a in range(n1)]
                       for k in range(n1)]
     raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
            inv.real, inv.imag, inv.real + inv.imag]
@@ -100,6 +104,56 @@ def _dft_consts(n: int, mode: str):
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _scalar_cmul(w: complex, tr, ti):
+    """python-complex-scalar * tile, with the free special cases."""
+    if w == 1:
+        return tr, ti
+    if w == -1:
+        return -tr, -ti
+    if w == -1j:
+        return ti, -tr
+    if w == 1j:
+        return -ti, tr
+    c, s = w.real, w.imag
+    return c * tr - s * ti, c * ti + s * tr
+
+
+def _tile_dft(tr, ti, sign: int):
+    """DFT across a LIST of tiles (the four-step's small stage-1 factor),
+    radix-2 Cooley-Tukey while the length is even (n1/2 * log2-ish tile
+    multiply-adds instead of n1^2), unrolled dense DFT at odd lengths.
+    sign=-1 forward, +1 inverse (unnormalized)."""
+    m = len(tr)
+    if m == 1:
+        return tr, ti
+    if m % 2:
+        outs_r, outs_i = [], []
+        for k in range(m):
+            zr, zi = _scalar_cmul(
+                np.exp(sign * 2j * np.pi * 0 * k / m), tr[0], ti[0])
+            for a in range(1, m):
+                w = complex(np.exp(sign * 2j * np.pi * a * k / m))
+                pr, pi = _scalar_cmul(w, tr[a], ti[a])
+                zr = zr + pr
+                zi = zi + pi
+            outs_r.append(zr)
+            outs_i.append(zi)
+        return outs_r, outs_i
+    er, ei = _tile_dft(tr[0::2], ti[0::2], sign)
+    orr, oii = _tile_dft(tr[1::2], ti[1::2], sign)
+    half = m // 2
+    outs_r = [None] * m
+    outs_i = [None] * m
+    for k in range(half):
+        w = complex(np.exp(sign * 2j * np.pi * k / m))
+        pr, pi = _scalar_cmul(w, orr[k], oii[k])
+        outs_r[k] = er[k] + pr
+        outs_i[k] = ei[k] + pi
+        outs_r[k + half] = er[k] - pr
+        outs_i[k + half] = ei[k] - pi
+    return outs_r, outs_i
 
 
 def _dot_mode() -> str:
@@ -212,16 +266,10 @@ def _fft_minor_perm(re, im, static, planes, tin: bool = False):
           else (lambda t, a: t[:, a * n2:(a + 1) * n2]))
     vr = [sl(re, a) for a in range(n1)]
     vi = [sl(im, a) for a in range(n1)]
+    ys_r, ys_i = _tile_dft(vr, vi, -1)       # stage-1 butterflies (VPU)
     outs_r, outs_i = [], []
     for k1 in range(n1):
-        c0, s0 = w1[k1][0].real, w1[k1][0].imag
-        yr = c0 * vr[0] - s0 * vi[0]
-        yi = c0 * vi[0] + s0 * vr[0]
-        for a in range(1, n1):
-            c, sc = w1[k1][a].real, w1[k1][a].imag
-            yr = yr + (c * vr[a] - sc * vi[a])
-            yi = yi + (c * vi[a] + sc * vr[a])
-        orr, oii = cdot(yr, yi, _fwd_w(planes, mode, k1, n2))
+        orr, oii = cdot(ys_r[k1], ys_i[k1], _fwd_w(planes, mode, k1, n2))
         outs_r.append(orr)
         outs_i.append(oii)
     if n1 == 1:
@@ -243,17 +291,9 @@ def _ifft_minor_perm(re, im, static, planes, tin: bool = False):
         urr, uii = cdot(xr, xi, _inv_w(planes, mode, k1, n2))
         ur.append(urr)
         ui.append(uii)
-    outs_r, outs_i = [], []
-    for a in range(n1):
-        c0, s0 = w1inv[0][a].real, w1inv[0][a].imag
-        zr = c0 * ur[0] - s0 * ui[0]
-        zi = c0 * ui[0] + s0 * ur[0]
-        for k1 in range(1, n1):
-            c, sc = w1inv[k1][a].real, w1inv[k1][a].imag
-            zr = zr + (c * ur[k1] - sc * ui[k1])
-            zi = zi + (c * ui[k1] + sc * ur[k1])
-        outs_r.append(zr)
-        outs_i.append(zi)
+    # stage-1 butterflies: inverse small DFT over k1 (1/n folded into the
+    # stage-2 matrices)
+    outs_r, outs_i = _tile_dft(ur, ui, +1)
     if n1 == 1:
         return outs_r[0], outs_i[0]
     return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1)
