@@ -18,9 +18,10 @@ by changing the data layout instead of the slicing rules:
   array dims — m is neither). The layout changes are free: each kernel
   writes the next kernel's preferred layout directly;
 * in-kernel data lives as LISTS of (rows, m) tiles, one per digit. The
-  four-step stages map onto them directly: stage 1 is d^2 scalar complex
-  FMAs across tiles (VPU), stage 2 is one (rows, m) @ (m, m) MXU dot per
-  digit with the twiddles folded in (per-k1 matrices, as in fused_step);
+  four-step stages map onto them directly: stage 1 is the shared tile DFT
+  (radix-2 butterflies when d is even, dense unroll otherwise — VPU),
+  stage 2 is one (rows, m) @ (m, m) MXU dot per digit with the twiddles
+  folded in (per-k1 matrices, as in fused_step);
 * layout changes ride the dots: tin-style lhs-transposed contractions
   ('nr,nc->rc') consume the producer's orthogonal block column-major and
   emit the flipped orientation — no transpose ops anywhere (Mosaic compiles
@@ -51,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import matfft
-from .fused_step import _dot_mode, _make_cdot, _split_hi_lo
+from .fused_step import _dot_mode, _make_cdot, _split_hi_lo, _tile_dft
 
 MAX_D = 8
 
@@ -81,8 +82,9 @@ def _axis_consts(n: int, mode: str):
     inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :]
                           for k1 in range(d)], axis=0)
     w1s = [[complex(w1[k, a]) for a in range(d)] for k in range(d)]
-    w1inv = [[complex(np.conj(w1[k, a])) / n for a in range(d)]
+    w1inv = [[complex(np.conj(w1[k, a])) for a in range(d)]
              for k in range(d)]
+    inv = inv / n          # 1/n lives in stage 2; stage 1 is pure butterflies
     raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
            inv.real, inv.imag, inv.real + inv.imag]
     if mode == "bf16x3":
@@ -104,28 +106,12 @@ def _w_sel(planes, mode, k1, m, inverse: bool):
     return (planes[base][s], planes[base + 1][s], planes[base + 2][s])
 
 
-def _stage1(tiles_r, tiles_i, coeffs):
-    """out[k] = sum_a coeffs[k][a] * tiles[a] (complex scalar FMAs, VPU)."""
-    outs_r, outs_i = [], []
-    for row in coeffs:
-        c0, s0 = row[0].real, row[0].imag
-        zr = c0 * tiles_r[0] - s0 * tiles_i[0]
-        zi = c0 * tiles_i[0] + s0 * tiles_r[0]
-        for a in range(1, len(tiles_r)):
-            c, s = row[a].real, row[a].imag
-            zr = zr + (c * tiles_r[a] - s * tiles_i[a])
-            zi = zi + (c * tiles_i[a] + s * tiles_r[a])
-        outs_r.append(zr)
-        outs_i.append(zi)
-    return outs_r, outs_i
-
-
 def _fft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
     """Forward DFT over digit tiles: natural digit groups in, k1 groups out.
     ``tin`` uses the lhs-transposed dot (flips tile orientation)."""
     d, m, w1s, w1inv, planes = ax
     cdot = _make_cdot(dotmode, tin)
-    ys_r, ys_i = _stage1(tiles_r, tiles_i, w1s)
+    ys_r, ys_i = _tile_dft(tiles_r, tiles_i, -1)
     outs_r, outs_i = [], []
     for k1 in range(d):
         zr, zi = cdot(ys_r[k1], ys_i[k1],
@@ -145,7 +131,7 @@ def _ifft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
                       _w_sel(planes, dotmode, k1, m, inverse=True))
         us_r.append(ur)
         us_i.append(ui)
-    return _stage1(us_r, us_i, w1inv)
+    return _tile_dft(us_r, us_i, +1)
 
 
 def _cmul(ar, ai, br, bi):
