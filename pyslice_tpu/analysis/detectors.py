@@ -38,14 +38,20 @@ def _angle_to_k(mrad: float, lam: float) -> float:
 
 
 def annular_mask(kxs, kys, lam: float, inner_mrad: float = 0.0,
-                 outer_mrad: Optional[float] = None) -> np.ndarray:
+                 outer_mrad: Optional[float] = None,
+                 ksq=None) -> np.ndarray:
     """(nx, ny) float mask for inner <= theta < outer (mrad).
 
     inner=0 gives a disk (bright field); outer=None extends to the grid
     corner (the reference's ADF is inner_mrad=collection_angle, outer=None).
+    ``ksq``: optional |k|^2 grid (e.g. WFData.ksq_shifted for oblique
+    cells) overriding the separable kxs^2 + kys^2.
     """
-    kx, ky = _k_grids(kxs, kys)
-    q = np.sqrt(kx ** 2 + ky ** 2)
+    if ksq is not None:
+        q = np.sqrt(np.asarray(ksq))
+    else:
+        kx, ky = _k_grids(kxs, kys)
+        q = np.sqrt(kx ** 2 + ky ** 2)
     if inner_mrad > 0:
         mask = q > _angle_to_k(inner_mrad, lam)   # strict >, haadf_data.py:50
     else:

@@ -36,6 +36,7 @@ class HAADFData:
         self.layer = wf_data.layer
         self.wavefunction_data = wf_data.wavefunction_data
         self.probe = wf_data.probe
+        self.ksq_shifted = getattr(wf_data, "ksq_shifted", None)
 
     def calculateADF(self, collection_angle: float = 45,
                      preview: bool = False, intensity: bool = False) -> np.ndarray:
@@ -45,7 +46,10 @@ class HAADFData:
         self.xs = np.array(sorted(set(positions[:, 0].tolist())))
         self.ys = np.array(sorted(set(positions[:, 1].tolist())))
 
-        q = np.sqrt(self.kxs[:, None] ** 2 + self.kys[None, :] ** 2)
+        if self.ksq_shifted is not None:      # oblique cell: true |k|
+            q = np.sqrt(np.asarray(self.ksq_shifted))
+        else:
+            q = np.sqrt(self.kxs[:, None] ** 2 + self.kys[None, :] ** 2)
         radius = (collection_angle * 1e-3) / self.probe.wavelength
         mask = (q > radius).astype(np.float64)
 

@@ -26,6 +26,10 @@ class WFData:
     layer: np.ndarray             # (n_layers,) recorded layer indices
     wavefunction_data: np.ndarray # complex (probes, time, kx, ky, layer)
     probe: object                 # base Probe (for wavelength etc.)
+    # Oblique (xy-tilted) cells: fftshifted (nx, ny) |k|^2 grid; None for
+    # orthogonal boxes (|k|^2 is then kxs^2 + kys^2). Consumed by HAADF /
+    # detectors for physically correct annular masks.
+    ksq_shifted: np.ndarray = None
 
     @property
     def n_probes(self) -> int:
@@ -53,6 +57,8 @@ class WFData:
             probe_ys=np.asarray(self.probe.ys),
             probe_mrad=np.asarray(self.probe.mrad),
             probe_eV=np.asarray(self.probe.eV),
+            **({"ksq_shifted": np.asarray(self.ksq_shifted)}
+               if self.ksq_shifted is not None else {}),
         )
 
     @classmethod
@@ -69,4 +75,6 @@ class WFData:
                 layer=z["layer"],
                 wavefunction_data=z["wavefunction_data"],
                 probe=probe,
+                ksq_shifted=(z["ksq_shifted"] if "ksq_shifted" in z.files
+                             else None),
             )

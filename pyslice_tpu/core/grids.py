@@ -39,6 +39,12 @@ class Grid:
     sampling: float         # requested in-plane sampling (Angstrom/px)
     slice_thickness: float  # requested slice thickness (Angstrom)
     fast_grid: bool = False  # point counts snapped up to multiples of 128
+    # In-plane cell vectors as COLUMNS of a 2x2 matrix for oblique
+    # (triclinic xy-tilted) cells; None = orthogonal (the reference's only
+    # case, potentials.py:115-120). When set, xs/ys are ARC LENGTHS along
+    # a1/a2 and the physical sample points are fractional multiples of the
+    # cell vectors.
+    cell2d: np.ndarray = None
 
     @property
     def nx(self) -> int:
@@ -96,6 +102,50 @@ class Grid:
             return np.fft.fftshift(self.kys())
         return np.fft.fftshift(np.fft.fftfreq(self.ny, d=self.sampling))
 
+    # --- oblique (triclinic in-plane) support ------------------------------
+
+    @property
+    def is_oblique(self) -> bool:
+        return self.cell2d is not None
+
+    def recip2d(self) -> np.ndarray:
+        """2x2 reciprocal basis (cycles/Angstrom), columns b1, b2 with
+        b_i . a_j = delta_ij. Orthogonal grids: diag(1/lx, 1/ly)."""
+        if self.cell2d is None:
+            return np.diag([1.0 / self.lx, 1.0 / self.ly])
+        return np.linalg.inv(np.asarray(self.cell2d, dtype=np.float64)).T
+
+    def ksq2d(self) -> np.ndarray:
+        """(nx, ny) |k_mn|^2 over integer frequencies (fftfreq order):
+        k_mn = m b1 + n b2. For orthogonal cells this equals
+        kxs^2 + kys^2 and the propagation paths use the separable form;
+        oblique cells carry the 2 m n (b1 . b2) cross term."""
+        B = self.recip2d()
+        m = np.rint(np.fft.fftfreq(self.nx) * self.nx)
+        n = np.rint(np.fft.fftfreq(self.ny) * self.ny)
+        g11 = float(B[:, 0] @ B[:, 0])
+        g22 = float(B[:, 1] @ B[:, 1])
+        g12 = float(B[:, 0] @ B[:, 1])
+        return (g11 * m[:, None] ** 2 + g22 * n[None, :] ** 2
+                + 2.0 * g12 * m[:, None] * n[None, :])
+
+    def sample_points_2d(self) -> np.ndarray:
+        """(nx, ny, 2) Cartesian in-plane sample positions."""
+        fi = np.arange(self.nx) / self.nx
+        fj = np.arange(self.ny) / self.ny
+        A = (np.asarray(self.cell2d, dtype=np.float64)
+             if self.cell2d is not None else np.diag([self.lx, self.ly]))
+        return (fi[:, None, None] * A[:, 0][None, None, :]
+                + fj[None, :, None] * A[:, 1][None, None, :])
+
+    @property
+    def pixel_area(self) -> float:
+        """In-plane area per sample point (dx*dy for orthogonal cells)."""
+        if self.cell2d is None:
+            return self.dx * self.dy
+        return abs(float(np.linalg.det(np.asarray(self.cell2d)))) / (
+            self.nx * self.ny)
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -128,12 +178,60 @@ def grid_from_box(lx: float, ly: float, lz: float,
                 fast_grid=snapped)
 
 
+def grid_from_box_matrix(box_matrix, sampling: float = 0.1,
+                         slice_thickness: float = 0.5,
+                         fast_grid: bool = False) -> Grid:
+    """Grid honoring an in-plane (xy) tilt — beyond-reference capability.
+
+    Requires the slice axis (z) to be orthogonal to the plane (xz = yz = 0;
+    out-of-plane tilts would change the slicing geometry itself). The grid
+    spans the oblique cell with nx x ny fractional samples; xs/ys are arc
+    lengths |a1|, |a2| so the reference's int(l/sampling)+1 density rule
+    applies along each cell vector.
+    """
+    box = np.asarray(box_matrix, dtype=np.float64)
+    if abs(box[0, 2]) > 1e-12 or abs(box[1, 2]) > 1e-12:
+        raise ValueError(
+            "out-of-plane tilts (xz/yz) are unsupported: the slice axis "
+            "must be orthogonal to the in-plane cell "
+            f"(got xz={box[0, 2]}, yz={box[1, 2]})")
+    if abs(box[0, 1]) < 1e-12:     # no xy tilt: the reference's case
+        return grid_from_box(float(box[0, 0]), float(box[1, 1]),
+                             float(box[2, 2]), sampling=sampling,
+                             slice_thickness=slice_thickness,
+                             fast_grid=fast_grid)
+    a1 = box[:2, 0]
+    a2 = box[:2, 1]
+    l1 = float(np.linalg.norm(a1))
+    l2 = float(np.linalg.norm(a2))
+    lz = float(box[2, 2])
+    nx = int(l1 / sampling) + 1
+    ny = int(l2 / sampling) + 1
+    nz = int(lz / slice_thickness) + 1
+    if fast_grid:
+        nx = _round_up(nx, 128)
+        ny = _round_up(ny, 128)
+    xs = np.linspace(0.0, l1, nx, endpoint=False)
+    ys = np.linspace(0.0, l2, ny, endpoint=False)
+    zs = np.linspace(0.0, lz, nz, endpoint=False)
+    return Grid(xs=xs, ys=ys, zs=zs, lx=l1, ly=l2, lz=lz,
+                sampling=float(sampling),
+                slice_thickness=float(slice_thickness),
+                fast_grid=fast_grid,
+                cell2d=np.stack([a1, a2], axis=1))
+
+
 def grid_from_trajectory(trajectory, sampling: float = 0.1,
                          slice_thickness: float = 0.5,
                          fast_grid: bool = False) -> Grid:
-    """Grid from a trajectory's box matrix diagonal (orthogonal-box assumption,
-    potentials.py:115-120)."""
+    """Grid from a trajectory's box matrix. Orthogonal boxes reproduce the
+    reference exactly (diagonal read, potentials.py:115-120); xy-tilted
+    boxes get the oblique grid (grid_from_box_matrix)."""
     box = np.asarray(trajectory.box_matrix)
+    if abs(box[0, 1]) > 1e-12:
+        return grid_from_box_matrix(box, sampling=sampling,
+                                    slice_thickness=slice_thickness,
+                                    fast_grid=fast_grid)
     return grid_from_box(float(box[0, 0]), float(box[1, 1]), float(box[2, 2]),
                          sampling=sampling, slice_thickness=slice_thickness,
                          fast_grid=fast_grid)

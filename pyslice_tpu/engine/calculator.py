@@ -144,14 +144,18 @@ class MultisliceCalculator:
         self.record_layers = (tuple(int(l) for l in record_layers)
                               if record_layers is not None else None)
 
+        oblique = getattr(grid, "is_oblique", False)
         self.base_probe = Probe(grid.xs, grid.ys, aperture, voltage_eV,
-                                precision=self.precision)
+                                precision=self.precision,
+                                cell2d=grid.cell2d if oblique else None,
+                                ksq=grid.ksq2d() if oblique else None)
         if defocus:
             self.base_probe.defocus(defocus)
 
         plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
                          trajectory.atom_types, kind="kirkland",
-                         slice_axis=slice_axis)
+                         slice_axis=slice_axis,
+                         cell2d=grid.cell2d if oblique else None)
         self.spec = SimSpec.create(grid, plan, voltage_eV,
                                    record_layers=self.record_layers,
                                    precision=self.precision)
@@ -195,6 +199,13 @@ class MultisliceCalculator:
                                            probes[i:i + bs], self.spec))
                   for i in range(0, self.n_probes, bs)]
         return np.concatenate(chunks, axis=0)
+
+    def _ksq_shifted(self):
+        """fftshifted |k|^2 grid for oblique cells (WFData.ksq_shifted);
+        None for orthogonal boxes (the separable axes suffice)."""
+        if not getattr(self.grid, "is_oblique", False):
+            return None
+        return np.fft.fftshift(self.grid.ksq2d())
 
     def _wf_axes(self):
         """(kxs, kys, time, layer) exported arrays (quirk #12 handling in
@@ -259,7 +270,8 @@ class MultisliceCalculator:
         wf_data = WFData(probe_positions=self.probe_positions,
                          time=time_array, kxs=kxs, kys=kys,
                          layer=layer_array, wavefunction_data=out,
-                         probe=self.base_probe)
+                         probe=self.base_probe,
+                         ksq_shifted=self._ksq_shifted())
         if self.save_path is not None:
             save_dir = Path(self.save_path)
             save_dir.mkdir(parents=True, exist_ok=True)
@@ -340,7 +352,8 @@ class MultisliceCalculator:
         wf_data = WFData(probe_positions=self.probe_positions,
                          time=time_array, kxs=kxs, kys=kys,
                          layer=layer_array, wavefunction_data=out,
-                         probe=self.base_probe)
+                         probe=self.base_probe,
+                         ksq_shifted=self._ksq_shifted())
 
         if self.use_cache and self.cleanup_temp_files:
             for frame_idx in range(self.n_frames):   # bug #3 fixed

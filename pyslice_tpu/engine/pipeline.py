@@ -39,14 +39,17 @@ class SimSpec:
     dz: float
     record_layers: Optional[Tuple[int, ...]]  # None -> exit wave only
     precision: Precision
+    ksq2d: Optional[np.ndarray] = None   # oblique |k|^2 grid (fftfreq order)
 
     @classmethod
     def create(cls, grid: Grid, plan: RasterizerPlan, eV: float,
                record_layers=None, precision=None) -> "SimSpec":
         prec = get_precision(precision)
         rl = tuple(int(x) for x in record_layers) if record_layers is not None else None
+        ksq2d = grid.ksq2d() if getattr(grid, "is_oblique", False) else None
         return cls(grid=grid, plan=plan, eV=float(eV), lam=_wavelength(eV),
-                   dz=grid.dz, record_layers=rl, precision=prec)
+                   dz=grid.dz, record_layers=rl, precision=prec,
+                   ksq2d=ksq2d)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -79,13 +82,14 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
         k = fused_multislice_kspace(
             jnp.asarray(probes, dtype=spec.precision.complex), v,
             spec.plan.kxs, spec.plan.kys,
-            sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz)
+            sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz,
+            ksq=spec.ksq2d)
         return k[..., None]                   # (probes, nx, ny, 1)
 
     psi = multislice(probes, v, spec.plan.kxs, spec.plan.kys, eV=spec.eV,
                      lam=spec.lam, dz=spec.dz,
                      record_layers=spec.record_layers,
-                     precision=spec.precision)
+                     precision=spec.precision, ksq=spec.ksq2d)
     if spec.record_layers is None:
         psi = psi[None]                       # (1, n_probes, nx, ny)
     k = jnp.fft.fftshift(matfft.fft2(psi), axes=(-2, -1))

@@ -489,7 +489,7 @@ def _block_rows(nx: int, ny: int) -> int:
 
 def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
                      lam: float, dz: float,
-                     record_layers=None) -> jnp.ndarray:
+                     record_layers=None, ksq=None) -> jnp.ndarray:
     """Fused-Pallas equivalent of physics.propagate.multislice.
 
     psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
@@ -512,7 +512,7 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
             if li > 0:
                 seg = jnp.concatenate([zero, seg], axis=0)
             cur = fused_multislice(cur, seg, kxs, kys, sigma=sigma,
-                                   lam=lam, dz=dz)
+                                   lam=lam, dz=dz, ksq=ksq)
             snaps.append(cur)
             z = layer + 1
         return jnp.stack(snaps, axis=0)
@@ -526,15 +526,20 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     vs = (jnp.asarray(sigma, jnp.float32)
           * potential_szy.astype(jnp.float32))          # (nz, nx, ny)
 
-    kxs = jnp.asarray(kxs, jnp.float32)
-    kys = jnp.asarray(kys, jnp.float32)
     # The in-kernel transforms emit digit-permuted frequencies; permute the
     # Fresnel multiplier's axes accordingly (static index gathers — works
     # under jit with traced k axes) and transpose for kernel B's y-major
-    # tiles.
-    kxp = kxs[jnp.asarray(digit_perm(nx))]
-    kyp = kys[jnp.asarray(digit_perm(ny))]
-    pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
+    # tiles. ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
+    if ksq is not None:
+        k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
+            :, jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * k2
+    else:
+        kxs = jnp.asarray(kxs, jnp.float32)
+        kys = jnp.asarray(kys, jnp.float32)
+        kxp = kxs[jnp.asarray(digit_perm(nx))]
+        kyp = kys[jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
     p_re_t = jnp.cos(pp).T                              # (ny, nx)
     p_im_t = jnp.sin(pp).T
 
@@ -571,7 +576,7 @@ def unpermute_shift_indices(n: int) -> np.ndarray:
 
 
 def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
-                            lam: float, dz: float) -> jnp.ndarray:
+                            lam: float, dz: float, ksq=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice(...))) with the final transforms fused
     into the kernel chain: the last transmit runs as an A_mid (its FFT_y is
     the conversion's y transform), kernel C adds the x transform, and one
@@ -587,11 +592,16 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
     vs = (jnp.asarray(sigma, jnp.float32)
           * potential_szy.astype(jnp.float32))
 
-    kxs = jnp.asarray(kxs, jnp.float32)
-    kys = jnp.asarray(kys, jnp.float32)
-    kxp = kxs[jnp.asarray(digit_perm(nx))]
-    kyp = kys[jnp.asarray(digit_perm(ny))]
-    pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
+    if ksq is not None:
+        k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
+            :, jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * k2
+    else:
+        kxs = jnp.asarray(kxs, jnp.float32)
+        kys = jnp.asarray(kys, jnp.float32)
+        kxp = kxs[jnp.asarray(digit_perm(nx))]
+        kyp = kys[jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
     p_re_t = jnp.cos(pp).T
     p_im_t = jnp.sin(pp).T
 

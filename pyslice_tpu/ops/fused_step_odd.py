@@ -295,7 +295,7 @@ def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
 
 
 def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
-                         lam: float, dz: float) -> jnp.ndarray:
+                         lam: float, dz: float, ksq=None) -> jnp.ndarray:
     """Fused-Pallas multislice for composite odd grids; same contract as
     ops.fused_step.fused_multislice (exit wave, no depth recording)."""
     R, nx, ny = psi.shape
@@ -318,9 +318,18 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
 
     # Pre-scrambled, pre-transposed Fresnel multiplier (dy, my, dx, mx):
     # tile [ky1, :, kx1, :] multiplies kernel B's (my, mx) tiles directly.
-    kxp = jnp.asarray(kxs, jnp.float32)[jnp.asarray(matfft.scramble_perm(nx))]
-    kyp = jnp.asarray(kys, jnp.float32)[jnp.asarray(matfft.scramble_perm(ny))]
-    pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
+    # ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
+    if ksq is not None:
+        k2t = jnp.asarray(ksq, jnp.float32).T[
+            jnp.asarray(matfft.scramble_perm(ny))][
+            :, jnp.asarray(matfft.scramble_perm(nx))]
+        pp = (-np.pi * lam * dz) * k2t
+    else:
+        kxp = jnp.asarray(kxs, jnp.float32)[
+            jnp.asarray(matfft.scramble_perm(nx))]
+        kyp = jnp.asarray(kys, jnp.float32)[
+            jnp.asarray(matfft.scramble_perm(ny))]
+        pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
     p_re = jnp.cos(pp).reshape(dy, my, dx, mx)
     p_im = jnp.sin(pp).reshape(dy, my, dx, mx)
 

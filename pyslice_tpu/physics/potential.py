@@ -100,6 +100,13 @@ class RasterizerPlan:
     bucket_slices: np.ndarray     # (n_buckets,) slice id of each occupied bucket
     a_max: int                    # padded atom capacity per bucket
     kind: str                     # "kirkland" | "gauss"
+    # Oblique (xy-tilted) in-plane cells — beyond-reference capability:
+    # frac2d = inv(cell2d) maps Cartesian in-plane coords to fractional,
+    # kxs/kys then hold INTEGER frequencies, qsq2d the oblique |k|^2, and
+    # px_area the per-sample area (normalization 1/px_area^2).
+    frac2d: np.ndarray = None     # (2, 2) or None (orthogonal)
+    qsq2d: np.ndarray = None      # (nx, ny) or None (separable)
+    px_area: float = None         # defaults to dx*dy
 
     @property
     def n_types(self) -> int:
@@ -125,7 +132,7 @@ def _normalize_types(atom_types) -> Tuple[np.ndarray, np.ndarray]:
 
 def make_plan(xs, ys, zs, positions_all_frames, atom_types,
               kind: str = "kirkland", slice_axis: int = 2,
-              pad_fraction: float = 0.0) -> RasterizerPlan:
+              pad_fraction: float = 0.0, cell2d=None) -> RasterizerPlan:
     """Build the static rasterization plan.
 
     Args:
@@ -134,7 +141,13 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
             traced at run time.
         pad_fraction: extra fractional headroom on a_max (useful when planning
             from a subset of frames).
+        cell2d: optional (2, 2) in-plane cell vectors (columns) for oblique
+            cells (slice_axis must be 2); atoms are painted in fractional
+            coordinates against integer frequencies and the form factors /
+            normalization use the oblique metric.
     """
+    if cell2d is not None and slice_axis != 2:
+        raise ValueError("oblique cells require slice_axis=2")
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     zs = np.asarray(zs, dtype=np.float64)
@@ -187,22 +200,44 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
     a_max = _round_up(max(1, int(np.ceil(max_count * (1.0 + pad_fraction)))), 8)
     occ_bins = np.nonzero(occupied)[0].astype(np.int32)
 
+    nx_, ny_ = len(xs), len(ys)
+    if cell2d is not None:
+        A = np.asarray(cell2d, dtype=np.float64)
+        frac2d = np.linalg.inv(A)
+        kxs_plan = np.rint(np.fft.fftfreq(nx_) * nx_)     # integer freqs m
+        kys_plan = np.rint(np.fft.fftfreq(ny_) * ny_)
+        B = np.linalg.inv(A).T
+        g11 = float(B[:, 0] @ B[:, 0])
+        g22 = float(B[:, 1] @ B[:, 1])
+        g12 = float(B[:, 0] @ B[:, 1])
+        qsq2d = (g11 * kxs_plan[:, None] ** 2 + g22 * kys_plan[None, :] ** 2
+                 + 2.0 * g12 * kxs_plan[:, None] * kys_plan[None, :])
+        px_area = abs(float(np.linalg.det(A))) / (nx_ * ny_)
+    else:
+        frac2d = None
+        kxs_plan = np.fft.fftfreq(nx_, d=float(xs[1] - xs[0]))
+        kys_plan = np.fft.fftfreq(ny_, d=float(ys[1] - ys[0]))
+        qsq2d = None
+        px_area = float(xs[1] - xs[0]) * float(ys[1] - ys[0])
+
     return RasterizerPlan(
-        nx=len(xs), ny=len(ys), nz=nz,
+        nx=nx_, ny=ny_, nz=nz,
         dx=float(xs[1] - xs[0]), dy=float(ys[1] - ys[0]),
         slice_axis=slice_axis, inplane_axis1=ax1, inplane_axis2=ax2,
-        kxs=np.fft.fftfreq(len(xs), d=float(xs[1] - xs[0])),
-        kys=np.fft.fftfreq(len(ys), d=float(ys[1] - ys[0])),
+        kxs=kxs_plan, kys=kys_plan,
         edges=edges, type_ids=type_ids, unique_z=unique_z,
         bucket_types=(occ_bins // nz).astype(np.int32),
         bucket_slices=(occ_bins % nz).astype(np.int32),
         a_max=int(a_max), kind=kind,
+        frac2d=frac2d, qsq2d=qsq2d, px_area=px_area,
     )
 
 
 def form_factors(plan: RasterizerPlan, precision: Precision) -> jnp.ndarray:
-    """(n_types, nx, ny) real form-factor tables on the physical k grid."""
-    qsq = plan.kxs[:, None] ** 2 + plan.kys[None, :] ** 2
+    """(n_types, nx, ny) real form-factor tables on the physical k grid
+    (oblique metric when the plan carries one)."""
+    qsq = (plan.qsq2d if plan.qsq2d is not None
+           else plan.kxs[:, None] ** 2 + plan.kys[None, :] ** 2)
     if plan.kind == "kirkland":
         return kirkland.form_factor(jnp.asarray(qsq, dtype=precision.real),
                                     plan.unique_z, dtype=precision.real)
@@ -231,8 +266,16 @@ def rasterize(positions, plan: RasterizerPlan,
     positions = jnp.asarray(positions, dtype=prec.real)
     n_atoms = positions.shape[0]
 
-    x = positions[:, plan.inplane_axis1]
-    y = positions[:, plan.inplane_axis2]
+    if plan.frac2d is not None:
+        # Oblique cell: paint in FRACTIONAL coordinates against integer
+        # frequencies (exp(-2 pi i m f) — the same separable machinery).
+        frac = positions[:, :2] @ jnp.asarray(plan.frac2d,
+                                              dtype=prec.real).T
+        x = frac[:, 0]
+        y = frac[:, 1]
+    else:
+        x = positions[:, plan.inplane_axis1]
+        y = positions[:, plan.inplane_axis2]
     zc = positions[:, plan.slice_axis]
 
     # --- bucket assignment (traced) ---------------------------------------
@@ -302,7 +345,8 @@ def rasterize(positions, plan: RasterizerPlan,
     recip, _ = jax.lax.scan(body, recip0, jnp.arange(plan.n_buckets))
 
     pot = jnp.real(matfft.ifft2(recip))
-    norm = 1.0 / (plan.dx ** 2 * plan.dy ** 2)
+    px_area = plan.px_area if plan.px_area is not None else plan.dx * plan.dy
+    norm = 1.0 / px_area ** 2
     return pot * jnp.asarray(norm, dtype=prec.real) + poison
 
 

@@ -42,12 +42,14 @@ def _aperture_probe(mask_real, complex_dtype):
     return jnp.fft.ifftshift(jnp.fft.ifft2(mask))
 
 
-def probe_array(xs, ys, mrad: float, eV: float, precision=None) -> jnp.ndarray:
+def probe_array(xs, ys, mrad: float, eV: float, precision=None,
+                ksq=None) -> jnp.ndarray:
     """Build the base probe wavefunction, shape (nx, ny) complex.
 
     mrad == 0 gives a plane wave of ones; otherwise a hard circular aperture
     of radius (mrad*1e-3)/lambda(eV) in reciprocal space, inverse-transformed
     and ifftshifted to center the probe (multislice.py:112-124).
+    ``ksq``: optional (nx, ny) |k|^2 (fftfreq order) for oblique cells.
     """
     prec = get_precision(precision)
     xs = np.asarray(xs)
@@ -59,9 +61,12 @@ def probe_array(xs, ys, mrad: float, eV: float, precision=None) -> jnp.ndarray:
         return jax.jit(lambda: jnp.ones((nx, ny), dtype=prec.complex))()
     lam = _wavelength(eV)
     radius = (mrad * 1e-3) / lam
-    kxs = np.fft.fftfreq(nx, d=xs[1] - xs[0])
-    kys = np.fft.fftfreq(ny, d=ys[1] - ys[0])
-    radii = np.sqrt(kxs[:, None] ** 2 + kys[None, :] ** 2)
+    if ksq is not None:
+        radii = np.sqrt(np.asarray(ksq))
+    else:
+        kxs = np.fft.fftfreq(nx, d=xs[1] - xs[0])
+        kys = np.fft.fftfreq(ny, d=ys[1] - ys[0])
+        radii = np.sqrt(kxs[:, None] ** 2 + kys[None, :] ** 2)
     mask = np.asarray(radii < radius, dtype=np.float64).astype(
         np.dtype(prec.real))
     return _aperture_probe(jnp.asarray(mask), prec.complex)
@@ -93,7 +98,7 @@ _warned_negative_defocus = False
 
 
 def defocus(array, kxs, kys, lam: float, dz: float, precision=None,
-            compat_reference: bool = False) -> jnp.ndarray:
+            compat_reference: bool = False, ksq=None) -> jnp.ndarray:
     """Defocus by dz Angstrom; positive dz puts the beam waist above the
     sample; negative dz back-propagates (defocus(-d) inverts defocus(+d))
     (multislice.py:183-190, math.txt:62-71). dz == 0 is the identity.
@@ -120,6 +125,12 @@ def defocus(array, kxs, kys, lam: float, dz: float, precision=None,
                     " (multislice.py:186-190). Pass compat_reference=True to "
                     "replicate the reference.", stacklevel=2)
     prec = get_precision(precision)
+    if ksq is not None:
+        phase = jnp.asarray((-np.pi * lam * dz) * np.asarray(ksq),
+                            dtype=prec.real)
+        P = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        return jax.jit(lambda a, p: jnp.fft.ifft2(jnp.fft.fft2(a) * p))(
+            jnp.asarray(array), P)
     kxs = np.asarray(kxs, dtype=np.dtype(prec.real))
     kys = np.asarray(kys, dtype=np.dtype(prec.real))
     return _defocus_impl(array, kxs, kys, float(lam), float(dz), prec)
@@ -137,7 +148,8 @@ def _shift_probes_impl(base_array, kxs, kys, positions, precision):
     return jax.vmap(one)(positions)
 
 
-def shift_probes(base_array, kxs, kys, positions, precision=None) -> jnp.ndarray:
+def shift_probes(base_array, kxs, kys, positions, precision=None,
+                 cell2d=None) -> jnp.ndarray:
     """Batch of sub-pixel-shifted probes via k-space phase ramps.
 
     Args:
@@ -153,9 +165,19 @@ def shift_probes(base_array, kxs, kys, positions, precision=None) -> jnp.ndarray
     """
     prec = get_precision(precision)
     base_array = put_complex_or_real(base_array, prec.complex)
+    positions = np.asarray(positions, dtype=np.float64).reshape(-1, 2)
+    if cell2d is not None:
+        # Oblique cells: the ramp is exp(2 pi i (m f1 + n f2)) with integer
+        # frequencies against FRACTIONAL shift coordinates — the same inner
+        # formula after transforming the inputs.
+        nx, ny = base_array.shape[-2:]
+        positions = positions @ np.linalg.inv(
+            np.asarray(cell2d, dtype=np.float64)).T
+        kxs = np.rint(np.fft.fftfreq(nx) * nx)
+        kys = np.rint(np.fft.fftfreq(ny) * ny)
     kxs = np.asarray(kxs, dtype=np.dtype(prec.real))
     kys = np.asarray(kys, dtype=np.dtype(prec.real))
-    positions = np.asarray(positions, dtype=np.dtype(prec.real)).reshape(-1, 2)
+    positions = positions.astype(np.dtype(prec.real))
     return _shift_probes_impl(base_array, kxs, kys, positions, prec)
 
 
@@ -179,7 +201,7 @@ class Probe:
     """
 
     def __init__(self, xs, ys, mrad: float, eV: float, array=None,
-                 precision=None, device=None):
+                 precision=None, device=None, cell2d=None, ksq=None):
         del device  # accepted for reference signature parity; JAX manages devices
         self.precision = get_precision(precision)
         self.xs = np.asarray(xs)
@@ -187,6 +209,9 @@ class Probe:
         self.mrad = mrad
         self.eV = eV
         self.wavelength = _wavelength(eV)
+        self.cell2d = (np.asarray(cell2d, dtype=np.float64)
+                       if cell2d is not None else None)
+        self.ksq = np.asarray(ksq) if ksq is not None else None
         dx = float(self.xs[1] - self.xs[0])
         dy = float(self.ys[1] - self.ys[0])
         self.kxs = np.fft.fftfreq(len(self.xs), d=dx)
@@ -194,7 +219,8 @@ class Probe:
         if array is not None:
             self.array = put_complex_or_real(array, self.precision.complex)
         else:
-            self.array = probe_array(self.xs, self.ys, mrad, eV, self.precision)
+            self.array = probe_array(self.xs, self.ys, mrad, eV,
+                                     self.precision, ksq=self.ksq)
 
     @property
     def n_probes(self) -> int:
@@ -204,7 +230,8 @@ class Probe:
         """Deep copy. (Fixes reference bug #4: the reference's copy()
         references an undefined class, multislice.py:128-141.)"""
         return Probe(self.xs, self.ys, self.mrad, self.eV,
-                     array=self.array, precision=self.precision)
+                     array=self.array, precision=self.precision,
+                     cell2d=self.cell2d, ksq=self.ksq)
 
     def to_cpu(self) -> np.ndarray:
         return to_numpy(self.array)
@@ -215,15 +242,18 @@ class Probe:
         reference's dz < 0 double-negation (quirk #13)."""
         self.array = defocus(self.array, self.kxs, self.kys,
                              self.wavelength, dz, self.precision,
-                             compat_reference=compat_reference)
+                             compat_reference=compat_reference,
+                             ksq=self.ksq)
 
     def shifted_batch(self, positions) -> "Probe":
         """New Probe whose array is the (n_probes, nx, ny) shifted batch."""
         batch = shift_probes(self.array if self.array.ndim == 2
                              else self.array[0],
-                             self.kxs, self.kys, positions, self.precision)
+                             self.kxs, self.kys, positions, self.precision,
+                             cell2d=self.cell2d)
         return Probe(self.xs, self.ys, self.mrad, self.eV, array=batch,
-                     precision=self.precision)
+                     precision=self.precision, cell2d=self.cell2d,
+                     ksq=self.ksq)
 
     def plot(self):  # pragma: no cover - visualization helper
         import matplotlib.pyplot as plt

@@ -105,10 +105,15 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                lam: Optional[float] = None, dz: float,
                record_layers: Optional[Tuple[int, ...]] = None,
                precision: Optional[Precision] = None,
-               fused: Optional[bool] = None) -> jnp.ndarray:
+               fused: Optional[bool] = None,
+               ksq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Public entry: resolves the fused-path decision OUTSIDE the jit
     boundary so it participates in the compilation cache key (the
-    ops.config flag alone would not invalidate cached traces)."""
+    ops.config flag alone would not invalidate cached traces).
+
+    ``ksq``: optional (nx, ny) |k|^2 array for OBLIQUE in-plane cells
+    (carries the 2 m n b1.b2 cross term); None = separable kxs^2 + kys^2.
+    """
     prec = get_precision(precision)
     shape = jnp.shape(psi)
     if fused is None:
@@ -135,8 +140,8 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
         kernel = "xla"
     scrambled = ((False, False) if kernel != "xla"
                  else _scrambled_axes(shape))
-    return _multislice_jit(psi, potential_szy, kxs, kys, eV=eV, lam=lam,
-                           dz=dz, record_layers=record_layers,
+    return _multislice_jit(psi, potential_szy, kxs, kys, ksq, eV=eV,
+                           lam=lam, dz=dz, record_layers=record_layers,
                            precision=prec, kernel=kernel,
                            scrambled=scrambled)
 
@@ -144,7 +149,7 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
                                     "precision", "kernel", "scrambled"))
-def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
+def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
                     precision: Optional[Precision] = None,
@@ -188,20 +193,30 @@ def _multislice_jit(psi, potential_szy, kxs, kys, *, eV: float,
                 raise ValueError(
                     f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
-                                lam=lam, dz=dz, record_layers=record_layers)
+                                lam=lam, dz=dz, record_layers=record_layers,
+                                ksq=ksq)
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
-                                    sigma=sigma, lam=lam, dz=dz)
+                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq)
     # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
     # propagator are pre-permuted to the transform's digit-scrambled output
     # order — the diagonal multiply is order-agnostic, so the loop does the
     # exact same math with zero transposes (see ops.matfft scrambled docs).
     scr_x, scr_y = scrambled
-    kxs_p = kxs[jnp.asarray(matfft.scramble_perm(psi.shape[-2]))] if scr_x else kxs
-    kys_p = kys[jnp.asarray(matfft.scramble_perm(psi.shape[-1]))] if scr_y else kys
-    P = fresnel_kernel(kxs_p, kys_p, lam, dz, prec)
+    if ksq is not None:
+        k2 = jnp.asarray(ksq, dtype=prec.real)
+        if scr_x:
+            k2 = k2[jnp.asarray(matfft.scramble_perm(psi.shape[-2]))]
+        if scr_y:
+            k2 = k2[:, jnp.asarray(matfft.scramble_perm(psi.shape[-1]))]
+        phase = (-np.pi * lam * dz) * k2
+        P = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    else:
+        kxs_p = kxs[jnp.asarray(matfft.scramble_perm(psi.shape[-2]))] if scr_x else kxs
+        kys_p = kys[jnp.asarray(matfft.scramble_perm(psi.shape[-1]))] if scr_y else kys
+        P = fresnel_kernel(kxs_p, kys_p, lam, dz, prec)
 
     def loop_fft2(p):
         p = matfft.fft_scrambled(p, -1) if scr_y else matfft.fft(p, axis=-1)
