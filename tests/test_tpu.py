@@ -87,6 +87,36 @@ def test_fused_odd_parity_on_hardware():
     assert _residual(xla, fused) < 1e-6
 
 
+@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+def test_oblique_fused_parity_on_hardware(nx):
+    """The oblique-metric Fresnel multiplier inside the Pallas kernels vs
+    the XLA path, on hardware, at a fused-eligible size."""
+    _require_tpu()
+    from pyslice_tpu.physics.propagate import multislice
+    rng = np.random.default_rng(3)
+    ny = nx
+    psi = (rng.standard_normal((2, nx, ny))
+           + 1j * rng.standard_normal((2, nx, ny))).astype(np.complex64)
+    pot = (rng.standard_normal((4, nx, ny)) * 20).astype(np.float32)
+    # an oblique metric: ksq with a cross term
+    m = np.rint(np.fft.fftfreq(nx) * nx)
+    n = np.rint(np.fft.fftfreq(ny) * ny)
+    g11, g22, g12 = 1.2e-5, 0.9e-5, 0.3e-5
+    ksq = (g11 * m[:, None] ** 2 + g22 * n[None, :] ** 2
+           + 2 * g12 * m[:, None] * n[None, :]).astype(np.float32)
+    kxs = np.fft.fftfreq(nx, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(ny, 0.1).astype(np.float32)
+
+    from pyslice_tpu.utils.host import to_device_complex, to_numpy
+    psi_d = to_device_complex(psi)
+    outs = {}
+    for fused in (True, False):
+        outs[fused] = to_numpy(multislice(
+            psi_d, jnp.asarray(pot), kxs, kys, eV=100e3, dz=0.5,
+            precision="single", fused=fused, ksq=jnp.asarray(ksq)))
+    assert _residual(outs[False], outs[True]) < 1e-6
+
+
 def test_fused_kspace_checksum():
     """fused_multislice_kspace (k-conversion folded into the kernel chain)
     against the unfused conversion of the fused exit wave."""
