@@ -85,9 +85,10 @@ def _collected(wf_data, mask, intensity: bool, layer_index: int = -1):
     m = xp.asarray(mask)
     if m.ndim == 2:
         m = m[None]
-    # (P, T, 1, nx, ny) * (1, 1, S, nx, ny) -> sum k -> mean frames -> (P, S)
-    out = xp.mean(xp.sum(exits[:, :, None] * m[None, None], axis=(3, 4)),
-                  axis=1)
+    # Contract k per segment WITHOUT materializing the (P, T, S, nx, ny)
+    # broadcast (n_segments x the dataset in memory): one einsum, then the
+    # frame mean.
+    out = xp.einsum("ptxy,sxy->ps", exits, m) / exits.shape[1]
     return np.asarray(out)
 
 

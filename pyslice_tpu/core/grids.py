@@ -195,7 +195,8 @@ def grid_from_box_matrix(box_matrix, sampling: float = 0.1,
             "out-of-plane tilts (xz/yz) are unsupported: the slice axis "
             "must be orthogonal to the in-plane cell "
             f"(got xz={box[0, 2]}, yz={box[1, 2]})")
-    if abs(box[0, 1]) < 1e-12:     # no xy tilt: the reference's case
+    if abs(box[0, 1]) < 1e-12 and abs(box[1, 0]) < 1e-12:
+        # no in-plane tilt: the reference's case
         return grid_from_box(float(box[0, 0]), float(box[1, 1]),
                              float(box[2, 2]), sampling=sampling,
                              slice_thickness=slice_thickness,
@@ -228,7 +229,7 @@ def grid_from_trajectory(trajectory, sampling: float = 0.1,
     reference exactly (diagonal read, potentials.py:115-120); xy-tilted
     boxes get the oblique grid (grid_from_box_matrix)."""
     box = np.asarray(trajectory.box_matrix)
-    if abs(box[0, 1]) > 1e-12:
+    if abs(box[0, 1]) > 1e-12 or abs(box[1, 0]) > 1e-12:
         return grid_from_box_matrix(box, sampling=sampling,
                                     slice_thickness=slice_thickness,
                                     fast_grid=fast_grid)

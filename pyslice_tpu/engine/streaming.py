@@ -493,11 +493,15 @@ class StreamingHAADF:
         self.layer_index = layer_index % n_layers
 
         lam = _wavelength(eV if eV is not None else spec.eV)
-        # Reference-parity mask: built on the *nominal* (requested-sampling)
-        # k axes (quirk #12).
-        kxs = spec.grid.kxs_nominal_shifted()
-        kys = spec.grid.kys_nominal_shifted()
-        q = np.sqrt(kxs[:, None] ** 2 + kys[None, :] ** 2)
+        if spec.ksq2d is not None:
+            # Oblique cell: true |k| from the metric (matches HAADFData).
+            q = np.sqrt(np.fft.fftshift(np.asarray(spec.ksq2d)))
+        else:
+            # Reference-parity mask: built on the *nominal*
+            # (requested-sampling) k axes (quirk #12).
+            kxs = spec.grid.kxs_nominal_shifted()
+            kys = spec.grid.kys_nominal_shifted()
+            q = np.sqrt(kxs[:, None] ** 2 + kys[None, :] ** 2)
         radius = (collection_angle * 1e-3) / lam
         self._mask = jnp.asarray((q > radius).astype(
             np.dtype(spec.precision.real)))

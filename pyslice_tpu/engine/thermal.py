@@ -49,10 +49,14 @@ def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
     grid = grid_from_trajectory(trajectory, sampling=sampling,
                                 slice_thickness=slice_thickness,
                                 fast_grid=fast_grid)
+    oblique = grid.is_oblique
     plan = make_plan(grid.xs, grid.ys, grid.zs, configs.positions,
-                     configs.atom_types)
+                     configs.atom_types,
+                     cell2d=grid.cell2d if oblique else None)
     spec = SimSpec.create(grid, plan, voltage_eV)
-    base = Probe(grid.xs, grid.ys, aperture, voltage_eV)
+    base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
+                 cell2d=grid.cell2d if oblique else None,
+                 ksq=grid.ksq2d() if oblique else None)
     if probe_positions is None:
         probe_positions = [(grid.lx / 2, grid.ly / 2)]
     probes = create_batched_probes(base, probe_positions).array

@@ -88,10 +88,8 @@ def _dft_consts(n: int, mode: str):
     # normalization lives HERE so stage 1 stays pure butterflies
     inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :] / n
                           for k1 in range(n1)], axis=0)
+    del w1     # stage 1 derives its butterfly twiddles in _tile_dft
     f32 = np.float32
-    w1_scalars = [[complex(w1[k, a]) for a in range(n1)] for k in range(n1)]
-    w1_inv_scalars = [[complex(np.conj(w1[k, a])) for a in range(n1)]
-                      for k in range(n1)]
     raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
            inv.real, inv.imag, inv.real + inv.imag]
     if mode == "bf16x3":
@@ -99,7 +97,7 @@ def _dft_consts(n: int, mode: str):
                   + [_split_hi_lo(r)[1] for r in raw])
     else:
         planes = [r.astype(f32) for r in raw]
-    return (n1, n2, w1_scalars, w1_inv_scalars, planes)
+    return (n1, n2, planes)
 
 
 def _cmul(ar, ai, br, bi):
@@ -260,7 +258,7 @@ def _fft_minor_perm(re, im, static, planes, tin: bool = False):
     an lhs-transposed matmul (free on the MXU) — never an explicit
     transpose op, which sends Mosaic's compiler into the weeds.
     """
-    n1, n2, w1, w1inv, mode = static
+    n1, n2, mode = static
     cdot = _make_cdot(mode, tin)
     sl = ((lambda t, a: t[a * n2:(a + 1) * n2, :]) if tin
           else (lambda t, a: t[:, a * n2:(a + 1) * n2]))
@@ -280,7 +278,7 @@ def _fft_minor_perm(re, im, static, planes, tin: bool = False):
 def _ifft_minor_perm(re, im, static, planes, tin: bool = False):
     """Inverse DFT: digit-permuted in, natural out, row-major result.
     Conjugation and 1/n are folded into the constants; ``tin`` as above."""
-    n1, n2, w1, w1inv, mode = static
+    n1, n2, mode = static
     cdot = _make_cdot(mode, tin)
     sl = ((lambda t, k: t[k * n2:(k + 1) * n2, :]) if tin
           else (lambda t, k: t[:, k * n2:(k + 1) * n2]))
@@ -301,9 +299,8 @@ def _ifft_minor_perm(re, im, static, planes, tin: bool = False):
 
 def _make_const_inputs(n: int):
     mode = _dot_mode()
-    n1, n2, w1s, w1invs, planes = _dft_consts(n, mode)
-    return ((n1, n2, w1s, w1invs, mode),
-            [jnp.asarray(a) for a in planes])
+    n1, n2, planes = _dft_consts(n, mode)
+    return ((n1, n2, mode), [jnp.asarray(a) for a in planes])
 
 
 def _const_specs(pl, pltpu, n1, n2, n_planes):

@@ -60,13 +60,13 @@ MAX_D = 8
 def supported_size_odd(n: int) -> bool:
     d, m = matfft.scrambled_factors(n)
     # Block VMEM ~ 5 * (n * m) f32 planes + stage-2 constants
-    # (n * m * 4B * n_planes): cap the per-axis footprint at ~60 MB.
-    footprint = n * m * 4 * (5 + 8)
+    # (n * m * 4B * n_planes; bf16x3 mode = 12 planes): cap ~60 MB.
+    footprint = n * m * 4 * (5 + 12)
     return 1 < d <= MAX_D and m >= 128 and footprint < 60 * 1024 * 1024
 
 
 def _axis_consts(n: int, mode: str):
-    """(d, m, w1_scalars, w1_inv_scalars, planes) for one axis.
+    """(d, m, planes) for one axis.
 
     planes: stacked (d*m, m) stage-2 matrices with twiddles folded per k1
     (fwd re/im, inv re/im; + lo parts in bf16x3 mode), exactly the
@@ -81,9 +81,7 @@ def _axis_consts(n: int, mode: str):
     fwd = np.concatenate([tw[k1][:, None] * w2 for k1 in range(d)], axis=0)
     inv = np.concatenate([np.conj(w2) * np.conj(tw[k1])[None, :]
                           for k1 in range(d)], axis=0)
-    w1s = [[complex(w1[k, a]) for a in range(d)] for k in range(d)]
-    w1inv = [[complex(np.conj(w1[k, a])) for a in range(d)]
-             for k in range(d)]
+    del w1     # stage 1 derives its butterfly twiddles in _tile_dft
     inv = inv / n          # 1/n lives in stage 2; stage 1 is pure butterflies
     raw = [fwd.real, fwd.imag, fwd.real + fwd.imag,
            inv.real, inv.imag, inv.real + inv.imag]
@@ -92,7 +90,7 @@ def _axis_consts(n: int, mode: str):
                   + [_split_hi_lo(r)[1] for r in raw])
     else:
         planes = [r.astype(np.float32) for r in raw]
-    return d, m, w1s, w1inv, planes
+    return d, m, planes
 
 
 def _w_sel(planes, mode, k1, m, inverse: bool):
@@ -109,7 +107,7 @@ def _w_sel(planes, mode, k1, m, inverse: bool):
 def _fft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
     """Forward DFT over digit tiles: natural digit groups in, k1 groups out.
     ``tin`` uses the lhs-transposed dot (flips tile orientation)."""
-    d, m, w1s, w1inv, planes = ax
+    d, m, planes = ax
     cdot = _make_cdot(dotmode, tin)
     ys_r, ys_i = _tile_dft(tiles_r, tiles_i, -1)
     outs_r, outs_i = [], []
@@ -123,7 +121,7 @@ def _fft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
 
 def _ifft_tiles(tiles_r, tiles_i, ax, dotmode, tin: bool):
     """Inverse DFT over digit tiles: k1 groups in, natural groups out."""
-    d, m, w1s, w1inv, planes = ax
+    d, m, planes = ax
     cdot = _make_cdot(dotmode, tin)
     us_r, us_i = [], []
     for k1 in range(d):
@@ -156,7 +154,7 @@ def _kernel_a(mode, ax_y, dotmode, n_const):
         or_ref, oi_ref = rest[n_const:]
         # Bind the stage-2 constant PLANES from the passed refs (the host
         # copies inside ax_y must not be captured by the kernel).
-        ax_local = ax_y[:4] + ([r[:] for r in rest[:n_const]],)
+        ax_local = ax_y[:2] + ([r[:] for r in rest[:n_const]],)
         if mode in ("mid", "last"):
             # z[k1] tiles (my, mx): IFFT_y stage-2 tin-dot flips to (mx, my)
             zr = [vr_ref[0, 0, k1, :, :] for k1 in range(dy)]
@@ -195,7 +193,7 @@ def _kernel_b(ax_x, dotmode, n_const):
 
     def body(vr_ref, vi_ref, pr_ref, pi_ref, *rest):
         or_ref, oi_ref = rest[n_const:]
-        ax_local = ax_x[:4] + ([r[:] for r in rest[:n_const]],)
+        ax_local = ax_x[:2] + ([r[:] for r in rest[:n_const]],)
         vr = [vr_ref[0, 0, a, :, :] for a in range(dx)]
         vi = [vi_ref[0, 0, a, :, :] for a in range(dx)]
         zr, zi = _fft_tiles(vr, vi, ax_local, dotmode, tin=True)
@@ -308,8 +306,8 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
     dx, mx = ax_x[0], ax_x[1]
     dy, my = ax_y[0], ax_y[1]
     dims = (R, dx, mx, dy, my)
-    consts_x = [jnp.asarray(a) for a in ax_x[4]]
-    consts_y = [jnp.asarray(a) for a in ax_y[4]]
+    consts_x = [jnp.asarray(a) for a in ax_x[2]]
+    consts_y = [jnp.asarray(a) for a in ax_y[2]]
 
     re = jnp.real(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
     im = jnp.imag(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)

@@ -236,7 +236,7 @@ def scrambled_ok(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _scrambled_plan(n: int, dtype_name: str):
+def _scrambled_plan(n: int, dtype_name: str, d: int, m: int):
     """Forward/inverse four-step constants with twiddles FOLDED into the
     stage-2 matrices (one (n1, n2, n2) batched-matmul constant per
     direction — no separate twiddle pass):
@@ -249,7 +249,7 @@ def _scrambled_plan(n: int, dtype_name: str):
                  = sum_k2 (conj(T)[k1,a2] conj(W2)[k2,a2]) z[k1,k2]
         x[a1,a2] = sum_k1 W1i[a1,k1] u[k1,a2]
     """
-    n1, n2 = scrambled_factors(n)
+    n1, n2 = d, m
     dt = np.complex64 if dtype_name == "complex64" else np.complex128
     a1 = np.arange(n1)
     a2 = np.arange(n2)
@@ -268,7 +268,11 @@ def _scrambled_plan(n: int, dtype_name: str):
 
 def _plan_consts(n, x):
     dtype_name = "complex64" if x.dtype == jnp.complex64 else "complex128"
-    n1, n2, w1c, w1ic, fwd2, inv2 = _scrambled_plan(n, dtype_name)
+    # The factorization participates in the cache key: PYSLICE_SCRAMBLED_D
+    # can change mid-process (benchmarks), and a stale cached plan would
+    # silently desync from scramble_perm's ordering.
+    d, m = scrambled_factors(n)
+    n1, n2, w1c, w1ic, fwd2, inv2 = _scrambled_plan(n, dtype_name, d, m)
     return n1, n2, w1c, w1ic, _consts(fwd2, x), _consts(inv2, x)
 
 

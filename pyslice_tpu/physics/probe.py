@@ -36,6 +36,11 @@ from ..utils.host import put_complex_or_real, to_numpy
 # complex values inside compiled code.
 
 
+@jax.jit
+def _complex_from_phase(phase):
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
 @functools.partial(jax.jit, static_argnames=("complex_dtype",))
 def _aperture_probe(mask_real, complex_dtype):
     mask = jax.lax.complex(mask_real, jnp.zeros_like(mask_real)).astype(complex_dtype)
@@ -80,6 +85,11 @@ def fresnel_kernel(kxs, kys, lam: float, dz: float, precision=None) -> jnp.ndarr
     ksq = kxs[:, None] ** 2 + kys[None, :] ** 2
     phase = (-np.pi * lam * dz) * ksq
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+@jax.jit
+def _defocus_ksq_impl(array, P):
+    return jnp.fft.ifft2(jnp.fft.fft2(array) * P)
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "dz", "precision"))
@@ -128,9 +138,8 @@ def defocus(array, kxs, kys, lam: float, dz: float, precision=None,
     if ksq is not None:
         phase = jnp.asarray((-np.pi * lam * dz) * np.asarray(ksq),
                             dtype=prec.real)
-        P = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-        return jax.jit(lambda a, p: jnp.fft.ifft2(jnp.fft.fft2(a) * p))(
-            jnp.asarray(array), P)
+        P = _complex_from_phase(phase)
+        return _defocus_ksq_impl(jnp.asarray(array), P)
     kxs = np.asarray(kxs, dtype=np.dtype(prec.real))
     kys = np.asarray(kys, dtype=np.dtype(prec.real))
     return _defocus_impl(array, kxs, kys, float(lam), float(dz), prec)

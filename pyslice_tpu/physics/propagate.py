@@ -118,7 +118,17 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     shape = jnp.shape(psi)
     if fused is None:
         if ops_config.fused_multislice == "on":
-            kernel = "aligned"    # strict: fused_multislice raises if unfit
+            # strict: any fused kernel; raise with a clear message if none fits
+            if _fused_eligible(shape, record_layers, prec):
+                kernel = "aligned"
+            elif _fused_odd_eligible(shape, record_layers, prec):
+                kernel = "odd"
+            else:
+                raise ValueError(
+                    "ops.config.fused_multislice == 'on' but no fused "
+                    f"kernel fits this problem (shape {shape}; needs TPU, "
+                    "single precision, 3-D probe batch, and grid axes "
+                    "either divisible by 128 or small-factor composite)")
         elif _fused_eligible(shape, record_layers, prec):
             kernel = "aligned"
         elif _fused_odd_eligible(shape, record_layers, prec):

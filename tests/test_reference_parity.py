@@ -32,7 +32,13 @@ import pytest
 
 # --- reference import ---------------------------------------------------------
 
-REF = "/root/reference"
+import os
+from pathlib import Path
+
+REF = os.environ.get("PYSLICE_REFERENCE_DIR", "/root/reference")
+if not (Path(REF) / "src" / "multislice" / "multislice.py").exists():
+    pytest.skip(f"reference checkout not found at {REF} "
+                "(set PYSLICE_REFERENCE_DIR)", allow_module_level=True)
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
