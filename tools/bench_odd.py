@@ -31,8 +31,9 @@ def main():
     from pyslice_tpu.ops import config as ops_config
     from pyslice_tpu.physics.propagate import multislice
 
+    import os
     sizes = [int(a) for a in sys.argv[1:]] or [1023, 1009, 1024]
-    n_probes = 16
+    n_probes = int(os.environ.get("PYSLICE_BENCH_PROBES", "16"))
     nz = 14
     dev = jax.devices()[0]
     log(f"device: {dev}")
