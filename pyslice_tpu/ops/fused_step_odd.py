@@ -293,9 +293,27 @@ def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
 
 
 def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
-                         lam: float, dz: float, ksq=None) -> jnp.ndarray:
+                         lam: float, dz: float, ksq=None,
+                         record_layers=None) -> jnp.ndarray:
     """Fused-Pallas multislice for composite odd grids; same contract as
-    ops.fused_step.fused_multislice (exit wave, no depth recording)."""
+    ops.fused_step.fused_multislice (incl. depth recording via segment
+    chaining: each resumed segment is prepended a zero potential slice so
+    its first step performs exactly the pending Fresnel propagation)."""
+    if record_layers is not None:
+        layers = tuple(int(l) for l in record_layers)
+        zero = jnp.zeros_like(potential_szy[:1])
+        snaps = []
+        cur = psi
+        z = 0
+        for li, layer in enumerate(layers):
+            seg = potential_szy[z:layer + 1]
+            if li > 0:
+                seg = jnp.concatenate([zero, seg], axis=0)
+            cur = fused_multislice_odd(cur, seg, kxs, kys, sigma=sigma,
+                                       lam=lam, dz=dz, ksq=ksq)
+            snaps.append(cur)
+            z = layer + 1
+        return jnp.stack(snaps, axis=0)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size_odd(nx) and supported_size_odd(ny)):

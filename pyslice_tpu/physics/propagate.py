@@ -58,8 +58,6 @@ def _fused_odd_eligible(psi_shape, record_layers, prec) -> bool:
     from ..ops import fused_step_odd
     if ops_config.fused_multislice == "off":
         return False
-    if record_layers is not None:
-        return False
     if prec.name != "single":
         return False
     if len(psi_shape) != 3:
@@ -145,7 +143,7 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                 "fused=True requested but the problem is not eligible "
                 "(needs TPU, single precision, 3-D probe batch, and grid "
                 "axes either divisible by 128 or composite with a small "
-                "prime factor; depth recording only on the aligned path)")
+                "prime factor)")
     else:
         kernel = "xla"
     scrambled = ((False, False) if kernel != "xla"
@@ -208,8 +206,16 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
+        if record_layers is not None:
+            layers = tuple(int(l) for l in record_layers)
+            if any(b <= a for a, b in zip(layers, layers[1:])):
+                raise ValueError("record_layers must be strictly increasing")
+            if layers and (layers[0] < 0 or layers[-1] >= nz):
+                raise ValueError(
+                    f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
-                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq)
+                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq,
+                                    record_layers=record_layers)
     # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
     # propagator are pre-permuted to the transform's digit-scrambled output
     # order — the diagonal multiply is order-agnostic, so the loop does the

@@ -76,6 +76,31 @@ def test_fused_odd_matches_reference(shape):
     assert _compare_odd(*shape) < TOL
 
 
+def test_fused_odd_record_layers():
+    """Depth recording on the odd kernel (segment chaining) vs XLA."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_odd
+    rng = np.random.default_rng(4)
+    P, NX, NY, NZ = 1, 387, 387, 4
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5, precision=SINGLE,
+                                 fused=False, record_layers=(1, 3)))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_step_odd.fused_multislice_odd(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(eV), lam=lam, dz=0.5,
+            record_layers=(1, 3)))
+    assert got.shape == want.shape == (2, P, NX, NY)
+    assert np.abs(got - want).max() / np.abs(want).max() < TOL
+
+
 def test_supported_size_odd():
     from pyslice_tpu.ops import fused_step_odd
     assert fused_step_odd.supported_size_odd(1023)   # 3 * 341
