@@ -480,12 +480,31 @@ def _haadf_accumulate(acc, positions, probes, mask, spec: SimSpec,
 
 class StreamingHAADF:
     """Running ADF accumulation: mean over frames of the annular-masked
-    k-space amplitude sum per probe (haadf_data.py:43-65 semantics)."""
+    k-space amplitude sum per probe (haadf_data.py:43-65 semantics).
+
+    ``mesh``: optional ('frame', 'probe') Mesh — probes/accumulators shard
+    over 'probe'; a frame extent > 1 shards the stream (one frame per
+    frame-row via ``add_frame_block``, partial accumulators merged by a
+    psum at ``image()``), mirroring StreamingTACAW.
+    """
 
     def __init__(self, spec: SimSpec, probes, probe_positions,
                  collection_angle: float = 45, eV: Optional[float] = None,
-                 intensity: bool = False, layer_index: int = -1):
+                 intensity: bool = False, layer_index: int = -1,
+                 mesh=None):
         self.spec = spec
+        self.mesh = mesh
+        self._frame_extent = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
+            if probes.shape[0] % mesh.shape[PROBE_AXIS]:
+                raise ValueError(
+                    f"n_probes={probes.shape[0]} must be divisible by the "
+                    f"mesh probe extent {mesh.shape[PROBE_AXIS]}")
+            self._frame_extent = int(mesh.shape.get(FRAME_AXIS, 1))
+            probes = jax.device_put(
+                probes, NamedSharding(mesh, P(PROBE_AXIS)))
         self.probes = probes
         self.probe_positions = np.asarray(probe_positions, dtype=np.float64)
         self.intensity = bool(intensity)
@@ -505,21 +524,78 @@ class StreamingHAADF:
         radius = (collection_angle * 1e-3) / lam
         self._mask = jnp.asarray((q > radius).astype(
             np.dtype(spec.precision.real)))
-        self._acc = jax.jit(lambda: jnp.zeros(
-            (probes.shape[0],), spec.precision.real))()
+        n_probes = probes.shape[0]
+        prec = spec.precision
+        if self._frame_extent > 1:
+            self._init_frame_sharded_haadf(n_probes, prec)
+        else:
+            self._acc = jax.jit(lambda: jnp.zeros(
+                (n_probes,), prec.real))()
         self._n = 0
 
+    def _init_frame_sharded_haadf(self, n_probes, prec):
+        import functools as _ft
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
+        mesh = self.mesh
+        F = self._frame_extent
+        spec = self.spec
+        layer_index = self.layer_index
+        intensity = self.intensity
+        self._acc = jax.jit(
+            lambda: jnp.zeros((F, n_probes), prec.real),
+            out_shardings=NamedSharding(mesh, P(FRAME_AXIS, PROBE_AXIS)))()
+
+        @_ft.partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(FRAME_AXIS, PROBE_AXIS), P(FRAME_AXIS),
+                               P(PROBE_AXIS), P()),
+                     out_specs=P(FRAME_AXIS, PROBE_AXIS))
+        def acc_block(acc, pos, probes_l, mask):
+            psi = frame_exit_waves(pos[0], probes_l, spec)[..., layer_index]
+            amp = jnp.abs(psi)
+            if intensity:
+                amp = amp * amp
+            return acc + jnp.sum(amp * mask[None], axis=(1, 2))[None]
+
+        @_ft.partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(FRAME_AXIS, PROBE_AXIS),),
+                     out_specs=P(PROBE_AXIS))
+        def merge(acc):
+            return jax.lax.psum(acc[0], FRAME_AXIS)
+
+        self._acc_block = jax.jit(acc_block, donate_argnums=(0,))
+        self._merge = jax.jit(merge)
+
     def add_frame(self, positions) -> None:
+        if self._frame_extent > 1:
+            raise ValueError(
+                "this stream is frame-sharded (mesh frame extent "
+                f"{self._frame_extent} > 1); feed frames through "
+                "add_frame_block")
         self._acc = _haadf_accumulate(self._acc, jnp.asarray(positions),
                                       self.probes, self._mask, self.spec,
                                       self.layer_index, self.intensity)
         self._n += 1
 
+    def add_frame_block(self, positions_block) -> None:
+        """Feed one frame per mesh frame-row: (F, n_atoms, 3)."""
+        F = self._frame_extent
+        pos = jnp.asarray(positions_block)
+        if F == 1:
+            self.add_frame(pos[0])
+            return
+        if pos.ndim != 3 or pos.shape[0] != F:
+            raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
+        self._acc = self._acc_block(self._acc, pos, self.probes, self._mask)
+        self._n += F
+
     def image(self) -> np.ndarray:
         """(n_x, n_y) ADF image over the reconstructed scan grid."""
         if self._n == 0:
             raise ValueError("no frames streamed")
-        collected = np.asarray(self._acc) / self._n
+        acc = (self._merge(self._acc) if self._frame_extent > 1
+               else self._acc)
+        collected = np.asarray(acc) / self._n
         positions = self.probe_positions
         xs = np.array(sorted(set(positions[:, 0].tolist())))
         ys = np.array(sorted(set(positions[:, 1].tolist())))

@@ -214,6 +214,27 @@ def test_streaming_checkpoint_resume_frame_sharded(problem, tmp_path):
         st3.restore(tmp_path / "ckpt")
 
 
+@pytest.mark.parametrize("fmesh,pmesh", [(4, 2), (1, 8)])
+def test_streaming_haadf_sharded_matches_unsharded(problem, fmesh, pmesh):
+    """StreamingHAADF on a ('frame','probe') mesh == single device."""
+    from pyslice_tpu.engine.streaming import StreamingHAADF
+    traj, g, spec, probes = problem
+    mesh = make_mesh(fmesh, pmesh)
+    pg = probe_grid([1, 3], [1, 3], 4, 2)          # 8 probes
+    base = Probe(g.xs, g.ys, 20, 100e3, precision=DOUBLE)
+    probes8 = create_batched_probes(base, pg).array
+
+    st0 = StreamingHAADF(spec, probes8, pg, collection_angle=40)
+    for f in range(traj.n_frames):
+        st0.add_frame(traj.positions[f])
+    want = st0.image()
+
+    st = StreamingHAADF(spec, probes8, pg, collection_angle=40, mesh=mesh)
+    for b in range(traj.n_frames // fmesh):
+        st.add_frame_block(traj.positions[b * fmesh:(b + 1) * fmesh])
+    np.testing.assert_allclose(st.image(), want, rtol=1e-10)
+
+
 def test_streaming_frame_sharded_validation(problem):
     from pyslice_tpu.engine.streaming import StreamingTACAW
     traj, g, spec, probes = problem
