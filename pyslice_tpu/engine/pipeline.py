@@ -68,18 +68,23 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
     """
     v = rasterize(positions, spec.plan, spec.precision)
 
-    from ..physics.propagate import _fused_eligible
+    from ..physics.propagate import _fused_eligible, _resident_eligible
     from ..ops import config as ops_config
     if (spec.record_layers is None
             and ops_config.fused_multislice != "off"
             and _fused_eligible(probes.shape, spec.record_layers,
                                 spec.precision)):
         # Fully fused path: the exit fftshift(fft2(.)) folds into the kernel
-        # chain (ops.fused_step.fused_multislice_kspace) — saves the
-        # standalone conversion's HBM passes.
+        # chain (ops.fused_step.fused_multislice_kspace, or the VMEM-resident
+        # variant when the grid fits its budget) — saves the standalone
+        # conversion's HBM passes.
         from ..core.constants import interaction_parameter
-        from ..ops.fused_step import fused_multislice_kspace
-        k = fused_multislice_kspace(
+        if _resident_eligible(probes.shape, v.shape[0], spec.precision):
+            from ..ops.fused_step_resident import (
+                fused_multislice_kspace_resident as kspace_fn)
+        else:
+            from ..ops.fused_step import fused_multislice_kspace as kspace_fn
+        k = kspace_fn(
             jnp.asarray(probes, dtype=spec.precision.complex), v,
             spec.plan.kxs, spec.plan.kys,
             sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz,

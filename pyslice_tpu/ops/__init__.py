@@ -14,3 +14,7 @@ backend whenever an axis is composite — used by CPU tests), or "off".
 class config:
     fused_multislice = "auto"
     scrambled_fft = "auto"
+    # "auto" (default): prefer the VMEM-resident kernel (fused_step_resident
+    # — one HBM pass per slice-step) over the two-pass chain when the grid
+    # fits its VMEM budget; "off": always the two-pass fused_step chain.
+    resident_multislice = "auto"

@@ -527,18 +527,7 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     # Fresnel multiplier's axes accordingly (static index gathers — works
     # under jit with traced k axes) and transpose for kernel B's y-major
     # tiles. ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
-    if ksq is not None:
-        k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
-            :, jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * k2
-    else:
-        kxs = jnp.asarray(kxs, jnp.float32)
-        kys = jnp.asarray(kys, jnp.float32)
-        kxp = kxs[jnp.asarray(digit_perm(nx))]
-        kyp = kys[jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
-    p_re_t = jnp.cos(pp).T                              # (ny, nx)
-    p_im_t = jnp.sin(pp).T
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)
@@ -572,6 +561,21 @@ def unpermute_shift_indices(n: int) -> np.ndarray:
     return inv[src]
 
 
+def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None):
+    """Digit-permuted, transposed Fresnel multiplier planes (ny, nx) —
+    the (ky~, kx~) layout every fused kernel's B/propagation stage consumes.
+    ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2."""
+    if ksq is not None:
+        k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
+            :, jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * k2
+    else:
+        kxp = jnp.asarray(kxs, jnp.float32)[jnp.asarray(digit_perm(nx))]
+        kyp = jnp.asarray(kys, jnp.float32)[jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
+    return jnp.cos(pp).T, jnp.sin(pp).T
+
+
 def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
                             lam: float, dz: float, ksq=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice(...))) with the final transforms fused
@@ -589,18 +593,7 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
     vs = (jnp.asarray(sigma, jnp.float32)
           * potential_szy.astype(jnp.float32))
 
-    if ksq is not None:
-        k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
-            :, jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * k2
-    else:
-        kxs = jnp.asarray(kxs, jnp.float32)
-        kys = jnp.asarray(kys, jnp.float32)
-        kxp = kxs[jnp.asarray(digit_perm(nx))]
-        kyp = kys[jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
-    p_re_t = jnp.cos(pp).T
-    p_im_t = jnp.sin(pp).T
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)

@@ -51,6 +51,26 @@ def _fused_eligible(psi_shape, record_layers, prec) -> bool:
     return True
 
 
+def _resident_eligible(psi_shape, nz, prec) -> bool:
+    """The VMEM-resident kernel (ops.fused_step_resident): whole-psi-in-VMEM
+    slice loop, one HBM pass per slice-step. Preferred over the two-pass
+    chain whenever the grid fits its VMEM budget."""
+    from ..ops import fused_step_resident
+    if ops_config.fused_multislice == "off":
+        return False
+    if ops_config.resident_multislice == "off":
+        return False
+    if prec.name != "single":
+        return False
+    if len(psi_shape) != 3:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    n_probes, nx, ny = psi_shape
+    return (fused_step_resident.resident_supported(nx, ny, nz)
+            and fused_step_resident.resident_preferred(n_probes, nx, ny))
+
+
 def _fused_odd_eligible(psi_shape, record_layers, prec) -> bool:
     """Composite odd grids: the digit-split Pallas kernel
     (ops.fused_step_odd). Same constraints as the aligned kernel except the
@@ -114,10 +134,13 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     """
     prec = get_precision(precision)
     shape = jnp.shape(psi)
+    nz = jnp.shape(potential_szy)[0]
     if fused is None:
         if ops_config.fused_multislice == "on":
             # strict: any fused kernel; raise with a clear message if none fits
-            if _fused_eligible(shape, record_layers, prec):
+            if _resident_eligible(shape, nz, prec):
+                kernel = "resident"
+            elif _fused_eligible(shape, record_layers, prec):
                 kernel = "aligned"
             elif _fused_odd_eligible(shape, record_layers, prec):
                 kernel = "odd"
@@ -127,6 +150,8 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                     f"kernel fits this problem (shape {shape}; needs TPU, "
                     "single precision, 3-D probe batch, and grid axes "
                     "either divisible by 128 or small-factor composite)")
+        elif _resident_eligible(shape, nz, prec):
+            kernel = "resident"
         elif _fused_eligible(shape, record_layers, prec):
             kernel = "aligned"
         elif _fused_odd_eligible(shape, record_layers, prec):
@@ -134,7 +159,9 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
         else:
             kernel = "xla"
     elif fused:
-        if _fused_eligible(shape, record_layers, prec):
+        if _resident_eligible(shape, nz, prec):
+            kernel = "resident"
+        elif _fused_eligible(shape, record_layers, prec):
             kernel = "aligned"
         elif _fused_odd_eligible(shape, record_layers, prec):
             kernel = "odd"
@@ -189,6 +216,22 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
 
+    if kernel == "resident":
+        # VMEM-resident Pallas path: the wavefunction never leaves VMEM
+        # during the slice loop — one 4 MB potential read per slice-step
+        # (see ops.fused_step_resident).
+        from ..ops.fused_step_resident import fused_multislice_resident
+        if record_layers is not None:
+            layers = tuple(int(l) for l in record_layers)
+            if any(b <= a for a, b in zip(layers, layers[1:])):
+                raise ValueError("record_layers must be strictly increasing")
+            if layers and (layers[0] < 0 or layers[-1] >= nz):
+                raise ValueError(
+                    f"record_layers out of range [0, {nz - 1}]")
+        return fused_multislice_resident(psi, potential_szy, kxs, kys,
+                                         sigma=sigma, lam=lam, dz=dz,
+                                         record_layers=record_layers,
+                                         ksq=ksq)
     if kernel == "aligned":
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.

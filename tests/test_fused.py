@@ -194,3 +194,83 @@ def test_unpermute_shift_indices():
         permuted = x[digit_perm(n)]              # what the kernels emit
         idx = unpermute_shift_indices(n)
         np.testing.assert_array_equal(permuted[idx], np.fft.fftshift(x))
+
+
+# --- VMEM-resident kernel (ops.fused_step_resident) --------------------------
+
+
+def _compare_resident(P, NX, NY, NZ, seed=0):
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_resident as fsr
+    rng = np.random.default_rng(seed)
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    sigma = interaction_parameter(eV)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5, precision=SINGLE,
+                                 fused=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fsr.fused_multislice_resident(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=sigma, lam=lam, dz=0.5))
+        got_k = np.asarray(fsr.fused_multislice_kspace_resident(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=sigma, lam=lam, dz=0.5))
+    want_k = np.fft.fftshift(np.fft.fft2(want), axes=(-2, -1))
+    return (np.abs(got - want).max() / np.abs(want).max(),
+            np.abs(got_k - want_k).max() / np.abs(want_k).max())
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 128, 4), (2, 128, 256, 3),
+                                   (1, 128, 128, 2), (1, 256, 256, 5),
+                                   (1, 384, 128, 3)])
+def test_resident_matches_reference(shape):
+    """VMEM-resident kernel (exit wave + fused k-conversion) vs XLA path."""
+    r, rk = _compare_resident(*shape)
+    assert r < TOL
+    assert rk < TOL
+
+
+def test_resident_record_layers():
+    """Depth recording via segment chaining on the resident kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_resident as fsr
+    rng = np.random.default_rng(7)
+    P, NX, NY, NZ = 2, 256, 128, 6
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    layers = (0, 2, 5)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5,
+                                 record_layers=layers, precision=SINGLE,
+                                 fused=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fsr.fused_multislice_resident(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(eV), lam=lam, dz=0.5,
+            record_layers=layers))
+    assert got.shape == want.shape == (3, P, NX, NY)
+    assert np.abs(got - want).max() / np.abs(want).max() < TOL
+
+
+def test_resident_support_and_preference():
+    from pyslice_tpu.ops import fused_step_resident as fsr
+    assert fsr.resident_supported(1024, 1024, 14)
+    assert not fsr.resident_supported(1023, 1024, 14)   # not 128-multiple
+    assert not fsr.resident_supported(2048, 1024, 14)   # over VMEM budget
+    assert not fsr.resident_supported(256, 256, 1)      # pure transmission
+    # measured dispatch crossover: few probes -> resident, many -> chain
+    assert fsr.resident_preferred(1, 1024, 1024)
+    assert fsr.resident_preferred(2, 1024, 1024)
+    assert not fsr.resident_preferred(16, 1024, 1024)
+    assert fsr.resident_preferred(16, 512, 512)

@@ -66,6 +66,8 @@ def main():
             ops_config.scrambled_fft = mode
             ops_config.fused_multislice = os.environ.get(
                 "PYSLICE_BENCH_FUSED", "off")
+            ops_config.resident_multislice = os.environ.get(
+                "PYSLICE_BENCH_RESIDENT", "auto")
 
             @jax.jit
             def loop(r, i, v):
