@@ -149,6 +149,29 @@ def test_fused_kspace_checksum():
     assert float(diff) / float(total) < 1e-5
 
 
+def test_resident_vs_chain_on_hardware():
+    """The VMEM-resident kernel vs the two-pass chain, compiled, on the
+    same device: same frame, k-space outputs within the regression bar.
+    (With few probes the dispatcher picks resident by default; forcing
+    resident_multislice='off' pins the chain for the comparison.)"""
+    _require_tpu()
+    from pyslice_tpu.ops import config as ops_config
+    from pyslice_tpu.ops.fused_step_resident import resident_preferred
+    assert resident_preferred(2, 512, 512)
+    outs = {}
+    old = ops_config.resident_multislice
+    try:
+        for mode in ("auto", "off"):
+            ops_config.resident_multislice = mode
+            fused, xla = _frame_pair(512, 512, n_probes=2, nz=4,
+                                     seed=11)
+            outs[mode] = fused
+            assert _residual(xla, fused) < 1e-6
+    finally:
+        ops_config.resident_multislice = old
+    assert _residual(outs["off"], outs["auto"]) < 1e-6
+
+
 def test_persistent_compile_cache_active():
     """The persistent XLA compile cache (enabled at import) must be
     writing entries — it is what turns minutes of recompiles into seconds."""
