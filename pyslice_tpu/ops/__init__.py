@@ -15,6 +15,12 @@ class config:
     fused_multislice = "auto"
     scrambled_fft = "auto"
     # "auto" (default): prefer the VMEM-resident kernel (fused_step_resident
-    # — one HBM pass per slice-step) over the two-pass chain when the grid
-    # fits its VMEM budget; "off": always the two-pass fused_step chain.
+    # — the whole slice loop in one pallas_call) below the measured
+    # dispatch crossover; "off": always the two-pass fused_step chain.
+    #
+    # NOTE: flags are read when a program is TRACED. physics.propagate
+    # resolves them outside its jit boundary, so plain multislice() calls
+    # always honor the current value; engine.pipeline bakes the decision
+    # into each SimSpec's trace — build a fresh SimSpec after flipping a
+    # flag (SimSpecs are identity-hashed, so a new instance retraces).
     resident_multislice = "auto"

@@ -59,15 +59,18 @@ from .fused_step import (
     unpermute_shift_indices,
 )
 
-# VMEM ceiling: state/in/out/Fresnel planes all scale with nx*ny; past
-# 2^20 pixels (1024^2) the working set no longer fits and the two-pass
-# chain (fused_step) takes over.
+# VMEM ceiling: state/in/out/Fresnel planes scale with nx*ny, and the
+# bf16x3 DFT constant planes scale with max(nx, ny) (12 planes of
+# (n, 128) f32 = 6 KB * n). Past 2^20 pixels or a 2048 axis the working
+# set no longer fits the 100 MB limit and the two-pass chain takes over.
 MAX_PIXELS = 1 << 20
+MAX_AXIS = 2048
 
 
 def resident_supported(nx: int, ny: int, nz: int) -> bool:
     return (supported_size(nx) and supported_size(ny)
-            and nx * ny <= MAX_PIXELS and nz >= 2)
+            and nx * ny <= MAX_PIXELS and max(nx, ny) <= MAX_AXIS
+            and nz >= 2)
 
 
 def resident_preferred(n_probes: int, nx: int, ny: int) -> bool:

@@ -52,19 +52,18 @@ def _fused_eligible(psi_shape, record_layers, prec) -> bool:
 
 
 def _resident_eligible(psi_shape, nz, prec) -> bool:
-    """The VMEM-resident kernel (ops.fused_step_resident): whole-psi-in-VMEM
-    slice loop, one HBM pass per slice-step. Preferred over the two-pass
-    chain whenever the grid fits its VMEM budget."""
+    """The VMEM-resident kernel (ops.fused_step_resident): the whole slice
+    loop in one pallas_call. A strict subset of the aligned-kernel
+    eligibility, taken only where it measures faster (resident_preferred).
+
+    NOTE: like every ops.config flag, this is resolved at TRACE time.
+    multislice() resolves it outside its jit boundary; callers that jit
+    around it themselves (engine.pipeline with a cached SimSpec) bake the
+    decision into the trace — create a fresh SimSpec to re-dispatch."""
     from ..ops import fused_step_resident
-    if ops_config.fused_multislice == "off":
+    if not _fused_eligible(psi_shape, None, prec):
         return False
     if ops_config.resident_multislice == "off":
-        return False
-    if prec.name != "single":
-        return False
-    if len(psi_shape) != 3:
-        return False
-    if jax.default_backend() != "tpu":
         return False
     n_probes, nx, ny = psi_shape
     return (fused_step_resident.resident_supported(nx, ny, nz)
@@ -216,18 +215,18 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
     potential_szy = jnp.asarray(potential_szy, dtype=prec.real)
     nz = potential_szy.shape[0]
 
+    if record_layers is not None:
+        layers = tuple(int(l) for l in record_layers)
+        if any(b <= a for a, b in zip(layers, layers[1:])):
+            raise ValueError("record_layers must be strictly increasing")
+        if layers and (layers[0] < 0 or layers[-1] >= nz):
+            raise ValueError(f"record_layers out of range [0, {nz - 1}]")
+
     if kernel == "resident":
         # VMEM-resident Pallas path: the wavefunction never leaves VMEM
         # during the slice loop — one 4 MB potential read per slice-step
         # (see ops.fused_step_resident).
         from ..ops.fused_step_resident import fused_multislice_resident
-        if record_layers is not None:
-            layers = tuple(int(l) for l in record_layers)
-            if any(b <= a for a, b in zip(layers, layers[1:])):
-                raise ValueError("record_layers must be strictly increasing")
-            if layers and (layers[0] < 0 or layers[-1] >= nz):
-                raise ValueError(
-                    f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice_resident(psi, potential_szy, kxs, kys,
                                          sigma=sigma, lam=lam, dz=dz,
                                          record_layers=record_layers,
@@ -236,26 +235,12 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
-        if record_layers is not None:
-            layers = tuple(int(l) for l in record_layers)
-            if any(b <= a for a, b in zip(layers, layers[1:])):
-                raise ValueError("record_layers must be strictly increasing")
-            if layers and (layers[0] < 0 or layers[-1] >= nz):
-                raise ValueError(
-                    f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers,
                                 ksq=ksq)
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
-        if record_layers is not None:
-            layers = tuple(int(l) for l in record_layers)
-            if any(b <= a for a, b in zip(layers, layers[1:])):
-                raise ValueError("record_layers must be strictly increasing")
-            if layers and (layers[0] < 0 or layers[-1] >= nz):
-                raise ValueError(
-                    f"record_layers out of range [0, {nz - 1}]")
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
                                     sigma=sigma, lam=lam, dz=dz, ksq=ksq,
                                     record_layers=record_layers)
@@ -310,12 +295,6 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                 return step(p, v_slice), None
             psi, _ = jax.lax.scan(body, psi, potential_szy[:-1])
         return transmit(psi, potential_szy[-1])
-
-    layers = tuple(int(l) for l in record_layers)
-    if any(b <= a for a, b in zip(layers, layers[1:])):
-        raise ValueError("record_layers must be strictly increasing")
-    if layers and (layers[0] < 0 or layers[-1] >= nz):
-        raise ValueError(f"record_layers out of range [0, {nz - 1}]")
 
     snapshots = []
     z = 0

@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """One-off experiment: where does the resident kernel's per-transform time
 go vs the two-pass chain? Times stripped-down kernel variants at 1024^2.
+(The SHIPPED kernels are timed with tools/bench_odd.py via
+PYSLICE_BENCH_RESIDENT=auto|off; this script only isolates whether the
+resident kernel's conditionals cost anything — they don't: both stripped
+variants measured ~23 ms vs the real kernel's 24.7 at 16 probes.)
 
 Variants:
   uncond   — resident grid (P, nz) but the body is ONLY stage_b + stage_a
              with no s-conditionals (math wrong at boundaries; timing only).
   nofirst  — like the real kernel but without the s==0 branch code.
-  real     — the shipped resident kernel (fused_step_resident).
-  twopass  — the shipped two-pass chain (fused_step).
 """
 
 import sys
@@ -157,6 +159,9 @@ def main():
             f" -> {P*NZ/t:.0f} steps/s")
 
     for v in sys.argv[1:] or ["uncond", "nofirst"]:
+        if v not in ("uncond", "nofirst"):
+            raise SystemExit(f"unknown variant {v!r} (use uncond/nofirst; "
+                             "shipped kernels: tools/bench_odd.py)")
         run_variant(v)
 
 
