@@ -63,6 +63,7 @@ class MultisliceCalculator:
             "aperture": self.aperture,
             "voltage_eV": self.voltage_eV,
             "defocus": self.defocus,
+            "aberrations": repr(self.aberrations),
             "slice_thickness": self.slice_thickness,
             "sampling": self.sampling,
             "probe_positions": np.asarray(self.probe_positions).tolist(),
@@ -93,7 +94,8 @@ class MultisliceCalculator:
               cache_root: str = "psi_data",
               fast_grid: bool = False,
               frame_block: Optional[int] = None,
-              device_output: bool = False):
+              device_output: bool = False,
+              aberrations=None):
         """Reference-compatible setup (calculators.py:96-161).
 
         batch_size semantic note (ledger #9): the reference accepts
@@ -108,6 +110,7 @@ class MultisliceCalculator:
         self.aperture = aperture
         self.voltage_eV = voltage_eV
         self.defocus = defocus
+        self.aberrations = aberrations
         self.slice_thickness = slice_thickness
         self.sampling = sampling
         self.save_path = save_path
@@ -151,6 +154,13 @@ class MultisliceCalculator:
                                 ksq=grid.ksq2d() if oblique else None)
         if defocus:
             self.base_probe.defocus(defocus)
+        if aberrations is not None:
+            # Beyond-reference: the full aberration surface
+            # (physics.aberrations.Aberrations or a coefficient dict).
+            if isinstance(aberrations, dict):
+                self.base_probe.aberrate(**aberrations)
+            else:
+                self.base_probe.aberrate(aberrations)
 
         plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
                          trajectory.atom_types, kind="kirkland",

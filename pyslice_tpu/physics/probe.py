@@ -18,6 +18,7 @@ Physics (see /root/reference/math.txt:41-47):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -253,6 +254,21 @@ class Probe:
                              self.wavelength, dz, self.precision,
                              compat_reference=compat_reference,
                              ksq=self.ksq)
+
+    def aberrate(self, aberrations=None, **coeffs) -> None:
+        """Apply an aberration surface in place (beyond-reference: the
+        reference's only aberration is defocus). Pass an
+        ``physics.aberrations.Aberrations`` or coefficient kwargs
+        (C1/A1/phi_A1/B2/phi_B2/A2/phi_A2/C3/A3/phi_A3/C5, Angstrom /
+        radians). ``aberrate(C1=dz)`` is exactly ``defocus(dz)``."""
+        from .aberrations import Aberrations, apply_aberrations
+        if aberrations is None:
+            aberrations = Aberrations(**coeffs)
+        elif coeffs:
+            aberrations = dataclasses.replace(aberrations, **coeffs)
+        self.array = apply_aberrations(self.array, self.kxs, self.kys,
+                                       self.wavelength, aberrations,
+                                       self.precision, ksq=self.ksq)
 
     def shifted_batch(self, positions) -> "Probe":
         """New Probe whose array is the (n_probes, nx, ny) shifted batch."""
