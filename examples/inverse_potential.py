@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Inverse multislice: recover a projected potential from diffraction data.
+
+A capability the reference cannot offer: the whole forward model
+(probe -> multislice propagation -> k-space intensity) is pure JAX, so
+``jax.grad`` differentiates straight through the slice loop and an
+optimizer can invert it. This is the computational core of ptychography /
+exit-wave reconstruction, here as a compact self-contained demo:
+
+  1. Build a ground-truth potential V* (thermal hBN-like atoms via the
+     production rasterizer).
+  2. Record simulated measurements: diffraction intensities
+     |FFT2 psi_exit|^2 for a grid of convergent-probe positions at two
+     defocus values (intensity only — phases are discarded, as on a real
+     detector).
+  3. Start from V = 0 and minimize the intensity MSE with Adam
+     (optax), differentiating through the full multislice loop.
+  4. Report the loss drop and the correlation of the recovered V with V*.
+
+Intensities are invariant to a constant offset per slice (a global phase),
+so recovery is judged mean-free per slice (Pearson correlation).
+
+Run:  python examples/inverse_potential.py [--steps 300] [--plot out.png]
+CPU-friendly (64^2 x 3 slices by default, ~20 s); scales to TPU by size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_problem(nx=64, ny=64, nz=3, seed=0, precision="single"):
+    """Ground-truth potential + probe stack + measured intensities."""
+    import jax
+    import jax.numpy as jnp
+    from pyslice_tpu.core.dtypes import get_precision
+    from pyslice_tpu.physics.potential import make_plan, rasterize
+    from pyslice_tpu.physics.probe import (Probe, create_batched_probes,
+                                           probe_grid)
+
+    prec = get_precision(precision)
+    lx, ly, lz = nx * 0.15, ny * 0.15, nz * 1.0
+    xs = np.linspace(0, lx, nx, endpoint=False)
+    ys = np.linspace(0, ly, ny, endpoint=False)
+    zs = np.linspace(0, lz, nz, endpoint=False)
+
+    rng = np.random.default_rng(seed)
+    n_atoms = 24
+    pos = rng.random((1, n_atoms, 3)) * np.array([lx, ly, lz - 0.05])
+    types = rng.choice([5, 7], n_atoms).astype(np.int32)   # B / N
+    plan = make_plan(xs, ys, zs, pos, types)
+    v_true = rasterize(jnp.asarray(pos[0], prec.real), plan, prec)
+
+    base = Probe(xs, ys, 25.0, 100e3, precision=prec)
+    scan = probe_grid([lx * 0.15, lx * 0.85], [ly * 0.15, ly * 0.85], 3, 3)
+    probes = []
+    for dz in (0.0, 60.0, 120.0):               # three defocus states
+        p = base.copy()
+        if dz:
+            p.defocus(dz)
+        probes.append(create_batched_probes(p, scan).array)
+    probe_stack = jnp.concatenate(probes, axis=0)    # (27, nx, ny)
+
+    kxs = np.fft.fftfreq(nx, d=xs[1] - xs[0]).astype(np.float64)
+    kys = np.fft.fftfreq(ny, d=ys[1] - ys[0]).astype(np.float64)
+    return dict(v_true=v_true, probes=probe_stack, kxs=kxs, kys=kys,
+                dz=float(zs[1] - zs[0]) if nz > 1 else 1.0, prec=prec)
+
+
+def recover(problem, steps=300, lr=30.0, log_every=50, log=print):
+    """Adam descent on the intensity MSE; returns (v_rec, history)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pyslice_tpu.physics.propagate import multislice
+
+    prec = problem["prec"]
+    probes = problem["probes"]
+    kxs, kys, dz = problem["kxs"], problem["kys"], problem["dz"]
+
+    def forward(v):
+        out = multislice(probes, v, kxs, kys, eV=100e3, dz=dz,
+                         precision=prec, fused=False)
+        return jnp.abs(jnp.fft.fft2(out)) ** 2          # detector intensity
+
+    v_true = problem["v_true"]
+    target = forward(v_true)
+    scale = jnp.mean(target)
+
+    @jax.jit
+    def loss_fn(v):
+        return jnp.mean((forward(v) - target) ** 2) / scale ** 2
+
+    opt = optax.adam(lr)
+    v = jnp.zeros_like(v_true)
+    state = opt.init(v)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    history = []
+    for i in range(steps):
+        val, g = grad_fn(v)
+        updates, state = opt.update(g, state)
+        v = optax.apply_updates(v, updates)
+        history.append(float(val))
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            log(f"  step {i:4d}  loss {float(val):.3e}")
+    return v, history
+
+
+def correlation(v_rec, v_true, kxs=None, kys=None, q_max=None) -> float:
+    """Mean-free per-slice Pearson correlation (intensity data cannot fix a
+    per-slice constant — it is a global phase).
+
+    With ``q_max`` (and the k axes), both fields are low-passed to |k| <
+    q_max first: a probe with aperture semi-angle alpha only carries
+    information out to q = 2 alpha / lambda, so spatial frequencies beyond
+    that are in the measurement null space and not recoverable by any
+    method."""
+    a = np.asarray(v_rec, dtype=np.float64)
+    b = np.asarray(v_true, dtype=np.float64)
+    if q_max is not None:
+        mask = (np.asarray(kxs)[:, None] ** 2
+                + np.asarray(kys)[None, :] ** 2) < q_max ** 2
+        a = np.real(np.fft.ifft2(np.fft.fft2(a, axes=(1, 2)) * mask[None],
+                                 axes=(1, 2)))
+        b = np.real(np.fft.ifft2(np.fft.fft2(b, axes=(1, 2)) * mask[None],
+                                 axes=(1, 2)))
+    a = a - a.mean(axis=(1, 2), keepdims=True)
+    b = b - b.mean(axis=(1, 2), keepdims=True)
+    return float((a * b).sum()
+                 / np.sqrt((a ** 2).sum() * (b ** 2).sum() + 1e-30))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--nz", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=30.0)
+    ap.add_argument("--plot", type=str, default=None,
+                    help="save a true/recovered comparison PNG")
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                    help="the demo problem is tiny; CPU is the default "
+                         "(pass 'default' to use the session backend)")
+    args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    print(f"building {args.nx}^2 x {args.nz} problem ...")
+    prob = build_problem(nx=args.nx, ny=args.nx, nz=args.nz)
+    t0 = time.time()
+    v_rec, hist = recover(prob, steps=args.steps, lr=args.lr)
+    from pyslice_tpu.core.constants import wavelength
+    q_max = 2 * 25.0e-3 / wavelength(100e3)     # probe information limit
+    c_raw = correlation(v_rec, prob["v_true"])
+    c_band = correlation(v_rec, prob["v_true"], prob["kxs"], prob["kys"],
+                         q_max)
+    print(f"loss {hist[0]:.3e} -> {hist[-1]:.3e} "
+          f"({hist[0] / max(hist[-1], 1e-30):.0f}x) in {time.time()-t0:.1f} s")
+    print(f"correlation(recovered, true) = {c_raw:.3f} raw, "
+          f"{c_band:.3f} within the probe bandwidth (|k| < 2 alpha/lambda)")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+        for ax, (title, v) in zip(
+                axes, [("true V (slice 0)", prob["v_true"]),
+                       ("recovered V (slice 0)", v_rec)]):
+            im = ax.imshow(np.asarray(v)[0].T, cmap="inferno", origin="lower")
+            ax.set_title(title)
+            fig.colorbar(im, ax=ax, shrink=0.8)
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=120)
+        print(f"wrote {args.plot}")
+
+
+if __name__ == "__main__":
+    main()
