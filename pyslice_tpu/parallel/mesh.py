@@ -58,3 +58,44 @@ def make_mesh(n_frame_shards: Optional[int] = None,
             f"mesh {n_frame_shards}x{n_probe_shards} != {n} devices")
     arr = np.asarray(devices).reshape(n_frame_shards, n_probe_shards)
     return Mesh(arr, (FRAME_AXIS, PROBE_AXIS))
+
+
+def initialize_multihost(**kwargs) -> None:
+    """Multi-host entry point: call once per process before building a
+    mesh, on every host of the pod/cluster (wraps
+    ``jax.distributed.initialize``, which reads the TPU pod metadata
+    automatically — kwargs like coordinator_address/num_processes/
+    process_id are only needed off-TPU)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(n_probe_shards: int = 1) -> Mesh:
+    """('frame', 'probe') mesh for a multi-host job, laid out so the FRAME
+    axis crosses hosts over DCN and the PROBE axis stays inside a host on
+    ICI.
+
+    Frames are the zero-communication axis (each device propagates its own
+    frames; only the final intensity psum crosses frame shards — SURVEY §5's
+    "DCN across slices, ICI within"), so the slow inter-host links carry
+    almost nothing. Probe shards exchange nothing during propagation but
+    share rasterized potentials best over ICI.
+
+    Call ``initialize_multihost()`` first on every process. Single-process
+    runs degrade to ``make_mesh`` (useful for the virtual-device tests).
+    """
+    n_procs = jax.process_count()
+    devices = jax.devices()
+    n_local = len(devices) // n_procs
+    if n_local % n_probe_shards:
+        raise ValueError(
+            f"probe shards ({n_probe_shards}) must divide the per-host "
+            f"device count ({n_local}) so the probe axis stays on ICI")
+    if n_procs == 1:
+        return make_mesh(None, n_probe_shards, devices)
+    from jax.experimental import mesh_utils
+    ici_frames = n_local // n_probe_shards
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_frames, n_probe_shards),       # within a host
+        dcn_mesh_shape=(n_procs, 1),                   # frame axis x hosts
+        devices=devices)
+    return Mesh(arr, (FRAME_AXIS, PROBE_AXIS))

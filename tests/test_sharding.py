@@ -251,3 +251,16 @@ def test_streaming_frame_sharded_validation(problem):
         st.add_frame(0, traj.positions[0])
     with pytest.raises(ValueError, match="exactly 4 frames"):
         st.add_frame_block([0, 1], traj.positions[:2])
+
+
+def test_multihost_mesh_single_process_fallback():
+    """make_multihost_mesh degrades to the plain mesh in one process, and
+    validates the ICI constraint (probe shards within a host)."""
+    import pytest as _pytest
+    from pyslice_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_probe_shards=2)
+    assert mesh.axis_names == ("frame", "probe")
+    assert mesh.devices.shape == (4, 2)          # 8 virtual devices
+    with _pytest.raises(ValueError, match="ICI"):
+        make_multihost_mesh(n_probe_shards=3)    # 3 does not divide 8
