@@ -44,6 +44,9 @@ from .physics.probe import Probe, create_batched_probes, probe_grid, shift_probe
 from .physics.propagate import Propagate, multislice
 from .io.loader import TrajectoryLoader
 from .engine.calculator import MultisliceCalculator
+from .engine.smatrix import (BeamSet, SMatrix, build_beams, compute_smatrix,
+                             smatrix_exit_kspace, smatrix_reduce)
+from .physics.aberrations import Aberrations
 from .analysis.wf_data import WFData
 from .analysis.tacaw import TACAWData
 from .analysis.haadf import HAADFData

@@ -1,0 +1,146 @@
+"""PRISM-style S-matrix STEM (engine.smatrix) — beyond-reference.
+
+The f=1 basis spans every probe the aperture can form, so the synthesized
+exit waves must match the direct pipeline exactly (linearity of
+multislice); f>1 is the PRISM approximation, checked looser on interior
+probes. Detector reductions must agree with HAADFData's convention.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyslice_tpu.core.constants import wavelength
+from pyslice_tpu.core.dtypes import SINGLE
+from pyslice_tpu.engine.pipeline import SimSpec, frame_exit_waves
+from pyslice_tpu.engine.smatrix import (build_beams, compute_smatrix,
+                                        probe_coefficients,
+                                        smatrix_exit_kspace, smatrix_reduce)
+from pyslice_tpu.physics.potential import make_plan
+from pyslice_tpu.physics.probe import Probe, create_batched_probes, probe_grid
+from pyslice_tpu.utils.host import to_numpy
+
+
+@pytest.fixture(scope="module")
+def problem():
+    nx = ny = 64
+    nz = 3
+    lx, ly, lz = nx * 0.15, ny * 0.15, nz * 1.0
+    xs = np.linspace(0, lx, nx, endpoint=False)
+    ys = np.linspace(0, ly, ny, endpoint=False)
+    zs = np.linspace(0, lz, nz, endpoint=False)
+    rng = np.random.default_rng(2)
+    pos = rng.random((1, 20, 3)) * np.array([lx, ly, lz - 0.05])
+    types = rng.choice([5, 7, 14], 20).astype(np.int32)
+    plan = make_plan(xs, ys, zs, pos, types)
+    scan = probe_grid([lx * 0.3, lx * 0.7], [ly * 0.3, ly * 0.7], 3, 3)
+    return dict(xs=xs, ys=ys, zs=zs, plan=plan, pos=pos[0], scan=scan,
+                mrad=22.0, eV=100e3, dz=float(zs[1] - zs[0]))
+
+
+def _direct_exit_k(problem):
+    """Direct path: batched shifted probes -> multislice -> k-space."""
+    from pyslice_tpu.core.grids import Grid
+    xs, ys, zs = problem["xs"], problem["ys"], problem["zs"]
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=xs[-1] + xs[1], ly=ys[-1] + ys[1],
+                lz=zs[-1] + zs[1], sampling=xs[1], slice_thickness=zs[1])
+    base = Probe(xs, ys, problem["mrad"], problem["eV"], precision=SINGLE)
+    probes = create_batched_probes(base, problem["scan"]).array
+    spec = SimSpec.create(grid, problem["plan"], problem["eV"],
+                          precision=SINGLE)
+    k = frame_exit_waves(jnp.asarray(problem["pos"], jnp.float32),
+                         probes, spec)
+    return to_numpy(k[..., 0])
+
+
+def test_probe_synthesis_exact(problem):
+    """C @ plane-wave basis reproduces probe_array + shift_probes
+    exactly (the coefficient/phase-offset identity)."""
+    xs, ys = problem["xs"], problem["ys"]
+    beams = build_beams(xs, ys, problem["mrad"], problem["eV"], f=1)
+    base = Probe(xs, ys, problem["mrad"], problem["eV"], precision=SINGLE)
+    want = to_numpy(create_batched_probes(base, problem["scan"]).array)
+
+    coeffs = to_numpy(probe_coefficients(
+        beams, problem["scan"], len(xs) * len(ys), SINGLE))
+    waves = np.exp(2j * np.pi
+                   * (beams.kxb[:, None, None] * xs[None, :, None]
+                      + beams.kyb[:, None, None] * ys[None, None, :]))
+    got = np.tensordot(coeffs, waves, axes=(1, 0))
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+
+def test_f1_exit_waves_match_direct(problem):
+    """f=1 S-matrix synthesis == the direct propagation pipeline."""
+    want = _direct_exit_k(problem)
+    beams = build_beams(problem["xs"], problem["ys"], problem["mrad"],
+                        problem["eV"], f=1)
+    sm = compute_smatrix(problem["pos"], problem["plan"], beams,
+                         xs=problem["xs"], ys=problem["ys"],
+                         dz=problem["dz"], precision=SINGLE, beam_chunk=32)
+    got = to_numpy(smatrix_exit_kspace(sm, problem["scan"], SINGLE,
+                                       probe_chunk=4))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-5
+
+
+def test_reduce_matches_explicit(problem):
+    """smatrix_reduce == mask-weighted |exit| of the synthesized waves
+    (amplitude, the reference HAADF convention), and intensity=True
+    squares."""
+    from pyslice_tpu.analysis.detectors import annular_mask
+    beams = build_beams(problem["xs"], problem["ys"], problem["mrad"],
+                        problem["eV"], f=1)
+    sm = compute_smatrix(problem["pos"], problem["plan"], beams,
+                         xs=problem["xs"], ys=problem["ys"],
+                         dz=problem["dz"], precision=SINGLE)
+    lam = wavelength(problem["eV"])
+    mask = annular_mask(sm.kxs, sm.kys, lam, inner_mrad=40.0)
+    exit_k = to_numpy(smatrix_exit_kspace(sm, problem["scan"], SINGLE))
+    want_amp = (np.abs(exit_k) * np.asarray(mask)[None]).sum(axis=(1, 2))
+    got_amp = smatrix_reduce(sm, problem["scan"], mask, intensity=False,
+                             precision=SINGLE, probe_chunk=4)
+    np.testing.assert_allclose(got_amp, want_amp, rtol=2e-4)
+    want_int = ((np.abs(exit_k) ** 2) * np.asarray(mask)[None]).sum(axis=(1, 2))
+    got_int = smatrix_reduce(sm, problem["scan"], mask, intensity=True,
+                             precision=SINGLE, probe_chunk=4)
+    np.testing.assert_allclose(got_int, want_int, rtol=2e-4)
+
+
+def test_prism_f2_approximation(problem):
+    """f=2 quarters the beam count; interior probes stay within the
+    published PRISM accuracy regime (few-percent error from replica
+    tails at the lx/f window edge and the f-times-coarser detector
+    grid). The detector axes come from sm.kxs/kys (the window grid)."""
+    from pyslice_tpu.analysis.detectors import annular_mask
+    xs, ys = problem["xs"], problem["ys"]
+    lx = xs[-1] + xs[1]
+    scan = probe_grid([lx * 0.35, lx * 0.65], [lx * 0.35, lx * 0.65], 3, 3)
+    beams1 = build_beams(xs, ys, problem["mrad"], problem["eV"], f=1)
+    beams2 = build_beams(xs, ys, problem["mrad"], problem["eV"], f=2)
+    assert beams2.n_beams < beams1.n_beams / 2.5
+    lam = wavelength(problem["eV"])
+    vals = {}
+    for f, beams in ((1, beams1), (2, beams2)):
+        sm = compute_smatrix(problem["pos"], problem["plan"], beams,
+                             xs=xs, ys=ys,
+                             dz=problem["dz"], precision=SINGLE)
+        assert len(sm.kxs) == len(xs) // f
+        mask = annular_mask(sm.kxs, sm.kys, lam, inner_mrad=40.0)
+        vals[f] = smatrix_reduce(sm, scan, mask,
+                                 intensity=True, precision=SINGLE)
+    rel = np.abs(vals[2] - vals[1]) / (np.abs(vals[1]).max() + 1e-30)
+    assert rel.max() < 0.08, f"PRISM f=2 deviates {rel.max():.3f}"
+    assert rel.mean() < 0.04
+
+
+def test_prism_f_must_divide_grid(problem):
+    with pytest.raises(ValueError, match="must divide"):
+        build_beams(problem["xs"][:63], problem["ys"][:63], 20.0,
+                    problem["eV"], f=2)
+
+
+def test_beam_validation(problem):
+    with pytest.raises(ValueError, match="convergent"):
+        build_beams(problem["xs"], problem["ys"], 0.0, problem["eV"])
