@@ -110,6 +110,12 @@ class MultisliceCalculator:
         self.aperture = aperture
         self.voltage_eV = voltage_eV
         self.defocus = defocus
+        # normalize to a canonical Aberrations instance so the frame-cache
+        # key (repr-based) is independent of dict insertion order / the
+        # dict-vs-dataclass spelling of the same physics
+        if isinstance(aberrations, dict):
+            from ..physics.aberrations import Aberrations
+            aberrations = Aberrations(**aberrations)
         self.aberrations = aberrations
         self.slice_thickness = slice_thickness
         self.sampling = sampling
@@ -154,13 +160,11 @@ class MultisliceCalculator:
                                 ksq=grid.ksq2d() if oblique else None)
         if defocus:
             self.base_probe.defocus(defocus)
-        if aberrations is not None:
+        if self.aberrations is not None:
             # Beyond-reference: the full aberration surface
-            # (physics.aberrations.Aberrations or a coefficient dict).
-            if isinstance(aberrations, dict):
-                self.base_probe.aberrate(**aberrations)
-            else:
-                self.base_probe.aberrate(aberrations)
+            # (physics.aberrations.Aberrations or a coefficient dict,
+            # normalized above).
+            self.base_probe.aberrate(self.aberrations)
 
         plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
                          trajectory.atom_types, kind="kirkland",

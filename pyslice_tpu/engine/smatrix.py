@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.constants import interaction_parameter, wavelength as _wavelength
+from ..core.constants import wavelength as _wavelength
 from ..core.dtypes import Precision, get_precision
 from ..ops import matfft
 from ..physics.potential import RasterizerPlan, rasterize
@@ -134,6 +134,12 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
     beam_chunk bounds HBM: the (chunk, nx, ny) stacks are propagated with
     lax.map over chunks.
     """
+    if ksq is not None:
+        raise ValueError(
+            "oblique cells are not supported by the S-matrix path: beam "
+            "selection, probe coefficients, and window cropping assume an "
+            "orthogonal cell (use the direct pipeline, which handles "
+            "oblique metrics end-to-end)")
     prec = get_precision(precision)
     v = rasterize(jnp.asarray(positions, prec.real), plan, prec)
     nb = beams.n_beams
@@ -142,7 +148,12 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
     ys = np.asarray(ys)
     nx, ny = len(xs), len(ys)
     dx, dy = float(xs[1] - xs[0]), float(ys[1] - ys[0])
-    chunk = max(1, min(beam_chunk, nb))
+    # balance the chunks: ceil-split nb into the fewest <=beam_chunk
+    # pieces so at most ceil(nb/chunk)-1 dummy beams get propagated
+    # (naive nb->multiple-of-beam_chunk padding could nearly double the
+    # build for nb just over a multiple).
+    n_chunks = -(-nb // max(1, min(beam_chunk, nb)))
+    chunk = -(-nb // n_chunks)
     pad = (-nb) % chunk
     kxb = np.concatenate([beams.kxb, np.zeros(pad)]).astype(np.float64)
     kyb = np.concatenate([beams.kyb, np.zeros(pad)]).astype(np.float64)
@@ -184,12 +195,13 @@ def probe_coefficients(beams: BeamSet, probe_positions, npix: int,
     phase = (2.0 * np.pi) * ((pos[:, 0] + sx)[:, None] * beams.kxb[None, :]
                              + (pos[:, 1] + sy)[:, None] * beams.kyb[None, :])
     phase = jnp.asarray(phase.astype(np.dtype(prec.real)))
+    return _coeffs_from_phase(phase, npix=npix, cdtype=prec.complex)
 
-    @jax.jit
-    def build(phase):
-        c = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-        return (c / npix).astype(prec.complex)
-    return build(phase)
+
+@functools.partial(jax.jit, static_argnames=("npix", "cdtype"))
+def _coeffs_from_phase(phase, *, npix, cdtype):
+    c = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return (c / npix).astype(cdtype)
 
 
 def _window_starts(sm: SMatrix, probe_positions) -> Tuple[np.ndarray,
@@ -289,7 +301,10 @@ def smatrix_exit_kspace(sm: SMatrix, probe_positions,
     positions. f=1: (P, nx, ny), identical to the direct pipeline's
     fftshift(fft2(multislice(shifted probes))). f>1: (P, nx/f, ny/f)
     probe-window diffraction patterns on the sm.kxs/kys axes (the PRISM
-    resolution trade)."""
+    resolution trade). CAVEAT (f>1 only): each window's crop origin is
+    rint-quantized per probe, imprinting an arbitrary linear phase ramp —
+    magnitudes are position-consistent, complex phases are NOT; use f=1
+    for phase-sensitive work."""
     return _synth_chunks(sm, probe_positions, precision, probe_chunk,
                          "exit")
 
