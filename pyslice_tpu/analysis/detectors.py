@@ -147,3 +147,29 @@ def bin_k(array, factor: int):
     a = array[..., :bx * factor, :by * factor]
     a = a.reshape(*array.shape[:-2], bx, factor, by, factor)
     return a.sum(axis=(-3, -1))
+
+
+def apply_shot_noise(image, dose: float, pixel_area: float = 1.0,
+                     seed: int = 0):
+    """Finite-dose (shot-noise) detector model.
+
+    The noiseless simulation corresponds to infinite dose; real detectors
+    count electrons. Each pixel is Poisson-sampled with expectation
+
+        lam = image * dose * pixel_area
+
+    where ``image`` is a detected-fraction-of-beam intensity map (e.g. a
+    ``virtual_image(..., intensity=True)`` of a unit-norm probe — its
+    values are the fraction of incident electrons the detector collects
+    at that scan position), ``dose`` is incident electrons per A^2, and
+    ``pixel_area`` the scan-pixel area in A^2 (dose * pixel_area =
+    electrons delivered per scan position). Returns electron counts as a
+    float numpy array; reproducible via ``seed``
+    (jax.random.poisson on device).
+    """
+    import jax.random
+    img = jnp.asarray(np.asarray(image, np.float64), jnp.float32)
+    lam = img * (dose * pixel_area)
+    key = jax.random.PRNGKey(seed)
+    counts = jax.random.poisson(key, lam).astype(jnp.float32)
+    return np.asarray(counts)

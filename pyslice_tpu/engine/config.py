@@ -26,6 +26,8 @@ class SimulationConfig:
     aperture: float = 0.0                   # mrad (0 = plane wave)
     voltage_eV: float = 100e3
     defocus: float = 0.0                    # Angstrom
+    aberrations: Optional[Dict[str, float]] = None
+    #   physics.aberrations coefficient dict, e.g. {"C3": 1e7, "A1": 40}
     slice_thickness: float = 0.5            # Angstrom
     sampling: float = 0.1                   # Angstrom / px
     slice_axis: int = 2

@@ -127,3 +127,29 @@ class TestFrozenPhonon:
         assert patt.ndim == 2 and np.all(np.isfinite(patt))
         # thermal average keeps total intensity ~ the elastic total
         assert patt.sum() > 0
+
+def test_apply_shot_noise():
+    """Poisson dose model: counts are integers >= 0, expectation tracks
+    lam = image * dose * pixel_area, variance ~ lam, reproducible by seed,
+    and infinite dose converges to the noiseless image shape."""
+    from pyslice_tpu.analysis.detectors import apply_shot_noise
+
+    rng = np.random.default_rng(0)
+    image = rng.random((40, 40)) * 0.02          # detected beam fractions
+    dose, area = 5e3, 0.25
+    counts = apply_shot_noise(image, dose, area, seed=1)
+    assert counts.shape == image.shape
+    assert np.all(counts >= 0)
+    assert np.allclose(counts, np.round(counts))
+    lam = image * dose * area
+    # mean over many pixels: relative error ~ 1/sqrt(sum(lam))
+    assert abs(counts.sum() - lam.sum()) / lam.sum() < 0.02
+    # reproducibility
+    np.testing.assert_array_equal(counts,
+                                  apply_shot_noise(image, dose, area, seed=1))
+    assert not np.array_equal(counts,
+                              apply_shot_noise(image, dose, area, seed=2))
+    # high dose -> relative fluctuations shrink
+    hi = apply_shot_noise(image, 1e8, area, seed=1)
+    rel = np.abs(hi / (image * 1e8 * area) - 1.0)
+    assert np.median(rel) < 1e-2
