@@ -313,9 +313,14 @@ def _const_specs(pl, pltpu, n1, n2, n_planes):
 
 
 def _kernel_a(mode, static_consts):
-    """Row-work kernel: optional IFFT_y, transmit, optional FFT_y."""
+    """Row-work kernel: optional IFFT_y, transmit, optional FFT_y.
 
-    def body(vr_ref, vi_ref, vs_ref, *rest):
+    The transmission arrives as precomputed (cos, sin) planes — computing
+    them in-kernel costs ~53 us of VPU transcendentals per 1024^2 step,
+    repeated for EVERY probe, while the planes are shared across the probe
+    batch and cost one extra 4 MB pipelined read."""
+
+    def body(tr_ref, ti_ref, vr_ref, vi_ref, *rest):
         *const_refs, or_ref, oi_ref = rest
         planes = [r[:] for r in const_refs]
         if mode in ("mid", "last"):
@@ -327,10 +332,7 @@ def _kernel_a(mode, static_consts):
         else:
             re = vr_ref[0]
             im = vi_ref[0]
-        phase = vs_ref[:]                     # sigma * V, (BX, NY)
-        c = jnp.cos(phase)
-        s = jnp.sin(phase)
-        re, im = _cmul(re, im, c, s)
+        re, im = _cmul(re, im, tr_ref[:], ti_ref[:])
         if mode in ("first", "mid"):          # hand off to the column pass
             re, im = _fft_minor_perm(re, im, static_consts, planes)
         or_ref[0] = re                        # natural (x-major) store
@@ -399,7 +401,7 @@ def _call_c(psi_re, psi_im, block_rows: int):
 # --- pallas_call wrappers ----------------------------------------------------
 
 
-def _call_a(psi_re, psi_im, vslice_scaled, mode: str, block_rows: int):
+def _call_a(psi_re, psi_im, t_re, t_im, mode: str, block_rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -422,7 +424,7 @@ def _call_a(psi_re, psi_im, vslice_scaled, mode: str, block_rows: int):
     else:
         state_spec = pl.BlockSpec((1, ny, bx), lambda p, i: (p, 0, i),
                                   memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((bx, ny), lambda p, i: (i, 0),
+    t_spec = pl.BlockSpec((bx, ny), lambda p, i: (i, 0),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, bx, ny), lambda p, i: (p, i, 0),
                             memory_space=pltpu.VMEM)
@@ -432,13 +434,13 @@ def _call_a(psi_re, psi_im, vslice_scaled, mode: str, block_rows: int):
     out = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[state_spec, state_spec, v_spec]
+        in_specs=[t_spec, t_spec, state_spec, state_spec]
                  + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(psi_re, psi_im, vslice_scaled, *const_arrays)
+    )(t_re, t_im, psi_re, psi_im, *const_arrays)
     return out
 
 
@@ -520,8 +522,13 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    vs = (jnp.asarray(sigma, jnp.float32)
-          * potential_szy.astype(jnp.float32))          # (nz, nx, ny)
+    # Transmission planes t = exp(i sigma V) precomputed ONCE per frame:
+    # in-kernel cos/sin costs ~53 us of VPU transcendentals per 1024^2
+    # step and would be re-evaluated per PROBE; the planes are shared.
+    phase = (jnp.asarray(sigma, jnp.float32)
+             * potential_szy.astype(jnp.float32))       # (nz, nx, ny)
+    t_re = jnp.cos(phase)
+    t_im = jnp.sin(phase)
 
     # The in-kernel transforms emit digit-permuted frequencies; permute the
     # Fresnel multiplier's axes accordingly (static index gathers — works
@@ -533,22 +540,23 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     bb = _block_rows(ny, nx)
 
     if nz == 1:
-        re2, im2 = _call_a(re, im, vs[0], "only", ba)
+        re2, im2 = _call_a(re, im, t_re[0], t_im[0], "only", ba)
         return jax.lax.complex(re2, im2)
 
     # slice 1: transmit + FFT_y
-    re, im = _call_a(re, im, vs[0], "first", ba)        # -> y-major
+    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ba)  # -> y-major
 
     if nz > 2:
-        def body(carry, v_s):
+        def body(carry, t_s):
             r, i = carry
             r, i = _call_b(r, i, p_re_t, p_im_t, bb)    # -> x-major
-            r, i = _call_a(r, i, v_s, "mid", ba)        # -> y-major
+            r, i = _call_a(r, i, t_s[0], t_s[1], "mid", ba)  # -> y-major
             return (r, i), None
-        (re, im), _ = jax.lax.scan(body, (re, im), vs[1:nz - 1])
+        (re, im), _ = jax.lax.scan(body, (re, im),
+                                   (t_re[1:nz - 1], t_im[1:nz - 1]))
 
     re, im = _call_b(re, im, p_re_t, p_im_t, bb)        # -> x-major
-    re, im = _call_a(re, im, vs[nz - 1], "last", ba)    # real space
+    re, im = _call_a(re, im, t_re[nz - 1], t_im[nz - 1], "last", ba)
     return jax.lax.complex(re, im)
 
 
@@ -590,25 +598,28 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    vs = (jnp.asarray(sigma, jnp.float32)
-          * potential_szy.astype(jnp.float32))
+    phase = (jnp.asarray(sigma, jnp.float32)
+             * potential_szy.astype(jnp.float32))
+    t_re = jnp.cos(phase)
+    t_im = jnp.sin(phase)
 
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)
 
-    re, im = _call_a(re, im, vs[0], "first", ba)        # -> x-major (x, ky~)
+    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ba)  # -> (x, ky~)
     if nz > 2:
-        def body(carry, v_s):
+        def body(carry, t_s):
             r, i = carry
             r, i = _call_b(r, i, p_re_t, p_im_t, bb)
-            r, i = _call_a(r, i, v_s, "mid", ba)
+            r, i = _call_a(r, i, t_s[0], t_s[1], "mid", ba)
             return (r, i), None
-        (re, im), _ = jax.lax.scan(body, (re, im), vs[1:nz - 1])
+        (re, im), _ = jax.lax.scan(body, (re, im),
+                                   (t_re[1:nz - 1], t_im[1:nz - 1]))
     if nz > 1:
         re, im = _call_b(re, im, p_re_t, p_im_t, bb)    # last Fresnel
-        re, im = _call_a(re, im, vs[nz - 1], "mid", ba)  # last transmit + FFT_y
+        re, im = _call_a(re, im, t_re[nz - 1], t_im[nz - 1], "mid", ba)
     # state: (x, ky~perm) x-major; kernel C adds FFT_x -> (ky~, kx~) y-major
     cr, ci = _call_c(re, im, bb)
     iy = jnp.asarray(unpermute_shift_indices(ny))

@@ -150,7 +150,7 @@ def _kernel_a(mode, ax_y, dotmode, n_const):
     """
     dy = ax_y[0]
 
-    def body(vr_ref, vi_ref, vs_ref, *rest):
+    def body(trf_ref, tif_ref, vr_ref, vi_ref, *rest):
         or_ref, oi_ref = rest[n_const:]
         # Bind the stage-2 constant PLANES from the passed refs (the host
         # copies inside ax_y must not be captured by the kernel).
@@ -163,12 +163,12 @@ def _kernel_a(mode, ax_y, dotmode, n_const):
         else:
             tr = [vr_ref[0, 0, :, a, :] for a in range(dy)]
             ti = [vi_ref[0, 0, :, a, :] for a in range(dy)]
-        # transmit: potential stripe pre-split (1, mx, dy, my)
+        # transmit: t = exp(i sigma V) precomputed per frame (stripe layout
+        # (1, mx, dy, my)) — in-kernel cos/sin would re-evaluate ~50 us of
+        # VPU transcendentals per 1M-pixel step for EVERY probe.
         for a in range(dy):
-            phase = vs_ref[0, :, a, :]
-            c = jnp.cos(phase)
-            sn = jnp.sin(phase)
-            tr[a], ti[a] = _cmul(tr[a], ti[a], c, sn)
+            tr[a], ti[a] = _cmul(tr[a], ti[a], trf_ref[0, :, a, :],
+                                 tif_ref[0, :, a, :])
         if mode in ("first", "mid"):
             tr, ti = _fft_tiles(tr, ti, ax_local, dotmode, tin=False)
             for a in range(dy):
@@ -215,7 +215,7 @@ def _vmem_params(pltpu):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _call_a(re, im, vs_split, mode, ax_y, dims, dotmode, consts_y):
+def _call_a(re, im, t_re_s, t_im_s, mode, ax_y, dims, dotmode, consts_y):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -252,11 +252,12 @@ def _call_a(re, im, vs_split, mode, ax_y, dims, dotmode, consts_y):
     return pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[state_spec, state_spec, v_spec] + [const_spec] * n_const,
+        in_specs=[v_spec, v_spec, state_spec, state_spec]
+                 + [const_spec] * n_const,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
         compiler_params=_vmem_params(pltpu),
-    )(re, im, vs_split, *consts_y)
+    )(t_re_s, t_im_s, re, im, *consts_y)
 
 
 def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
@@ -329,8 +330,10 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
     im = jnp.imag(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
-    vs = (jnp.asarray(sigma, jnp.float32)
-          * potential_szy.astype(jnp.float32)).reshape(nz, dx, mx, dy, my)
+    phase = (jnp.asarray(sigma, jnp.float32)
+             * potential_szy.astype(jnp.float32)).reshape(nz, dx, mx, dy, my)
+    t_re = jnp.cos(phase)
+    t_im = jnp.sin(phase)
 
     # Pre-scrambled, pre-transposed Fresnel multiplier (dy, my, dx, mx):
     # tile [ky1, :, kx1, :] multiplies kernel B's (my, mx) tiles directly.
@@ -350,21 +353,24 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
     p_im = jnp.sin(pp).reshape(dy, my, dx, mx)
 
     if nz == 1:
-        re, im = _call_a(re, im, vs[0], "only", ax_y, dims, dotmode,
-                         consts_y)
+        re, im = _call_a(re, im, t_re[0], t_im[0], "only", ax_y, dims,
+                         dotmode, consts_y)
         return jax.lax.complex(re, im).reshape(R, nx, ny)
 
-    re, im = _call_a(re, im, vs[0], "first", ax_y, dims, dotmode, consts_y)
+    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ax_y, dims,
+                     dotmode, consts_y)
 
     if nz > 2:
-        def bstep(carry, v_s):
+        def bstep(carry, t_s):
             r, i = carry
             r, i = _call_b(r, i, p_re, p_im, ax_x, dims, dotmode, consts_x)
-            r, i = _call_a(r, i, v_s, "mid", ax_y, dims, dotmode, consts_y)
+            r, i = _call_a(r, i, t_s[0], t_s[1], "mid", ax_y, dims,
+                           dotmode, consts_y)
             return (r, i), None
-        (re, im), _ = jax.lax.scan(bstep, (re, im), vs[1:nz - 1])
+        (re, im), _ = jax.lax.scan(bstep, (re, im),
+                                   (t_re[1:nz - 1], t_im[1:nz - 1]))
 
     re, im = _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x)
-    re, im = _call_a(re, im, vs[nz - 1], "last", ax_y, dims, dotmode,
-                     consts_y)
+    re, im = _call_a(re, im, t_re[nz - 1], t_im[nz - 1], "last", ax_y,
+                     dims, dotmode, consts_y)
     return jax.lax.complex(re, im).reshape(R, nx, ny)

@@ -87,12 +87,19 @@ def resident_preferred(n_probes: int, nx: int, ny: int) -> bool:
     return px <= (1 << 18) or n_probes * px < 3 * (1 << 20)
 
 
-def _transmit(re, im, phase):
-    return _cmul(re, im, jnp.cos(phase), jnp.sin(phase))
+
+
+
+# Probe count at which precomputing the transmission planes (cos/sin of
+# sigma V once per frame in XLA) beats in-kernel transcendentals: the
+# precompute is un-overlapped on the critical path (~1.1 ms at 1024^2 x 14),
+# the in-kernel cost (~50 us per 1M-pixel step) repeats per probe but
+# overlaps the kernel's MXU work. Measured: P=1 is 1.8x faster in-kernel.
+PRECOMPUTE_T_MIN_PROBES = 4
 
 
 def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
-                     kspace):
+                     kspace, pre_t):
     """Body for grid (n_probes, nz). Ref order: psi_re, psi_im, v, P_re,
     P_im, const_x..., const_y..., out_re, out_im, state_re/im, tmp_re/im.
 
@@ -107,7 +114,11 @@ def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
     When nx == ny, n_cy == 0 and the y transforms reuse the x constants."""
     from jax.experimental import pallas as pl
 
-    def body(vr_ref, vi_ref, v_ref, pr_ref, pi_ref, *rest):
+    def body(vr_ref, vi_ref, *refs):
+        if pre_t:
+            tr_ref, ti_ref, pr_ref, pi_ref, *rest = refs
+        else:
+            v_ref, pr_ref, pi_ref, *rest = refs
         cx_refs = rest[:n_cx]
         cy_refs = rest[n_cx:n_cx + n_cy] if n_cy else cx_refs
         (or_ref, oi_ref, str_ref, sti_ref,
@@ -115,6 +126,15 @@ def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
         planes_x = [r[:] for r in cx_refs]
         planes_y = ([r[:] for r in cy_refs] if n_cy else planes_x)
         s = pl.program_id(1)
+
+        def transmit(re, im, r):
+            # pre_t: t = exp(i sigma V) precomputed per frame; otherwise
+            # cos/sin of the sigma-scaled potential stripe in-kernel (the
+            # better trade below PRECOMPUTE_T_MIN_PROBES).
+            if pre_t:
+                return _cmul(re, im, tr_ref[0, r, :], ti_ref[0, r, :])
+            phase = v_ref[0, r, :]
+            return _cmul(re, im, jnp.cos(phase), jnp.sin(phase))
 
         def stage_b():
             # state (x, ky) -> tmp (ky, x): FFT_x, * Fresnel, IFFT_x,
@@ -135,8 +155,7 @@ def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
             # psi (x, y) -> state (x, ky): transmit + FFT_y by row block.
             for i in range(nx // bx):
                 r = slice(i * bx, (i + 1) * bx)
-                re, im = _transmit(vr_ref[0, r, :], vi_ref[0, r, :],
-                                   v_ref[0, r, :])
+                re, im = transmit(vr_ref[0, r, :], vi_ref[0, r, :], r)
                 fr, fi = _fft_minor_perm(re, im, static_y, planes_y)
                 str_ref[r, :] = fr
                 sti_ref[r, :] = fi
@@ -150,7 +169,7 @@ def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
                 re, im = _ifft_minor_perm(tmr_ref[:, r], tmi_ref[:, r],
                                           static_y, planes_y,
                                           tin=True)            # (bx, y)
-                re, im = _transmit(re, im, v_ref[0, r, :])
+                re, im = transmit(re, im, r)
 
                 @pl.when(s < nz - 1)
                 def _mid():
@@ -185,12 +204,16 @@ def _kernel_resident(nz, nx, ny, bx, by, static_x, static_y, n_cx, n_cy,
     return body
 
 
-def _call_resident(re, im, vs, p_re_t, p_im_t, kspace: bool):
+def _call_resident(re, im, t_planes, p_re_t, p_im_t, kspace: bool):
+    """``t_planes``: (t_re, t_im) precomputed transmission planes, or a
+    1-tuple (sigma_V,) for in-kernel transcendentals (small probe
+    batches)."""
+    pre_t = len(t_planes) == 2
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_probes, nx, ny = re.shape
-    nz = vs.shape[0]
+    nz = t_planes[0].shape[0]
     static_y, consts_y = _make_const_inputs(ny)
     if nx == ny:
         static_x, consts_x = static_y, consts_y
@@ -224,11 +247,13 @@ def _call_resident(re, im, vs, p_re_t, p_im_t, kspace: bool):
                             memory_space=pltpu.VMEM)
 
     body = _kernel_resident(nz, nx, ny, bx, by, static_x, static_y,
-                            n_cx, n_cy, kspace)
+                            n_cx, n_cy, kspace, pre_t)
     out = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[psi_spec, psi_spec, v_spec, p_spec, p_spec]
+        in_specs=[psi_spec, psi_spec]
+                 + [v_spec] * len(t_planes)
+                 + [p_spec, p_spec]
                  + [const_spec(a) for a in consts_x]
                  + [const_spec(a) for a in extra_y],
         out_specs=[out_spec, out_spec],
@@ -237,8 +262,16 @@ def _call_resident(re, im, vs, p_re_t, p_im_t, kspace: bool):
                        + [pltpu.VMEM((ny, nx), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(re, im, vs, p_re_t, p_im_t, *consts_x, *extra_y)
+    )(re, im, *t_planes, p_re_t, p_im_t, *consts_x, *extra_y)
     return out
+
+
+def _t_planes(n_probes, sigma, potential_szy):
+    phase = (jnp.asarray(sigma, jnp.float32)
+             * potential_szy.astype(jnp.float32))
+    if n_probes >= PRECOMPUTE_T_MIN_PROBES:
+        return (jnp.cos(phase), jnp.sin(phase))
+    return (phase,)
 
 
 def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
@@ -278,10 +311,10 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    vs = (jnp.asarray(sigma, jnp.float32)
-          * potential_szy.astype(jnp.float32))
+    t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
-    re2, im2 = _call_resident(re, im, vs, p_re_t, p_im_t, kspace=False)
+    re2, im2 = _call_resident(re, im, t_planes, p_re_t, p_im_t,
+                              kspace=False)
     return jax.lax.complex(re2, im2)
 
 
@@ -302,10 +335,10 @@ def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    vs = (jnp.asarray(sigma, jnp.float32)
-          * potential_szy.astype(jnp.float32))
+    t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
-    cr, ci = _call_resident(re, im, vs, p_re_t, p_im_t, kspace=True)
+    cr, ci = _call_resident(re, im, t_planes, p_re_t, p_im_t,
+                            kspace=True)
     iy = jnp.asarray(unpermute_shift_indices(ny))
     ix = jnp.asarray(unpermute_shift_indices(nx))
     k = jax.lax.complex(cr, ci)

@@ -228,7 +228,8 @@ def _compare_resident(P, NX, NY, NZ, seed=0):
 
 @pytest.mark.parametrize("shape", [(2, 256, 128, 4), (2, 128, 256, 3),
                                    (1, 128, 128, 2), (1, 256, 256, 5),
-                                   (1, 384, 128, 3)])
+                                   (1, 384, 128, 3),
+                                   (4, 128, 128, 3)])  # pre_t=True branch
 def test_resident_matches_reference(shape):
     """VMEM-resident kernel (exit wave + fused k-conversion) vs XLA path."""
     r, rk = _compare_resident(*shape)
