@@ -19,7 +19,7 @@ aberrations beyond defocus, infinite dose):
 
 Runs a small hBN-like scan on CPU in ~1 min (every stage jit-compiled);
 sizes scale directly on TPU. Prints per-stage wall-clock and summary
-statistics; --plot writes a 4-panel PNG (ideal vs realistic).
+statistics; --plot writes a 3-panel PNG (ideal vs realistic).
 """
 
 from __future__ import annotations
@@ -46,8 +46,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from pyslice_tpu.analysis.detectors import (annular_mask,
-                                                apply_shot_noise)
+    from pyslice_tpu.analysis.detectors import apply_shot_noise
     from pyslice_tpu.analysis.haadf import HAADFData
     from pyslice_tpu.core.constants import wavelength
     from pyslice_tpu.data.trajectory import Trajectory
@@ -85,12 +84,12 @@ def main():
     scan_step = ((traj.box_matrix[0, 0] - 4.0) / max(n - 1, 1),
                  (traj.box_matrix[1, 1] - 4.0) / max(n - 1, 1))
 
-    def haadf_image(defocus_extra):
+    def haadf_image(defocus=0.0, aberrations=None):
         calc = MultisliceCalculator()
         calc.setup(thermal, aperture=25.0, voltage_eV=eV,
                    slice_thickness=1.0, sampling=0.25,
                    probe_positions=scan, use_cache=False,
-                   aberrations=ab, defocus=float(defocus_extra))
+                   aberrations=aberrations, defocus=float(defocus))
         wf = calc.run()
         img = HAADFData(wf).calculateADF(collection_angle=45,
                                          intensity=True)
@@ -98,11 +97,7 @@ def main():
 
     # --- ideal: coherent, aberration-corrected, infinite dose --------------
     t0 = time.time()
-    calc = MultisliceCalculator()
-    calc.setup(thermal, aperture=25.0, voltage_eV=eV, slice_thickness=1.0,
-               sampling=0.25, probe_positions=scan, use_cache=False)
-    ideal = np.asarray(HAADFData(calc.run()).calculateADF(
-        collection_angle=45, intensity=True))
+    ideal = haadf_image()
     print(f"ideal image:     {time.time() - t0:.1f} s")
 
     # --- realistic: aberrations + chromatic series -------------------------
@@ -111,7 +106,7 @@ def main():
     for df, w in zip(nodes, weights):
         # nodes are centered at Scherzer; ab carries no C1, so the node IS
         # the probe defocus for this series member
-        real += w * haadf_image(df)
+        real += w * haadf_image(defocus=df, aberrations=ab)
     print(f"chromatic series ({len(nodes)} nodes): {time.time() - t0:.1f} s")
 
     # --- source size + dose ------------------------------------------------

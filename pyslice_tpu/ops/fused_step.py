@@ -522,13 +522,7 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    # Transmission planes t = exp(i sigma V) precomputed ONCE per frame:
-    # in-kernel cos/sin costs ~53 us of VPU transcendentals per 1024^2
-    # step and would be re-evaluated per PROBE; the planes are shared.
-    phase = (jnp.asarray(sigma, jnp.float32)
-             * potential_szy.astype(jnp.float32))       # (nz, nx, ny)
-    t_re = jnp.cos(phase)
-    t_im = jnp.sin(phase)
+    t_re, t_im = transmission_planes(sigma, potential_szy)
 
     # The in-kernel transforms emit digit-permuted frequencies; permute the
     # Fresnel multiplier's axes accordingly (static index gathers — works
@@ -569,6 +563,15 @@ def unpermute_shift_indices(n: int) -> np.ndarray:
     return inv[src]
 
 
+def transmission_planes(sigma, potential_szy):
+    """t = exp(i sigma V) as (cos, sin) f32 planes, computed ONCE per
+    frame — in-kernel cos/sin costs ~53 us of VPU transcendentals per
+    1M-pixel step and would repeat for every probe."""
+    phase = (jnp.asarray(sigma, jnp.float32)
+             * potential_szy.astype(jnp.float32))
+    return jnp.cos(phase), jnp.sin(phase)
+
+
 def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None):
     """Digit-permuted, transposed Fresnel multiplier planes (ny, nx) —
     the (ky~, kx~) layout every fused kernel's B/propagation stage consumes.
@@ -598,10 +601,7 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    phase = (jnp.asarray(sigma, jnp.float32)
-             * potential_szy.astype(jnp.float32))
-    t_re = jnp.cos(phase)
-    t_im = jnp.sin(phase)
+    t_re, t_im = transmission_planes(sigma, potential_szy)
 
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
 

@@ -52,7 +52,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import matfft
-from .fused_step import _dot_mode, _make_cdot, _split_hi_lo, _tile_dft
+from .fused_step import (_dot_mode, _make_cdot, _split_hi_lo,
+                         _tile_dft, transmission_planes)
 
 MAX_D = 8
 
@@ -330,10 +331,9 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
     im = jnp.imag(psi).astype(jnp.float32).reshape(R, dx, mx, dy, my)
-    phase = (jnp.asarray(sigma, jnp.float32)
-             * potential_szy.astype(jnp.float32)).reshape(nz, dx, mx, dy, my)
-    t_re = jnp.cos(phase)
-    t_im = jnp.sin(phase)
+    t_re, t_im = transmission_planes(sigma, potential_szy)
+    t_re = t_re.reshape(nz, dx, mx, dy, my)
+    t_im = t_im.reshape(nz, dx, mx, dy, my)
 
     # Pre-scrambled, pre-transposed Fresnel multiplier (dy, my, dx, mx):
     # tile [ky1, :, kx1, :] multiplies kernel B's (my, mx) tiles directly.

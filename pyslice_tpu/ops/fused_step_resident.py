@@ -50,6 +50,7 @@ import numpy as np
 
 from .fused_step import (
     _block_rows,
+    transmission_planes,
     _cmul,
     _fft_minor_perm,
     _ifft_minor_perm,
@@ -85,9 +86,6 @@ def resident_preferred(n_probes: int, nx: int, ny: int) -> bool:
     (16 probes at 512^2 still measured resident >= chain)."""
     px = nx * ny
     return px <= (1 << 18) or n_probes * px < 3 * (1 << 20)
-
-
-
 
 
 # Probe count at which precomputing the transmission planes (cos/sin of
@@ -267,11 +265,10 @@ def _call_resident(re, im, t_planes, p_re_t, p_im_t, kspace: bool):
 
 
 def _t_planes(n_probes, sigma, potential_szy):
-    phase = (jnp.asarray(sigma, jnp.float32)
-             * potential_szy.astype(jnp.float32))
     if n_probes >= PRECOMPUTE_T_MIN_PROBES:
-        return (jnp.cos(phase), jnp.sin(phase))
-    return (phase,)
+        return transmission_planes(sigma, potential_szy)
+    return (jnp.asarray(sigma, jnp.float32)
+            * potential_szy.astype(jnp.float32),)
 
 
 def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
