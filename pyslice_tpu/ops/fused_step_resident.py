@@ -81,9 +81,10 @@ def resident_preferred(n_probes: int, nx: int, ny: int) -> bool:
     little per-call work that overhead dominates (1 probe at 1024^2:
     5.7 ms/frame two-pass vs 1.4 ms resident — 4.1x). With enough
     per-call work the chain's pipelined-HBM schedule is ~15-25% faster
-    per transform (16 probes at 1024^2: 19.9 ms vs 24.7 ms). Crossover:
-    resident below ~3M probe-pixels, and always at <= 512^2 grids
-    (16 probes at 512^2 still measured resident >= chain)."""
+    per transform (16 probes at 1024^2: 19.9 ms vs 24.7 ms; 14.7 vs 24.7
+    after the shared transmission planes). Crossover: resident below ~3M
+    probe-pixels, and always at <= 512^2 grids (16 probes at 512^2 with
+    t-planes: resident 64.5k steps/s vs chain 57.1k)."""
     px = nx * ny
     return px <= (1 << 18) or n_probes * px < 3 * (1 << 20)
 
