@@ -112,11 +112,13 @@ def complex_dot_fast(pattern, a, b):
 def complex_einsum(pattern, a, b):
     """Precision-dispatching complex contraction: complex64 -> the fast
     Karatsuba/bf16x3 form; complex128 (CPU verification mode) -> exact
-    HIGHEST einsum. PYSLICE_CEINSUM=high|highest overrides the complex64
-    strategy (accuracy studies)."""
+    HIGHEST einsum. ops.config.complex_einsum = high|highest overrides the
+    complex64 strategy (accuracy studies; PYSLICE_CEINSUM seeds it).
+    Read at trace time — physics.propagate folds it into its jit cache key
+    (ops.config.ops_key); other jitted callers bake it into their traces."""
     if a.dtype == jnp.complex64:
-        import os
-        mode = os.environ.get("PYSLICE_CEINSUM", "kara")
+        from . import config
+        mode = config.complex_einsum
         # Small problems get exact f32 for free (the bf16x3 trade only pays
         # at MXU-saturating sizes) — e.g. tiny verification grids.
         if mode == "kara" and a.size >= (1 << 20):
@@ -250,8 +252,8 @@ def scrambled_factors(n: int) -> Tuple[int, int]:
     largest such d that keeps n2's 128-lane padding waste low; falls back
     to (n, 1) for primes (scrambled path then unsupported).
     """
-    import os
-    override = os.environ.get("PYSLICE_SCRAMBLED_D")
+    from . import config
+    override = config.scrambled_d           # PYSLICE_SCRAMBLED_D seeds it
     if override and n % int(override) == 0 and 1 < int(override) < n:
         d = int(override)
         return (d, n // d)
@@ -311,7 +313,7 @@ def _scrambled_plan(n: int, dtype_name: str, d: int, m: int):
 
 def _plan_consts(n, x):
     dtype_name = "complex64" if x.dtype == jnp.complex64 else "complex128"
-    # The factorization participates in the cache key: PYSLICE_SCRAMBLED_D
+    # The factorization participates in the cache key: config.scrambled_d
     # can change mid-process (benchmarks), and a stale cached plan would
     # silently desync from scramble_perm's ordering.
     d, m = scrambled_factors(n)

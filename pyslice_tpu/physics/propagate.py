@@ -70,6 +70,21 @@ def _resident_eligible(psi_shape, nz, prec) -> bool:
             and fused_step_resident.resident_preferred(n_probes, nx, ny))
 
 
+def _resident_odd_eligible(psi_shape, nz, prec) -> bool:
+    """Single-dispatch VMEM-resident kernel for composite odd grids
+    (ops.fused_step_odd_resident): preferred over the odd two-pass chain
+    wherever its VMEM estimate fits (measured faster at every probe count
+    — see resident_odd_preferred)."""
+    from ..ops import fused_step_odd_resident as odr
+    if not _fused_odd_eligible(psi_shape, None, prec):
+        return False
+    if ops_config.resident_multislice == "off":
+        return False
+    n_probes, nx, ny = psi_shape
+    return (odr.resident_odd_supported(nx, ny, nz, n_probes)
+            and odr.resident_odd_preferred(n_probes, nx, ny))
+
+
 def _fused_odd_eligible(psi_shape, record_layers, prec) -> bool:
     """Composite odd grids: the digit-split Pallas kernel
     (ops.fused_step_odd). Same constraints as the aligned kernel except the
@@ -134,37 +149,30 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     prec = get_precision(precision)
     shape = jnp.shape(psi)
     nz = jnp.shape(potential_szy)[0]
+    def pick_fused():
+        if _resident_eligible(shape, nz, prec):
+            return "resident"
+        if _fused_eligible(shape, record_layers, prec):
+            return "aligned"
+        if _resident_odd_eligible(shape, nz, prec):
+            return "odd_resident"
+        if _fused_odd_eligible(shape, record_layers, prec):
+            return "odd"
+        return None
+
     if fused is None:
-        if ops_config.fused_multislice == "on":
-            # strict: any fused kernel; raise with a clear message if none fits
-            if _resident_eligible(shape, nz, prec):
-                kernel = "resident"
-            elif _fused_eligible(shape, record_layers, prec):
-                kernel = "aligned"
-            elif _fused_odd_eligible(shape, record_layers, prec):
-                kernel = "odd"
-            else:
+        kernel = pick_fused()
+        if kernel is None:
+            if ops_config.fused_multislice == "on":
                 raise ValueError(
                     "ops.config.fused_multislice == 'on' but no fused "
                     f"kernel fits this problem (shape {shape}; needs TPU, "
                     "single precision, 3-D probe batch, and grid axes "
                     "either divisible by 128 or small-factor composite)")
-        elif _resident_eligible(shape, nz, prec):
-            kernel = "resident"
-        elif _fused_eligible(shape, record_layers, prec):
-            kernel = "aligned"
-        elif _fused_odd_eligible(shape, record_layers, prec):
-            kernel = "odd"
-        else:
             kernel = "xla"
     elif fused:
-        if _resident_eligible(shape, nz, prec):
-            kernel = "resident"
-        elif _fused_eligible(shape, record_layers, prec):
-            kernel = "aligned"
-        elif _fused_odd_eligible(shape, record_layers, prec):
-            kernel = "odd"
-        else:
+        kernel = pick_fused()
+        if kernel is None:
             raise ValueError(
                 "fused=True requested but the problem is not eligible "
                 "(needs TPU, single precision, 3-D probe batch, and grid "
@@ -174,22 +182,28 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
         kernel = "xla"
     scrambled = ((False, False) if kernel != "xla"
                  else _scrambled_axes(shape))
+    # ops_key folds every trace-time kernel knob (fused_dot, complex_einsum,
+    # scrambled_d, ...) into the jit cache key: flipping an ops.config field
+    # mid-process retraces with the new value instead of silently reusing a
+    # kernel compiled under the old one (round-2 weak #5).
     return _multislice_jit(psi, potential_szy, kxs, kys, ksq, eV=eV,
                            lam=lam, dz=dz, record_layers=record_layers,
                            precision=prec, kernel=kernel,
-                           scrambled=scrambled)
+                           scrambled=scrambled,
+                           ops_key=ops_config.ops_key())
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
-                                    "precision", "kernel", "scrambled"))
+                                    "precision", "kernel", "scrambled",
+                                    "ops_key"))
 def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
                     precision: Optional[Precision] = None,
                     kernel: str = "xla",
-                    scrambled: Tuple[bool, bool] = (False, False)
-                    ) -> jnp.ndarray:
+                    scrambled: Tuple[bool, bool] = (False, False),
+                    ops_key=None) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
 
     Args:
@@ -238,6 +252,16 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers,
                                 ksq=ksq)
+    if kernel == "odd_resident":
+        # Single-dispatch VMEM-resident digit-split path for composite odd
+        # grids (fused_step_odd_resident) — the reference-natural
+        # int(l/s)+1 shapes escape the ~2-dispatch/slice chain.
+        from ..ops.fused_step_odd_resident import (
+            fused_multislice_odd_resident)
+        return fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
+                                             sigma=sigma, lam=lam, dz=dz,
+                                             ksq=ksq,
+                                             record_layers=record_layers)
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
