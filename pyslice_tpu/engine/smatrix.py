@@ -185,17 +185,49 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
 
 
 def probe_coefficients(beams: BeamSet, probe_positions, npix: int,
-                       precision: Optional[Precision] = None) -> jnp.ndarray:
+                       precision: Optional[Precision] = None,
+                       aberrations=None, defocus: float = 0.0) -> jnp.ndarray:
     """(P, Nb) complex synthesis coefficients: probe(r0) = C @ basis.
     c_b(r0) = exp(2 pi i kappa_b . (s + r0)) / Npix — exactly
-    probe_array + shift_probes (the 1/Npix is ifft2's normalization)."""
+    probe_array + shift_probes (the 1/Npix is ifft2's normalization).
+
+    ``aberrations`` (physics.aberrations.Aberrations or coefficient dict)
+    and/or ``defocus`` (Angstrom, added to C1) imprint the aberration
+    surface exp(-i chi(kappa_b)) on each coefficient. The basis is
+    k-diagonal, so this is EXACT — the synthesized probe equals
+    Probe(...).defocus(dz)/.aberrate(ab) + shift_probes (round-2 advisor
+    finding: the ideal in-focus probe was the only representable one).
+    Negative defocus uses this framework's fixed back-propagation
+    semantics, not reference quirk #13's double negation."""
     prec = get_precision(precision)
     pos = np.asarray(probe_positions, np.float64).reshape(-1, 2)
     sx, sy = beams.shift
     phase = (2.0 * np.pi) * ((pos[:, 0] + sx)[:, None] * beams.kxb[None, :]
                              + (pos[:, 1] + sy)[:, None] * beams.kyb[None, :])
+    ab = _normalize_aberrations(aberrations, defocus)
+    if ab is not None:
+        from ..physics.aberrations import chi_phase
+        lam = _wavelength(beams.eV)
+        chi = chi_phase(beams.kxb ** 2 + beams.kyb ** 2,
+                        beams.kxb, beams.kyb, lam=lam, ab=ab)
+        phase = phase - np.asarray(chi, np.float64)[None, :]
     phase = jnp.asarray(phase.astype(np.dtype(prec.real)))
     return _coeffs_from_phase(phase, npix=npix, cdtype=prec.complex)
+
+
+def _normalize_aberrations(aberrations, defocus: float):
+    """Canonical Aberrations with ``defocus`` folded into C1; None if the
+    combined surface is zero."""
+    from ..physics.aberrations import Aberrations
+    if isinstance(aberrations, dict):
+        aberrations = Aberrations(**aberrations)
+    if defocus:
+        aberrations = dataclasses.replace(
+            aberrations or Aberrations(),
+            C1=(aberrations.C1 if aberrations else 0.0) + float(defocus))
+    if aberrations is None or aberrations.is_zero():
+        return None
+    return aberrations
 
 
 @functools.partial(jax.jit, static_argnames=("npix", "cdtype"))
@@ -211,11 +243,14 @@ def _window_starts(sm: SMatrix, probe_positions) -> Tuple[np.ndarray,
     The shifted probe for position (px, py) peaks at grid point
     (x_c - px, y_c - py) mod L — the reference's mirrored shift ramp
     (quirk #14, multislice.py:216-227), which this framework replicates
-    for parity."""
+    for parity. The unshifted peak x_c sits at ceil(n/2) — ifftshift
+    rolls by n//2, putting index 0 of ifft2(mask) (the peak) at
+    n - n//2 — which differs from n//2 exactly on odd grids (round-2
+    advisor finding: n=63 peaks at 32, not 31)."""
     pos = np.asarray(probe_positions, np.float64).reshape(-1, 2)
     wx, wy = sm.window
-    cx = (sm.nx // 2 - np.rint(pos[:, 0] / sm.dx).astype(int)) % sm.nx
-    cy = (sm.ny // 2 - np.rint(pos[:, 1] / sm.dy).astype(int)) % sm.ny
+    cx = ((sm.nx + 1) // 2 - np.rint(pos[:, 0] / sm.dx).astype(int)) % sm.nx
+    cy = ((sm.ny + 1) // 2 - np.rint(pos[:, 1] / sm.dy).astype(int)) % sm.ny
     return (cx - wx // 2) % sm.nx, (cy - wy // 2) % sm.ny
 
 
@@ -266,11 +301,12 @@ def _run_synth(coeffs, s_flat, sx, sy, w, *, chunk, pad, nx, ny, wx, wy,
 
 
 def _synth_chunks(sm: SMatrix, probe_positions, precision, probe_chunk,
-                  mode, weights=None):
+                  mode, weights=None, aberrations=None, defocus: float = 0.0):
     """Shared chunked synthesis driver: builds coefficients, dispatches
     the jitted worker, trims the padding."""
     prec = get_precision(precision)
-    coeffs = probe_coefficients(sm.beams, probe_positions, sm.npix, prec)
+    coeffs = probe_coefficients(sm.beams, probe_positions, sm.npix, prec,
+                                aberrations=aberrations, defocus=defocus)
     p = coeffs.shape[0]
     nb = sm.beams.n_beams
     f = sm.beams.f
@@ -296,7 +332,8 @@ def _synth_chunks(sm: SMatrix, probe_positions, precision, probe_chunk,
 
 def smatrix_exit_kspace(sm: SMatrix, probe_positions,
                         precision: Optional[Precision] = None,
-                        probe_chunk: int = 128) -> jnp.ndarray:
+                        probe_chunk: int = 128, aberrations=None,
+                        defocus: float = 0.0) -> jnp.ndarray:
     """Synthesize fftshifted k-space exit waves for arbitrary probe
     positions. f=1: (P, nx, ny), identical to the direct pipeline's
     fftshift(fft2(multislice(shifted probes))). f>1: (P, nx/f, ny/f)
@@ -304,15 +341,17 @@ def smatrix_exit_kspace(sm: SMatrix, probe_positions,
     resolution trade). CAVEAT (f>1 only): each window's crop origin is
     rint-quantized per probe, imprinting an arbitrary linear phase ramp —
     magnitudes are position-consistent, complex phases are NOT; use f=1
-    for phase-sensitive work."""
+    for phase-sensitive work. ``aberrations``/``defocus`` shape the
+    synthesized probe (exact — see probe_coefficients)."""
     return _synth_chunks(sm, probe_positions, precision, probe_chunk,
-                         "exit")
+                         "exit", aberrations=aberrations, defocus=defocus)
 
 
 def smatrix_reduce(sm: SMatrix, probe_positions, weights,
                    intensity: bool = False,
                    precision: Optional[Precision] = None,
-                   probe_chunk: int = 128) -> np.ndarray:
+                   probe_chunk: int = 128, aberrations=None,
+                   defocus: float = 0.0) -> np.ndarray:
     """Detector reduction without materializing all per-probe exit waves:
     value(p) = sum_k w(k) |exit(p, k)|   (amplitude, the reference HAADF
     convention — quirk #11; ``intensity=True`` squares). ``weights`` is a
@@ -325,7 +364,10 @@ def smatrix_reduce(sm: SMatrix, probe_positions, weights,
     are calibrated to full-grid pixel sums (the window k grid carries
     1/f^2 the detector pixels at the same pattern values, so sums are
     rescaled by f^2) — directly comparable to HAADFData.calculateADF.
+    ``aberrations``/``defocus`` shape the synthesized probe (exact — see
+    probe_coefficients).
     """
     vals = _synth_chunks(sm, probe_positions, precision, probe_chunk,
-                         "int" if intensity else "amp", weights=weights)
+                         "int" if intensity else "amp", weights=weights,
+                         aberrations=aberrations, defocus=defocus)
     return np.asarray(vals) * float(sm.beams.f ** 2)

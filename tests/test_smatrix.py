@@ -144,3 +144,61 @@ def test_prism_f_must_divide_grid(problem):
 def test_beam_validation(problem):
     with pytest.raises(ValueError, match="convergent"):
         build_beams(problem["xs"], problem["ys"], 0.0, problem["eV"])
+
+
+def test_f1_aberrated_probe_matches_direct(problem):
+    """Defocus + aberrations imprint exactly on the k-diagonal basis:
+    f=1 synthesis == direct pipeline with Probe.defocus + aberrate
+    (round-2 advisor finding: only the ideal probe was representable)."""
+    from pyslice_tpu.core.grids import Grid
+    from pyslice_tpu.physics.aberrations import Aberrations
+    xs, ys, zs = problem["xs"], problem["ys"], problem["zs"]
+    ab = Aberrations(A1=80.0, phi_A1=0.4, C3=2e5)
+    dz_def = 120.0
+
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=xs[-1] + xs[1], ly=ys[-1] + ys[1],
+                lz=zs[-1] + zs[1], sampling=xs[1], slice_thickness=zs[1])
+    base = Probe(xs, ys, problem["mrad"], problem["eV"], precision=SINGLE)
+    base.defocus(dz_def)
+    base.aberrate(ab)
+    probes = create_batched_probes(base, problem["scan"]).array
+    spec = SimSpec.create(grid, problem["plan"], problem["eV"],
+                          precision=SINGLE)
+    want = to_numpy(frame_exit_waves(jnp.asarray(problem["pos"], jnp.float32),
+                                     probes, spec)[..., 0])
+
+    beams = build_beams(xs, ys, problem["mrad"], problem["eV"], f=1)
+    sm = compute_smatrix(problem["pos"], problem["plan"], beams,
+                         xs=xs, ys=ys, dz=problem["dz"], precision=SINGLE,
+                         beam_chunk=32)
+    got = to_numpy(smatrix_exit_kspace(sm, problem["scan"], SINGLE,
+                                       probe_chunk=4, aberrations=ab,
+                                       defocus=dz_def))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_prism_window_centering_odd_grid():
+    """f>1 on an ODD grid: the crop window must center the probe peak.
+    ifftshift puts the unshifted peak at ceil(n/2) — with the old nx//2
+    center every window was decentered by one pixel on odd grids
+    (round-2 advisor finding; n=63 peaks at 32, not 31)."""
+    n = 63
+    sampling = 0.15
+    xs = np.linspace(0, n * sampling, n, endpoint=False)
+    zs = np.array([0.0])
+    # vacuum: propagate through a single empty slice (pure transmit of 0)
+    plan = make_plan(xs, xs, zs, np.zeros((1, 1, 3)),
+                     np.array([1], np.int32))
+    eV, mrad, f = 100e3, 25.0, 3
+    beams = build_beams(xs, xs, mrad, eV, f=f)
+    sm = compute_smatrix(np.zeros((1, 3)), plan, beams, xs=xs, ys=xs,
+                         dz=0.5, precision=SINGLE)
+    # probe at an exact grid point so the rint window quantization is exact
+    i0, j0 = 12, 40
+    pos = [(xs[i0], xs[j0])]
+    exit_k = to_numpy(smatrix_exit_kspace(sm, pos, SINGLE))[0]
+    win = np.fft.ifft2(np.fft.ifftshift(exit_k))
+    wx, wy = sm.window
+    peak = np.unravel_index(np.argmax(np.abs(win)), win.shape)
+    assert peak == (wx // 2, wy // 2), (
+        f"probe peak {peak} not at window center {(wx // 2, wy // 2)}")
