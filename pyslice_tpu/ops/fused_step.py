@@ -47,6 +47,25 @@ def supported_size(n: int) -> bool:
     return n % 128 == 0 and 1 <= n // 128 <= 256
 
 
+# Precomputed (cos, sin) transmission planes double the per-frame HBM
+# footprint of the transmission data vs the raw sigma*V stack (e.g. +400 MB
+# at 1024^2 x 100 slices — round-2 advisor finding). Above this byte budget
+# for the (cos, sin) pair, kernel A streams a single sigma*V plane and takes
+# cos/sin in-kernel instead: ~53 us/1M-pixel step of VPU transcendentals
+# repeated per probe, but half the transmission high-water mark — capacity
+# beats speed when the stack is GBs deep.
+PRECOMPUTE_T_MAX_BYTES = 2 << 30
+
+
+def _chain_t_planes(sigma, potential_szy):
+    """(t_re, t_im) precomputed planes, or (sigma_V,) above the capacity
+    threshold (see PRECOMPUTE_T_MAX_BYTES)."""
+    if 2 * 4 * potential_szy.size > PRECOMPUTE_T_MAX_BYTES:
+        return (jnp.asarray(sigma, jnp.float32)
+                * potential_szy.astype(jnp.float32),)
+    return transmission_planes(sigma, potential_szy)
+
+
 def _split_hi_lo(x64: np.ndarray):
     """f64 constant -> (hi, lo) f32 pair with hi exactly bf16-representable
     and hi + lo == f32(x) exactly (for the in-kernel bf16x3 dots)."""
@@ -155,7 +174,8 @@ def _tile_dft(tr, ti, sign: int):
 
 
 def _dot_mode() -> str:
-    """Stage-2 MXU dot strategy:
+    """Stage-2 MXU dot strategy (ops.config.fused_dot; PYSLICE_FUSED_DOT
+    seeds it at import):
 
     * 'bf16x3' (default) — hand-split hi/lo bf16 pairs: 3 single-pass dots
       per real product, ~2^-16 relative error. Measured 8,237 slice-steps/s
@@ -164,9 +184,12 @@ def _dot_mode() -> str:
       is the hand-rolled equivalent (ROADMAP #3 / VERDICT item 5).
     * 'highest' — full-f32 MXU passes (~1e-7): verification runs.
     * 'default' — single bf16 pass (~6e-3): timing experiments only.
+
+    Read at trace time; physics.propagate includes it in its jit cache key
+    (config.ops_key) so mid-process flips retrace rather than desync.
     """
-    import os
-    return os.environ.get("PYSLICE_FUSED_DOT", "bf16x3")
+    from . import config
+    return config.fused_dot
 
 
 def digit_perm(n: int) -> np.ndarray:
@@ -312,15 +335,23 @@ def _const_specs(pl, pltpu, n1, n2, n_planes):
 # --- kernel bodies -----------------------------------------------------------
 
 
-def _kernel_a(mode, static_consts):
+def _kernel_a(mode, static_consts, pre_t: bool = True):
     """Row-work kernel: optional IFFT_y, transmit, optional FFT_y.
 
-    The transmission arrives as precomputed (cos, sin) planes — computing
-    them in-kernel costs ~53 us of VPU transcendentals per 1024^2 step,
-    repeated for EVERY probe, while the planes are shared across the probe
-    batch and cost one extra 4 MB pipelined read."""
+    ``pre_t``: the transmission arrives as precomputed (cos, sin) planes —
+    computing them in-kernel costs ~53 us of VPU transcendentals per 1024^2
+    step, repeated for EVERY probe, while the planes are shared across the
+    probe batch and cost one extra 4 MB pipelined read. ``pre_t=False``
+    streams a single sigma*V plane and takes the cos/sin inside the kernel
+    instead — slower per probe, but HALF the per-frame HBM footprint of
+    the transmission data (the capacity fallback for very deep stacks,
+    PRECOMPUTE_T_MAX_BYTES)."""
 
-    def body(tr_ref, ti_ref, vr_ref, vi_ref, *rest):
+    def body(*args):
+        if pre_t:
+            tr_ref, ti_ref, vr_ref, vi_ref, *rest = args
+        else:
+            sv_ref, vr_ref, vi_ref, *rest = args
         *const_refs, or_ref, oi_ref = rest
         planes = [r[:] for r in const_refs]
         if mode in ("mid", "last"):
@@ -332,7 +363,11 @@ def _kernel_a(mode, static_consts):
         else:
             re = vr_ref[0]
             im = vi_ref[0]
-        re, im = _cmul(re, im, tr_ref[:], ti_ref[:])
+        if pre_t:
+            re, im = _cmul(re, im, tr_ref[:], ti_ref[:])
+        else:
+            phase = sv_ref[:]
+            re, im = _cmul(re, im, jnp.cos(phase), jnp.sin(phase))
         if mode in ("first", "mid"):          # hand off to the column pass
             re, im = _fft_minor_perm(re, im, static_consts, planes)
         or_ref[0] = re                        # natural (x-major) store
@@ -401,14 +436,17 @@ def _call_c(psi_re, psi_im, block_rows: int):
 # --- pallas_call wrappers ----------------------------------------------------
 
 
-def _call_a(psi_re, psi_im, t_re, t_im, mode: str, block_rows: int):
+def _call_a(psi_re, psi_im, t_planes, mode: str, block_rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # ``t_planes``: (t_re, t_im) precomputed transmission planes, or a
+    # 1-tuple (sigma_V,) for in-kernel transcendentals (capacity fallback).
     # Input layout: "first"/"only" take the natural x-major wave; "mid"/
     # "last" take kernel B's y-major output and read column blocks (all ky,
     # bx columns of x), transposed at kernel entry. Output is always
     # x-major (p, nx, ny).
+    pre_t = len(t_planes) == 2
     if mode in ("first", "only"):
         p_probes, nx, ny = psi_re.shape
     else:
@@ -430,17 +468,17 @@ def _call_a(psi_re, psi_im, t_re, t_im, mode: str, block_rows: int):
                             memory_space=pltpu.VMEM)
     out_shape = (p_probes, nx, ny)
 
-    body = _kernel_a(mode, static_consts)
+    body = _kernel_a(mode, static_consts, pre_t)
     out = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[t_spec, t_spec, state_spec, state_spec]
+        in_specs=[t_spec] * len(t_planes) + [state_spec, state_spec]
                  + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(t_re, t_im, psi_re, psi_im, *const_arrays)
+    )(*t_planes, psi_re, psi_im, *const_arrays)
     return out
 
 
@@ -522,7 +560,7 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    t_re, t_im = transmission_planes(sigma, potential_szy)
+    tp = _chain_t_planes(sigma, potential_szy)
 
     # The in-kernel transforms emit digit-permuted frequencies; permute the
     # Fresnel multiplier's axes accordingly (static index gathers — works
@@ -534,23 +572,23 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     bb = _block_rows(ny, nx)
 
     if nz == 1:
-        re2, im2 = _call_a(re, im, t_re[0], t_im[0], "only", ba)
+        re2, im2 = _call_a(re, im, tuple(t[0] for t in tp), "only", ba)
         return jax.lax.complex(re2, im2)
 
     # slice 1: transmit + FFT_y
-    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ba)  # -> y-major
+    re, im = _call_a(re, im, tuple(t[0] for t in tp), "first", ba)
 
     if nz > 2:
         def body(carry, t_s):
             r, i = carry
             r, i = _call_b(r, i, p_re_t, p_im_t, bb)    # -> x-major
-            r, i = _call_a(r, i, t_s[0], t_s[1], "mid", ba)  # -> y-major
+            r, i = _call_a(r, i, t_s, "mid", ba)        # -> y-major
             return (r, i), None
         (re, im), _ = jax.lax.scan(body, (re, im),
-                                   (t_re[1:nz - 1], t_im[1:nz - 1]))
+                                   tuple(t[1:nz - 1] for t in tp))
 
     re, im = _call_b(re, im, p_re_t, p_im_t, bb)        # -> x-major
-    re, im = _call_a(re, im, t_re[nz - 1], t_im[nz - 1], "last", ba)
+    re, im = _call_a(re, im, tuple(t[nz - 1] for t in tp), "last", ba)
     return jax.lax.complex(re, im)
 
 
@@ -566,7 +604,13 @@ def unpermute_shift_indices(n: int) -> np.ndarray:
 def transmission_planes(sigma, potential_szy):
     """t = exp(i sigma V) as (cos, sin) f32 planes, computed ONCE per
     frame — in-kernel cos/sin costs ~53 us of VPU transcendentals per
-    1M-pixel step and would repeat for every probe."""
+    1M-pixel step and would repeat for every probe.
+
+    Memory trade (round-2 advisor finding): the (cos, sin) pair is 2x the
+    HBM of the raw sigma*V stack (+400 MB at 1024^2 x 100 slices), lowering
+    the maximum frame depth that fits. The chain falls back to in-kernel
+    transcendentals above PRECOMPUTE_T_MAX_BYTES (_chain_t_planes); the
+    resident kernel already does below PRECOMPUTE_T_MIN_PROBES."""
     phase = (jnp.asarray(sigma, jnp.float32)
              * potential_szy.astype(jnp.float32))
     return jnp.cos(phase), jnp.sin(phase)
@@ -601,25 +645,25 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
-    t_re, t_im = transmission_planes(sigma, potential_szy)
+    tp = _chain_t_planes(sigma, potential_szy)
 
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)
 
-    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ba)  # -> (x, ky~)
+    re, im = _call_a(re, im, tuple(t[0] for t in tp), "first", ba)
     if nz > 2:
         def body(carry, t_s):
             r, i = carry
             r, i = _call_b(r, i, p_re_t, p_im_t, bb)
-            r, i = _call_a(r, i, t_s[0], t_s[1], "mid", ba)
+            r, i = _call_a(r, i, t_s, "mid", ba)
             return (r, i), None
         (re, im), _ = jax.lax.scan(body, (re, im),
-                                   (t_re[1:nz - 1], t_im[1:nz - 1]))
+                                   tuple(t[1:nz - 1] for t in tp))
     if nz > 1:
         re, im = _call_b(re, im, p_re_t, p_im_t, bb)    # last Fresnel
-        re, im = _call_a(re, im, t_re[nz - 1], t_im[nz - 1], "mid", ba)
+        re, im = _call_a(re, im, tuple(t[nz - 1] for t in tp), "mid", ba)
     # state: (x, ky~perm) x-major; kernel C adds FFT_x -> (ky~, kx~) y-major
     cr, ci = _call_c(re, im, bb)
     iy = jnp.asarray(unpermute_shift_indices(ny))
