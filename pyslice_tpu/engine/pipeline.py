@@ -68,22 +68,30 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
     """
     v = rasterize(positions, spec.plan, spec.precision)
 
-    from ..physics.propagate import _fused_eligible, _resident_eligible
+    from ..physics.propagate import (_fused_eligible, _resident_eligible,
+                                     _resident_odd_eligible)
     from ..ops import config as ops_config
-    if (spec.record_layers is None
-            and ops_config.fused_multislice != "off"
-            and _fused_eligible(probes.shape, spec.record_layers,
-                                spec.precision)):
+    kspace_fn = None
+    if spec.record_layers is None and ops_config.fused_multislice != "off":
         # Fully fused path: the exit fftshift(fft2(.)) folds into the kernel
-        # chain (ops.fused_step.fused_multislice_kspace, or the VMEM-resident
-        # variant when the grid fits its budget) — saves the standalone
-        # conversion's HBM passes.
+        # chain/dispatch (ops.fused_step.fused_multislice_kspace, the
+        # VMEM-resident variant when the grid fits its budget, or the odd
+        # resident variant for reference-natural int(l/s)+1 grids) — saves
+        # the standalone conversion's HBM passes.
+        if _fused_eligible(probes.shape, spec.record_layers,
+                           spec.precision):
+            if _resident_eligible(probes.shape, v.shape[0], spec.precision):
+                from ..ops.fused_step_resident import (
+                    fused_multislice_kspace_resident as kspace_fn)
+            else:
+                from ..ops.fused_step import (
+                    fused_multislice_kspace as kspace_fn)
+        elif _resident_odd_eligible(probes.shape, v.shape[0],
+                                    spec.precision):
+            from ..ops.fused_step_odd_resident import (
+                fused_multislice_kspace_odd_resident as kspace_fn)
+    if kspace_fn is not None:
         from ..core.constants import interaction_parameter
-        if _resident_eligible(probes.shape, v.shape[0], spec.precision):
-            from ..ops.fused_step_resident import (
-                fused_multislice_kspace_resident as kspace_fn)
-        else:
-            from ..ops.fused_step import fused_multislice_kspace as kspace_fn
         k = kspace_fn(
             jnp.asarray(probes, dtype=spec.precision.complex), v,
             spec.plan.kxs, spec.plan.kys,

@@ -275,3 +275,105 @@ def test_resident_support_and_preference():
     assert fsr.resident_preferred(2, 1024, 1024)
     assert not fsr.resident_preferred(16, 1024, 1024)
     assert fsr.resident_preferred(16, 512, 512)
+
+
+def test_chain_inkernel_transmission_fallback(monkeypatch):
+    """Above PRECOMPUTE_T_MAX_BYTES the chain streams sigma*V and takes
+    cos/sin in-kernel (half the transmission HBM footprint) — identical
+    math to the precomputed-plane path."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(7)
+    P, NX, NY, NZ = 2, 128, 128, 4
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    lam = wavelength(100e3)
+    sig = interaction_parameter(100e3)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(fused_step.fused_multislice(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys, sigma=sig, lam=lam,
+            dz=0.5))
+        monkeypatch.setattr(fused_step, "PRECOMPUTE_T_MAX_BYTES", 1)
+        assert len(fused_step._chain_t_planes(sig, jnp.asarray(v))) == 1
+        got = np.asarray(fused_step.fused_multislice(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys, sigma=sig, lam=lam,
+            dz=0.5))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def _compare_odd_resident(P, NX, NY, NZ, seed=0, kspace=False):
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_odd_resident as odr
+    rng = np.random.default_rng(seed)
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    eV = 100e3
+    lam = wavelength(eV)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=eV, lam=lam, dz=0.5, precision=SINGLE,
+                                 fused=False))
+    with pltpu.force_tpu_interpret_mode():
+        if kspace:
+            got = np.asarray(odr.fused_multislice_kspace_odd_resident(
+                jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                sigma=interaction_parameter(eV), lam=lam, dz=0.5))
+            want = np.asarray(jnp.fft.fftshift(
+                jnp.fft.fft2(jnp.asarray(want)), axes=(-2, -1)))
+        else:
+            got = np.asarray(odr.fused_multislice_odd_resident(
+                jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                sigma=interaction_parameter(eV), lam=lam, dz=0.5))
+    return np.abs(got - want).max() / np.abs(want).max()
+
+
+# P=1/2 exercise the in-kernel sigma*V transmit, P=4 the precomputed
+# (cos, sin) planes (PRECOMPUTE_T_MIN_PROBES).
+@pytest.mark.parametrize("shape", [(1, 387, 387, 3), (2, 387, 393, 4),
+                                   (4, 393, 387, 2), (1, 387, 387, 2)])
+def test_odd_resident_matches_reference(shape):
+    assert _compare_odd_resident(*shape) < TOL
+
+
+@pytest.mark.parametrize("shape", [(1, 387, 387, 3), (4, 387, 393, 2)])
+def test_odd_resident_kspace_matches(shape):
+    """Fused exit conversion: both scramble orders + the ODD-size
+    fftshift unpermuted by one static gather."""
+    assert _compare_odd_resident(*shape, kspace=True) < TOL
+
+
+def test_odd_resident_record_layers():
+    from jax.experimental.pallas import tpu as pltpu
+    from pyslice_tpu.ops import fused_step_odd_resident as odr
+    rng = np.random.default_rng(4)
+    P, NX, NY, NZ = 1, 387, 387, 4
+    psi = (rng.standard_normal((P, NX, NY))
+           + 1j * rng.standard_normal((P, NX, NY))).astype(np.complex64)
+    v = (rng.standard_normal((NZ, NX, NY)) * 50).astype(np.float32)
+    kxs = np.fft.fftfreq(NX, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(NY, 0.1).astype(np.float32)
+    lam = wavelength(100e3)
+    want = np.asarray(multislice(jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+                                 eV=100e3, lam=lam, dz=0.5, precision=SINGLE,
+                                 fused=False, record_layers=(1, 3)))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(odr.fused_multislice_odd_resident(
+            jnp.asarray(psi), jnp.asarray(v), kxs, kys,
+            sigma=interaction_parameter(100e3), lam=lam, dz=0.5,
+            record_layers=(1, 3)))
+    assert got.shape == want.shape == (2, P, NX, NY)
+    assert np.abs(got - want).max() / np.abs(want).max() < TOL
+
+
+def test_odd_resident_support():
+    from pyslice_tpu.ops import fused_step_odd_resident as odr
+    assert odr.resident_odd_supported(1023, 1023, 14, 1)
+    assert odr.resident_odd_supported(387, 393, 3, 4)
+    assert not odr.resident_odd_supported(1009, 1009, 3, 1)   # prime
+    assert not odr.resident_odd_supported(387, 387, 1, 1)     # nz < 2
+    # VMEM overflow: huge composite odd axes fall back to the chain
+    assert not odr.resident_odd_supported(2049, 2049, 8, 4)
