@@ -99,7 +99,8 @@ def parse_cif(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     Uses the first data block that contains both a cell and an atom-site loop.
     """
-    lines = Path(path).read_text().splitlines()
+    from .lammps import read_text_auto
+    lines = read_text_auto(path).splitlines()
 
     cell: Dict[str, float] = {}
     sites: List[Tuple[str, float, float, float]] = []

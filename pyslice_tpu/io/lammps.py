@@ -6,10 +6,14 @@ equivalent of OVITO's UnwrapTrajectoriesModifier — image flags when the dump
 carries them (ix iy iz), otherwise frame-to-frame minimum-image continuity
 unwrapping.
 
-Supported atom columns: id, type, any of (x y z | xs ys zs | xu yu zu),
-optional (vx vy vz), optional (ix iy iz). Atoms are sorted by id so frames
-line up. Box origin (xlo, ylo, zlo) is subtracted so coordinates live in
-[0, L) like the rest of the framework assumes.
+Supported atom columns: id, type and/or element (element-name columns map
+to atomic numbers directly — dumps written with ``dump_modify element``
+carry no numeric type), any of (x y z | xs ys zs | xu yu zu), optional
+(vx vy vz), optional (ix iy iz). Atoms are sorted by id so frames line up.
+Box origin (xlo, ylo, zlo) is subtracted so coordinates live in [0, L)
+like the rest of the framework assumes. Gzipped dumps (.gz or gzip magic
+bytes) decompress transparently — the formats the reference inherits from
+OVITO (loader.py:195-271).
 """
 
 from __future__ import annotations
@@ -18,6 +22,16 @@ from pathlib import Path
 from typing import Tuple
 
 import numpy as np
+
+
+def read_text_auto(path) -> str:
+    """File contents as text, decompressing gzip transparently (sniffed by
+    the 1f 8b magic bytes, so a .gz-less gzipped file also works)."""
+    data = Path(path).read_bytes()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+        data = gzip.decompress(data)
+    return data.decode()
 
 
 def _parse_box(bounds_lines, tilted: bool) -> Tuple[np.ndarray, np.ndarray]:
@@ -51,7 +65,7 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
          velocities (n_frames, n_atoms, 3) float64,
          box_matrix (3, 3)).
     """
-    lines = Path(path).read_text().splitlines()
+    lines = read_text_auto(path).splitlines()
     i = 0
     n_lines = len(lines)
 
@@ -98,11 +112,25 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
         if i + n_atoms > n_lines:
             bad(f"truncated frame: expected {n_atoms} atom lines, file ends "
                 f"after {n_lines - i}", n_lines)
+        col = {c: j for j, c in enumerate(cols)}
+        rows = [ln.split() for ln in lines[i:i + n_atoms]]
+        if "element" in col:
+            # Element-name column (dump_modify element ...): replace the
+            # symbols with their atomic numbers so the block parses
+            # uniformly; they double as the types when no numeric `type`
+            # column exists.
+            from ..physics.kirkland import element_to_z
+            e = col["element"]
+            for r, row in enumerate(rows):
+                if len(row) == len(cols):
+                    try:
+                        row[e] = str(element_to_z(row[e]))
+                    except ValueError:
+                        bad(f"unknown element symbol {row[e]!r}", i + r)
         try:
-            block = np.array([ln.split() for ln in lines[i:i + n_atoms]],
-                             dtype=np.float64)
+            block = np.array(rows, dtype=np.float64)
         except ValueError:
-            widths = {len(ln.split()) for ln in lines[i:i + n_atoms]}
+            widths = {len(r) for r in rows}
             bad(f"malformed atom block (row widths {sorted(widths)}, header "
                 f"declares {len(cols)} columns)", i)
         if block.ndim != 2 or block.shape[1] != len(cols):
@@ -111,13 +139,15 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
                 header_line)
         i += n_atoms
 
-        col = {c: j for j, c in enumerate(cols)}
         order = (np.argsort(block[:, col["id"]]) if "id" in col
                  else np.arange(n_atoms))
         block = block[order]
 
-        if atom_types is None and "type" in col:
-            atom_types = block[:, col["type"]].astype(np.int32)
+        if atom_types is None:
+            if "type" in col:
+                atom_types = block[:, col["type"]].astype(np.int32)
+            elif "element" in col:
+                atom_types = block[:, col["element"]].astype(np.int32)
 
         if all(c in col for c in ("x", "y", "z")):
             pos = block[:, [col["x"], col["y"], col["z"]]] - origin

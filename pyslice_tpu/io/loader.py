@@ -13,13 +13,20 @@ API-parity facade over the pure-NumPy parsers in io.lammps / io.xyz / io.cif
   after every cache load — re-running with a different mapping cannot
   silently return the previous mapping's atomic numbers (the reference
   inherits exactly that staleness, loader.py:114-145).
+
+Ingest surfaces the reference gets from OVITO (loader.py:195-271), covered
+natively here: gzipped dumps (.gz, sniffed by magic bytes), element-name
+atom columns (io.lammps), and multi-file dump patterns —
+``TrajectoryLoader("dump.*.lammpstrj")`` (glob) or an explicit list of
+files, concatenated in natural (numeric-aware) order.
 """
 
 from __future__ import annotations
 
 import logging
+import re
 from pathlib import Path
-from typing import Dict, Optional, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -32,9 +39,15 @@ from . import xyz as xyz_io
 logger = logging.getLogger(__name__)
 
 
+def _natural_key(p: Path):
+    """Numeric-aware sort key: dump.2 < dump.10 (lexical order would not)."""
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r"(\d+)", p.name)]
+
+
 class TrajectoryLoader:
     def __init__(self,
-                 filename: str,
+                 filename: Union[str, Path, Sequence[Union[str, Path]]],
                  timestep: Optional[float] = None,
                  atom_mapping: Optional[Dict[int, Union[int, str]]] = None,
                  atomic_numbers: Optional[Dict[int, int]] = None,
@@ -42,9 +55,8 @@ class TrajectoryLoader:
                  use_cache: bool = True):
         if timestep is not None and timestep <= 0:
             raise ValueError("timestep must be positive if specified.")
-        self.filepath = Path(filename)
-        if not self.filepath.exists():
-            raise FileNotFoundError(f"Trajectory file not found: {filename}")
+        self.filepaths = self._resolve_files(filename)
+        self.filepath = self.filepaths[0]
         self.timestep = timestep if timestep is not None else 1.0
         self.use_cache = use_cache
 
@@ -55,6 +67,30 @@ class TrajectoryLoader:
             logger.warning("element_names is deprecated; use atom_mapping.")
             atom_mapping = element_names
         self.atomic_numbers = self._process_atom_mapping(atom_mapping)
+
+    @staticmethod
+    def _resolve_files(filename) -> List[Path]:
+        """One Path, a glob pattern, or an explicit sequence -> ordered
+        file list (natural sort, so dump.2 precedes dump.10)."""
+        if isinstance(filename, (list, tuple)):
+            paths = [Path(f) for f in filename]
+            missing = [str(p) for p in paths if not p.exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"Trajectory files not found: {missing}")
+            if not paths:
+                raise FileNotFoundError("empty trajectory file list")
+            return paths
+        p = Path(filename)
+        if p.exists():
+            return [p]
+        if any(c in p.name for c in "*?["):
+            matches = sorted(p.parent.glob(p.name), key=_natural_key)
+            if matches:
+                return matches
+            raise FileNotFoundError(
+                f"No files match trajectory pattern: {filename}")
+        raise FileNotFoundError(f"Trajectory file not found: {filename}")
 
     @staticmethod
     def _process_atom_mapping(mapping) -> Optional[Dict[int, int]]:
@@ -93,13 +129,18 @@ class TrajectoryLoader:
     # --- cache ---------------------------------------------------------------
 
     def _get_cache_files(self) -> Dict[str, Path]:
-        stem = self.filepath.parent / self.filepath.stem
-        return {
-            "positions": stem.with_suffix(".positions.npy"),
-            "velocities": stem.with_suffix(".velocities.npy"),
-            "atom_types": stem.with_suffix(".atom_types.npy"),
-            "box_matrix": stem.with_suffix(".box_matrix.npy"),
-        }
+        name = self.filepath.stem
+        if name.endswith((".lammpstrj", ".dump", ".xyz")):
+            name = Path(name).stem      # foo.lammpstrj.gz -> foo
+        if len(self.filepaths) > 1:
+            # multi-file ingest: one combined cache keyed by first+count
+            name = f"{name}.x{len(self.filepaths)}"
+        parent = self.filepath.parent
+        # plain concatenation, NOT with_suffix: the name may carry dots
+        # (the .xN multi-file marker) that with_suffix would eat
+        return {kind: parent / f"{name}.{kind}.npy"
+                for kind in ("positions", "velocities", "atom_types",
+                             "box_matrix")}
 
     def _load_from_cache(self):
         """Returns raw (atom_types, positions, velocities, box) or None.
@@ -128,25 +169,50 @@ class TrajectoryLoader:
 
     # --- load ------------------------------------------------------------------
 
+    def _parse_one(self, path: Path):
+        """(types, positions, velocities, box) for one file; dispatches by
+        suffix with transparent .gz handling."""
+        suffixes = [s.lower() for s in path.suffixes]
+        gz = suffixes and suffixes[-1] == ".gz"
+        kind = (suffixes[-2] if gz and len(suffixes) > 1
+                else (suffixes[-1] if suffixes else ""))
+        if kind == ".cif":
+            types, pos, box = cif_io.parse_cif(path)
+            return types, pos, np.zeros_like(pos), box
+        if kind == ".xyz":
+            return xyz_io.parse_xyz(path)
+        # LAMMPS dump (.lammpstrj, .dump, ...). The native C parser reads
+        # raw text only — gzipped dumps go straight to the Python parser
+        # (which sniffs the magic bytes).
+        if not gz:
+            from .native_loader import parse_lammps_dump_native
+            native = parse_lammps_dump_native(path)
+            if native is not None:
+                return native
+        return lammps_io.parse_lammps_dump(path)
+
     def load(self) -> Trajectory:
         cached = self._load_from_cache() if self.use_cache else None
         if cached is not None:
             types, pos, vel, box = cached
         else:
-            suffix = self.filepath.suffix.lower()
-            if suffix == ".cif":
-                types, pos, box = cif_io.parse_cif(self.filepath)
-                vel = np.zeros_like(pos)
-            elif suffix == ".xyz":
-                types, pos, vel, box = xyz_io.parse_xyz(self.filepath)
-            else:   # LAMMPS dump (.lammpstrj, .dump, ...)
-                from .native_loader import parse_lammps_dump_native
-                native = parse_lammps_dump_native(self.filepath)
-                if native is not None:
-                    types, pos, vel, box = native
-                else:
-                    types, pos, vel, box = lammps_io.parse_lammps_dump(
-                        self.filepath)
+            parsed = [self._parse_one(p) for p in self.filepaths]
+            types, pos, vel, box = parsed[0]
+            if len(parsed) > 1:
+                # Multi-file pattern: concatenate frames in file order
+                # (each file carries one or more frames of the SAME system).
+                for k, (t2, p2, v2, b2) in enumerate(parsed[1:], start=2):
+                    if p2.shape[1:] != pos.shape[1:]:
+                        raise ValueError(
+                            f"{self.filepaths[k - 1]}: atom count "
+                            f"{p2.shape[1]} differs from the first file's "
+                            f"{pos.shape[1]} — not one trajectory")
+                    if not np.array_equal(np.asarray(t2), np.asarray(types)):
+                        raise ValueError(
+                            f"{self.filepaths[k - 1]}: atom types differ "
+                            "from the first file's — not one trajectory")
+                pos = np.concatenate([p[1] for p in parsed], axis=0)
+                vel = np.concatenate([p[2] for p in parsed], axis=0)
             if self.use_cache:
                 # Cache RAW types: a later load with a different atom_mapping
                 # must not inherit this run's mapping (reference quirk).

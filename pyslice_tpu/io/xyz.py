@@ -19,7 +19,8 @@ from ..physics.kirkland import ELEMENTS, element_to_z
 def parse_xyz(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (atom_types Z (n_atoms,), positions (F, N, 3),
     velocities (F, N, 3), box_matrix (3, 3))."""
-    lines = Path(path).read_text().splitlines()
+    from .lammps import read_text_auto
+    lines = read_text_auto(path).splitlines()
     i = 0
     frames_pos, frames_vel = [], []
     types = None

@@ -308,3 +308,121 @@ class TestLoader:
         d = t.generate_random_displacements(n_displacements=5, sigma=0.5,
                                             seed=0)
         assert d.n_frames == 5
+
+
+class TestIngestSurfaces:
+    """Formats the reference inherits from OVITO (loader.py:195-271):
+    gzipped dumps, element-name atom columns, multi-file patterns."""
+
+    def test_gzip_dump(self, traj, tmp_path):
+        import gzip
+        path = tmp_path / "t.lammpstrj"
+        lammps_io.write_lammps_dump(path, traj.atom_types, traj.positions,
+                                    traj.velocities, traj.box_matrix)
+        gz = tmp_path / "t2.lammpstrj.gz"
+        gz.write_bytes(gzip.compress(path.read_bytes()))
+        got = TrajectoryLoader(str(gz), timestep=0.01,
+                               use_cache=False).load()
+        np.testing.assert_allclose(got.positions, traj.positions, atol=1e-5)
+        np.testing.assert_array_equal(got.atom_types, traj.atom_types)
+
+    def test_gzip_cache_stem_strips_format_suffix(self, traj, tmp_path):
+        import gzip
+        path = tmp_path / "t.lammpstrj"
+        lammps_io.write_lammps_dump(path, traj.atom_types, traj.positions,
+                                    traj.velocities, traj.box_matrix)
+        gz = tmp_path / "t3.lammpstrj.gz"
+        gz.write_bytes(gzip.compress(path.read_bytes()))
+        TrajectoryLoader(str(gz), timestep=0.01).load()
+        assert (tmp_path / "t3.positions.npy").exists()
+
+    def test_element_name_column(self, tmp_path):
+        path = tmp_path / "e.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\n"
+            "ITEM: NUMBER OF ATOMS\n3\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 10\n0 10\n0 10\n"
+            "ITEM: ATOMS id element x y z\n"
+            "1 B 1.0 2.0 3.0\n"
+            "2 N 4.0 5.0 6.0\n"
+            "3 Si 7.0 8.0 9.0\n")
+        types, pos, vel, box = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_array_equal(types, [5, 7, 14])   # already Z
+        np.testing.assert_allclose(pos[0, 1], [4.0, 5.0, 6.0])
+
+    def test_element_column_with_numeric_type(self, tmp_path):
+        """A numeric `type` column wins (mapping stays the user's job)."""
+        path = tmp_path / "et.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\n"
+            "ITEM: NUMBER OF ATOMS\n2\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 10\n0 10\n0 10\n"
+            "ITEM: ATOMS id type element x y z\n"
+            "1 1 B 1.0 2.0 3.0\n"
+            "2 2 N 4.0 5.0 6.0\n")
+        types, _, _, _ = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_array_equal(types, [1, 2])
+
+    def test_unknown_element_symbol_errors_with_line(self, tmp_path):
+        path = tmp_path / "bad.lammpstrj"
+        path.write_text(
+            "ITEM: TIMESTEP\n0\n"
+            "ITEM: NUMBER OF ATOMS\n1\n"
+            "ITEM: BOX BOUNDS pp pp pp\n0 10\n0 10\n0 10\n"
+            "ITEM: ATOMS id element x y z\n"
+            "1 Xx 1.0 2.0 3.0\n")
+        with pytest.raises(ValueError, match="line 10.*Xx"):
+            lammps_io.parse_lammps_dump(path)
+
+    def test_multifile_glob_pattern(self, traj, tmp_path):
+        # 4 frames split 2+1+1 across dump.1/dump.2/dump.10 — natural order
+        # must read dump.2 before dump.10.
+        splits = [(0, 2), (2, 3), (3, 4)]
+        for name, (a, b) in zip(["dump.1.lammpstrj", "dump.2.lammpstrj",
+                                 "dump.10.lammpstrj"], splits):
+            lammps_io.write_lammps_dump(
+                tmp_path / name, traj.atom_types, traj.positions[a:b],
+                traj.velocities[a:b], traj.box_matrix)
+        got = TrajectoryLoader(str(tmp_path / "dump.*.lammpstrj"),
+                               timestep=0.01, use_cache=False).load()
+        assert got.n_frames == 4
+        np.testing.assert_allclose(got.positions, traj.positions, atol=1e-5)
+
+    def test_multifile_explicit_list(self, traj, tmp_path):
+        files = []
+        for k in range(2):
+            p = tmp_path / f"part{k}.lammpstrj"
+            lammps_io.write_lammps_dump(
+                p, traj.atom_types, traj.positions[2 * k:2 * k + 2],
+                traj.velocities[2 * k:2 * k + 2], traj.box_matrix)
+            files.append(p)
+        got = TrajectoryLoader(files, timestep=0.01, use_cache=False).load()
+        np.testing.assert_allclose(got.positions, traj.positions, atol=1e-5)
+
+    def test_multifile_mismatched_atoms_rejected(self, traj, tmp_path):
+        p1 = tmp_path / "a.lammpstrj"
+        p2 = tmp_path / "b.lammpstrj"
+        lammps_io.write_lammps_dump(p1, traj.atom_types, traj.positions[:1],
+                                    traj.velocities[:1], traj.box_matrix)
+        lammps_io.write_lammps_dump(p2, traj.atom_types[:-1],
+                                    traj.positions[1:, :-1],
+                                    traj.velocities[1:, :-1],
+                                    traj.box_matrix)
+        with pytest.raises(ValueError, match="atom count"):
+            TrajectoryLoader([p1, p2], timestep=0.01, use_cache=False).load()
+
+    def test_pattern_without_match_errors(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="pattern"):
+            TrajectoryLoader(str(tmp_path / "nope.*.lammpstrj"))
+
+    def test_multifile_cache_roundtrip(self, traj, tmp_path):
+        for k in range(2):
+            lammps_io.write_lammps_dump(
+                tmp_path / f"c{k}.lammpstrj", traj.atom_types,
+                traj.positions[2 * k:2 * k + 2],
+                traj.velocities[2 * k:2 * k + 2], traj.box_matrix)
+        pat = str(tmp_path / "c*.lammpstrj")
+        first = TrajectoryLoader(pat, timestep=0.01).load()
+        assert (tmp_path / "c0.x2.positions.npy").exists()
+        again = TrajectoryLoader(pat, timestep=0.01).load()
+        np.testing.assert_allclose(again.positions, first.positions)
