@@ -48,6 +48,106 @@ _abs2_jit = jax.jit(lambda a: jnp.abs(a) ** 2)
 _ksum_jit = jax.jit(lambda x: jnp.sum(x, axis=(2, 3)))
 
 
+# --- multi-host-safe checkpoint shards ----------------------------------------
+#
+# SURVEY §5 plans "sharded per-frame-block checkpoints"; round-2 weak #4
+# found the save path gathering globally-sharded accumulators to one host
+# (to_numpy on the full array). These helpers write/read ONE FILE PER
+# ADDRESSABLE SHARD instead: on a real DCN mesh each process touches only
+# its own shards (non-addressable shards are never materialized anywhere);
+# on a single host the union of shards is the same bytes the old format
+# held, just partitioned. Restore rebuilds the global array with
+# jax.make_array_from_callback — the callback is invoked only for indices
+# this process addresses — and complex state is recombined ON DEVICE from
+# two real transfers (the axon relay cannot transfer complex buffers).
+
+
+def _shard_tag(index) -> str:
+    starts = [str(int(s.start) if s.start is not None else 0) for s in index]
+    return "_".join(starts) or "0"
+
+
+def _save_array_shards(d, name: str, arr) -> None:
+    """Write each addressable shard of ``arr`` as <name>.s<offsets>.npy
+    (atomic: tmp + rename). Never materializes the global array."""
+    from ..utils.host import to_numpy
+    for sh in arr.addressable_shards:
+        tag = _shard_tag(sh.index)
+        tmp = d / f"{name}.s{tag}.tmp.npy"
+        np.save(tmp, to_numpy(sh.data))
+        tmp.replace(d / f"{name}.s{tag}.npy")
+
+
+def _restore_array_shards(d, name: str, like):
+    """Rebuild an array shaped/sharded like ``like`` from shard files.
+    Complex dtypes transfer as two real planes and recombine on device."""
+    shape, sharding = like.shape, like.sharding
+    dtype = like.dtype
+
+    def host_shard(index):
+        path = d / f"{name}.s{_shard_tag(index)}.npy"
+        if path.exists():
+            return np.load(path)
+        legacy = d / f"{name}.npy"          # round-2 single-file format
+        if legacy.exists():
+            return np.load(legacy)[tuple(index)]
+        raise ValueError(
+            f"checkpoint shard missing: {path.name} — was the "
+            "checkpoint written on a different mesh topology?")
+
+    if np.issubdtype(dtype, np.complexfloating):
+        rdt = np.float64 if dtype == np.complex128 else np.float32
+        re = jax.make_array_from_callback(
+            shape, sharding,
+            lambda idx: np.ascontiguousarray(host_shard(idx).real
+                                             .astype(rdt)))
+        im = jax.make_array_from_callback(
+            shape, sharding,
+            lambda idx: np.ascontiguousarray(host_shard(idx).imag
+                                             .astype(rdt)))
+        return _complex_jit(re, im)
+    return jax.make_array_from_callback(
+        shape, sharding,
+        lambda idx: np.ascontiguousarray(host_shard(idx).astype(dtype)))
+
+
+def _digest_addressable(arr) -> str:
+    """md5 over the addressable shards (sorted by offset) — deterministic
+    per process without gathering a globally-sharded array to one host."""
+    import hashlib
+    from ..utils.host import to_numpy
+    h = hashlib.md5()
+    if isinstance(arr, jax.Array):
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: tuple(int(sl.start or 0)
+                                            for sl in s.index))
+        for sh in shards:
+            h.update(np.ascontiguousarray(to_numpy(sh.data)).tobytes())
+    else:
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    return h.hexdigest()
+
+
+def _write_manifest(d, manifest: dict) -> None:
+    """Per-process manifest (manifest.p<i>.json): each process records the
+    key of ITS shard set — no cross-process coordination needed."""
+    import json
+    name = f"manifest.p{jax.process_index()}.json"
+    tmp = d / (name + ".tmp")
+    tmp.write_text(json.dumps(manifest))
+    tmp.replace(d / name)
+
+
+def _read_manifest(d) -> dict:
+    import json
+    from pathlib import Path
+    path = Path(d) / f"manifest.p{jax.process_index()}.json"
+    legacy = Path(d) / "manifest.json"
+    if not path.exists() and legacy.exists():
+        path = legacy
+    return json.loads(path.read_text())
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
                    donate_argnums=(0, 1))
 def _tacaw_accumulate(acc, mean_acc, positions, probes, phases,
@@ -370,20 +470,25 @@ class StreamingTACAW:
     #
     # Mid-trajectory crash-resume for streamed runs (SURVEY §5's
     # "sharded per-frame-block checkpoints" plan): the accumulator state plus
-    # the set of frames already folded in, written per SHARD (one file per
-    # frame-row / probe-chunk) under a tree keyed by the stream's config
-    # hash. Resume = build an identically-configured stream, restore(), and
-    # feed only the remaining frames; results are bit-identical because
-    # accumulation order within each accumulator is preserved exactly.
+    # the set of frames already folded in, written per ADDRESSABLE SHARD
+    # (one file per shard of each accumulator array — see
+    # _save_array_shards) under a tree keyed by the stream's config hash.
+    # No global array is ever gathered to one host, so the same code is
+    # correct on a multi-host DCN mesh (each process saves/restores only
+    # its own shards; round-2 weak #4). Resume = build an identically-
+    # configured stream, restore(), and feed only the remaining frames;
+    # results are bit-identical because accumulation order within each
+    # accumulator is preserved exactly.
 
     def checkpoint_key(self) -> str:
         """md5-12 over everything that must match for a restore to be valid
-        (same idea as the calculator's frame-cache key, calculators.py:78-94)."""
+        (same idea as the calculator's frame-cache key, calculators.py:78-94).
+        The probes digest covers the locally-addressable shards only — on a
+        multi-host mesh each process keys its own shard set, which is
+        exactly what it restores."""
         import hashlib
         g = self.spec.grid
-        from ..utils.host import to_numpy
-        probes_digest = hashlib.md5(
-            np.ascontiguousarray(to_numpy(self.probes)).tobytes()).hexdigest()
+        probes_digest = _digest_addressable(self.probes)
         mesh_shape = (tuple(sorted(self.mesh.shape.items()))
                       if self.mesh is not None else None)
         params = str((g.nx, g.ny, g.nz, self.spec.eV, self.spec.dz,
@@ -391,7 +496,7 @@ class StreamingTACAW:
                       self.n_frames, self.timestep,
                       tuple(int(b) for b in self.bins), probes_digest,
                       mesh_shape, tuple(s.start for s in self._chunk_slices),
-                      self._frame_extent))
+                      self._frame_extent, jax.process_index()))
         return hashlib.md5(params.encode()).hexdigest()[:12]
 
     def _shard_arrays(self):
@@ -408,60 +513,45 @@ class StreamingTACAW:
         return out
 
     def save_checkpoint(self, directory) -> None:
-        """Write accumulators + progress to ``directory`` (atomic: temp
-        files then rename of the manifest last)."""
-        import json
+        """Write accumulators + progress to ``directory`` — one file per
+        addressable shard (atomic: temp files then manifest rename last);
+        no global array is ever gathered to one host."""
         from pathlib import Path
-        from ..utils.host import to_numpy
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
         for name, arr in self._shard_arrays().items():
-            host = to_numpy(arr)
-            tmp = d / f"{name}.tmp.npy"     # np.save appends .npy otherwise
-            np.save(tmp, host)
-            tmp.replace(d / f"{name}.npy")
-        manifest = {
+            _save_array_shards(d, name, arr)
+        _write_manifest(d, {
             "key": self.checkpoint_key(),
             "seen": sorted(int(t) for t in self._seen),
             "n_frames": self.n_frames,
-        }
-        tmp = d / "manifest.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        tmp.replace(d / "manifest.json")
+        })
 
     def restore(self, directory) -> set:
-        """Load a checkpoint written by an identically-configured stream.
-        Returns the set of frame indices already folded in (feed the rest).
-        Raises ValueError on config mismatch."""
-        import json
+        """Load a checkpoint written by an identically-configured stream
+        on the same mesh topology. Returns the set of frame indices already
+        folded in (feed the rest). Raises ValueError on config mismatch."""
         from pathlib import Path
-        from ..utils.host import put_complex_or_real
         d = Path(directory)
-        manifest = json.loads((d / "manifest.json").read_text())
+        manifest = _read_manifest(d)
         if manifest["key"] != self.checkpoint_key():
             raise ValueError(
                 "checkpoint config mismatch: the stream's parameters "
                 f"(key {self.checkpoint_key()}) differ from the checkpoint's "
                 f"(key {manifest['key']})")
-        prec = self.spec.precision
-
-        def load(name, like):
-            host = np.load(d / f"{name}.npy")
-            arr = put_complex_or_real(host, prec.complex)
-            if self.mesh is not None:
-                arr = jax.device_put(arr, like.sharding)
-            return arr
 
         if self._frame_extent > 1:
-            self._acc_f = load("acc_f", self._acc_f)
+            self._acc_f = _restore_array_shards(d, "acc_f", self._acc_f)
             if self._track_mean:
-                self._mean_f = load("mean_f", self._mean_f)
+                self._mean_f = _restore_array_shards(d, "mean_f",
+                                                     self._mean_f)
         else:
-            self._acc_chunks = [load(f"acc_{i}", a)
+            self._acc_chunks = [_restore_array_shards(d, f"acc_{i}", a)
                                 for i, a in enumerate(self._acc_chunks)]
             if self._track_mean:
-                self._mean_chunks = [load(f"mean_{i}", m)
-                                     for i, m in enumerate(self._mean_chunks)]
+                self._mean_chunks = [
+                    _restore_array_shards(d, f"mean_{i}", m)
+                    for i, m in enumerate(self._mean_chunks)]
         self._seen = set(int(t) for t in manifest["seen"])
         return set(self._seen)
 
@@ -532,6 +622,7 @@ class StreamingHAADF:
             self._acc = jax.jit(lambda: jnp.zeros(
                 (n_probes,), prec.real))()
         self._n = 0
+        self._seen = set()      # frame indices, when callers provide them
 
     def _init_frame_sharded_haadf(self, n_probes, prec):
         import functools as _ft
@@ -566,28 +657,101 @@ class StreamingHAADF:
         self._acc_block = jax.jit(acc_block, donate_argnums=(0,))
         self._merge = jax.jit(merge)
 
-    def add_frame(self, positions) -> None:
+    def _track(self, frame_indices) -> None:
+        if frame_indices is None:
+            return
+        idx = ([int(frame_indices)]
+               if np.ndim(frame_indices) == 0 else
+               [int(t) for t in frame_indices])
+        dup = self._seen.intersection(idx)
+        if dup or len(set(idx)) != len(idx):
+            raise ValueError(
+                f"frame indices fed more than once: {sorted(dup) or idx}")
+        self._seen.update(idx)
+
+    def add_frame(self, positions, frame_index=None) -> None:
+        """Feed one frame. ``frame_index`` (optional) tracks which frames
+        have been folded in, enabling checkpoint/resume bookkeeping —
+        without it, resume relies on the frame COUNT alone."""
         if self._frame_extent > 1:
             raise ValueError(
                 "this stream is frame-sharded (mesh frame extent "
                 f"{self._frame_extent} > 1); feed frames through "
                 "add_frame_block")
+        self._track(frame_index)
         self._acc = _haadf_accumulate(self._acc, jnp.asarray(positions),
                                       self.probes, self._mask, self.spec,
                                       self.layer_index, self.intensity)
         self._n += 1
 
-    def add_frame_block(self, positions_block) -> None:
-        """Feed one frame per mesh frame-row: (F, n_atoms, 3)."""
+    def add_frame_block(self, positions_block, frame_indices=None) -> None:
+        """Feed one frame per mesh frame-row: (F, n_atoms, 3).
+        ``frame_indices``: optional F indices for resume bookkeeping."""
         F = self._frame_extent
         pos = jnp.asarray(positions_block)
         if F == 1:
-            self.add_frame(pos[0])
+            self.add_frame(pos[0], None if frame_indices is None
+                           else frame_indices[0])
             return
         if pos.ndim != 3 or pos.shape[0] != F:
             raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
+        self._track(frame_indices)
         self._acc = self._acc_block(self._acc, pos, self.probes, self._mask)
         self._n += F
+
+    # --- checkpoint / resume --------------------------------------------------
+    #
+    # Same sharded-file scheme as StreamingTACAW (round-2 missing #3: the
+    # TACAW stream could kill-and-resume, its HAADF sibling could not).
+
+    def checkpoint_key(self) -> str:
+        import hashlib
+        g = self.spec.grid
+        mesh_shape = (tuple(sorted(self.mesh.shape.items()))
+                      if self.mesh is not None else None)
+        params = str((g.nx, g.ny, g.nz, self.spec.eV, self.spec.dz,
+                      self.spec.record_layers, self.layer_index,
+                      self.intensity, _digest_addressable(self.probes),
+                      _digest_addressable(self._mask),
+                      _digest_addressable(self.probe_positions),
+                      mesh_shape, self._frame_extent, jax.process_index()))
+        return hashlib.md5(params.encode()).hexdigest()[:12]
+
+    def save_checkpoint(self, directory) -> None:
+        """Accumulator + progress, one file per addressable shard (no
+        global gather — multi-host-safe; see StreamingTACAW)."""
+        from pathlib import Path
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        _save_array_shards(d, "acc", self._acc)
+        _write_manifest(d, {
+            "key": self.checkpoint_key(),
+            "n": int(self._n),
+            "seen": sorted(int(t) for t in self._seen),
+        })
+
+    def restore(self, directory) -> set:
+        """Load a checkpoint from an identically-configured stream on the
+        same mesh topology; returns the frame indices already folded in
+        (empty if the writer never passed ``frame_index`` — resume by
+        count via ``n_streamed`` then). Raises ValueError on mismatch."""
+        from pathlib import Path
+        d = Path(directory)
+        manifest = _read_manifest(d)
+        if manifest["key"] != self.checkpoint_key():
+            raise ValueError(
+                "checkpoint config mismatch: the stream's parameters "
+                f"(key {self.checkpoint_key()}) differ from the "
+                f"checkpoint's (key {manifest['key']})")
+        self._acc = _restore_array_shards(d, "acc", self._acc)
+        self._n = int(manifest["n"])
+        self._seen = set(int(t) for t in manifest.get("seen", []))
+        return set(self._seen)
+
+    @property
+    def n_streamed(self) -> int:
+        """Frames folded in so far (restored counts included)."""
+        return self._n
 
     def image(self) -> np.ndarray:
         """(n_x, n_y) ADF image over the reconstructed scan grid."""

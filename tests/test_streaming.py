@@ -166,3 +166,144 @@ def test_streaming_duplicate_frame_rejected(setup):
     st.add_frame(0, traj.positions[0])
     with pytest.raises(ValueError, match="already streamed"):
         st.add_frame(0, traj.positions[0])
+
+
+def _shim_to_numpy_bound(monkeypatch, max_elems):
+    """Fail any host gather larger than one shard (the multi-host-safety
+    contract: checkpoints must never materialize a global array)."""
+    from pyslice_tpu.utils import host as host_mod
+    real = host_mod.to_numpy
+    calls = []
+
+    def bounded(x):
+        import jax
+        if isinstance(x, jax.Array):
+            assert x.size <= max_elems, (
+                f"global gather of {x.size} elements (> shard bound "
+                f"{max_elems}) during checkpoint")
+        calls.append(getattr(x, "size", 0))
+        return real(x)
+
+    monkeypatch.setattr(host_mod, "to_numpy", bounded)
+    return calls
+
+
+def test_sharded_checkpoint_no_global_gather(monkeypatch, tmp_path):
+    """Frame+probe-sharded TACAW stream: kill-resume is bit-identical AND
+    the save path touches only per-shard arrays (round-2 weak #4 /
+    next-round item 3)."""
+    from pyslice_tpu.parallel.mesh import make_mesh
+    traj = hbn_thermal(n_frames=8, sigma=0.05, seed=3)
+    g = grid_from_trajectory(traj, sampling=SAMPLING, slice_thickness=SLICE_T)
+    plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+    spec = SimSpec.create(g, plan, 100e3, precision=DOUBLE)
+    mesh = make_mesh(4, 2)
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(1.0, 1.0), (2.0, 2.0)]).array
+
+    def new_stream():
+        return StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                              frequencies=[20.0, 0.0], mesh=mesh)
+
+    blocks = [list(range(i, i + 4)) for i in range(0, 8, 4)]
+
+    st0 = new_stream()
+    for b in blocks:
+        st0.add_frame_block(b, traj.positions[np.asarray(b)])
+    want = np.asarray(st0.intensity())
+
+    st1 = new_stream()
+    st1.add_frame_block(blocks[0], traj.positions[np.asarray(blocks[0])])
+    n_dev = 8
+    shard_bound = max(a.size for a in st1._shard_arrays().values()) // 4
+    _shim_to_numpy_bound(monkeypatch, shard_bound)
+    st1.save_checkpoint(tmp_path / "cs")
+    # per-shard files on disk, no monolithic array file
+    import os
+    names = os.listdir(tmp_path / "cs")
+    assert not any(n == "acc_f.npy" for n in names)
+    assert sum(n.startswith("acc_f.s") for n in names) == n_dev
+
+    st2 = new_stream()
+    seen = st2.restore(tmp_path / "cs")
+    assert seen == set(blocks[0])
+    st2.add_frame_block(blocks[1], traj.positions[np.asarray(blocks[1])])
+    np.testing.assert_array_equal(np.asarray(st2.intensity()), want)
+
+
+def test_streaming_haadf_checkpoint_resume(setup, tmp_path):
+    """StreamingHAADF kill-resume (round-2 missing #3): bit-identical."""
+    traj, g, spec = setup
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    base = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    def new_stream():
+        return StreamingHAADF(spec, probes, pg, collection_angle=45)
+
+    st0 = new_stream()
+    for f in range(traj.n_frames):
+        st0.add_frame(traj.positions[f], frame_index=f)
+    want = st0.image()
+
+    st1 = new_stream()
+    for f in (0, 1, 2):
+        st1.add_frame(traj.positions[f], frame_index=f)
+    st1.save_checkpoint(tmp_path / "h")
+    st2 = new_stream()
+    seen = st2.restore(tmp_path / "h")
+    assert seen == {0, 1, 2} and st2.n_streamed == 3
+    for f in range(traj.n_frames):
+        if f not in seen:
+            st2.add_frame(traj.positions[f], frame_index=f)
+    np.testing.assert_array_equal(st2.image(), want)
+
+    # config mismatch is rejected loudly
+    st3 = StreamingHAADF(spec, probes, pg, collection_angle=60)
+    with pytest.raises(ValueError, match="mismatch"):
+        st3.restore(tmp_path / "h")
+
+
+def test_streaming_haadf_sharded_checkpoint(monkeypatch, tmp_path):
+    """Frame-sharded HAADF stream checkpoint: per-shard files, no global
+    gather, resume by count."""
+    from pyslice_tpu.parallel.mesh import make_mesh
+    traj = hbn_thermal(n_frames=8, sigma=0.05, seed=4)
+    g = grid_from_trajectory(traj, sampling=SAMPLING, slice_thickness=SLICE_T)
+    plan = make_plan(g.xs, g.ys, g.zs, traj.positions, traj.atom_types)
+    spec = SimSpec.create(g, plan, 100e3, precision=DOUBLE)
+    mesh = make_mesh(4, 2)
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    base = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    def new_stream():
+        return StreamingHAADF(spec, probes, pg, collection_angle=45,
+                              mesh=mesh)
+
+    st0 = new_stream()
+    for i in range(0, 8, 4):
+        st0.add_frame_block(traj.positions[i:i + 4],
+                            frame_indices=range(i, i + 4))
+    want = st0.image()
+
+    st1 = new_stream()
+    st1.add_frame_block(traj.positions[0:4], frame_indices=range(4))
+    # largest legitimate host transfer: one probes shard (the key digest
+    # hashes addressable shards); anything >= a full array is a gather
+    _shim_to_numpy_bound(monkeypatch, st1.probes.size // 2)
+    st1.save_checkpoint(tmp_path / "hs")
+    st2 = new_stream()
+    assert st2.restore(tmp_path / "hs") == {0, 1, 2, 3}
+    st2.add_frame_block(traj.positions[4:8], frame_indices=range(4, 8))
+    np.testing.assert_array_equal(st2.image(), want)
+
+
+def test_duplicate_haadf_frame_index_rejected(setup):
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(1.0, 1.0)]).array
+    st = StreamingHAADF(spec, probes, [(1.0, 1.0)])
+    st.add_frame(traj.positions[0], frame_index=0)
+    with pytest.raises(ValueError, match="more than once"):
+        st.add_frame(traj.positions[1], frame_index=0)
