@@ -80,6 +80,22 @@ def time_fft_intensity(wf_layer, chunk_elems: int = 1 << 26):
     return out
 
 
+def _sharded_mesh(arr):
+    """The ('frame', 'probe') Mesh an array is sharded over, or None for
+    host / single-device / foreign-mesh arrays."""
+    if not isinstance(arr, jax.Array):
+        return None
+    from jax.sharding import NamedSharding
+    sh = arr.sharding
+    if (isinstance(sh, NamedSharding) and sh.mesh.size > 1
+            and {"frame", "probe"} <= set(sh.mesh.axis_names)):
+        from jax.sharding import Mesh
+        m = sh.mesh
+        return Mesh(np.asarray(m.devices), m.axis_names) \
+            if not isinstance(m, Mesh) else m
+    return None
+
+
 class TACAWData:
     """Frequency-domain TACAW dataset built from a WFData."""
 
@@ -119,7 +135,18 @@ class TACAWData:
         dt = self.time[1] - self.time[0]
         self.frequencies = np.fft.fftshift(np.fft.fftfreq(n_freq, d=dt))
         wf = self.wavefunction_data
-        if isinstance(wf, jax.Array):
+        mesh = _sharded_mesh(wf)
+        if mesh is not None:
+            # Mesh-sharded path (calculator.setup(mesh=...)): the frame-
+            # sharded exit waves are resharded to kx stripes with an
+            # all_to_all over ICI so the time FFT is device-local; the
+            # intensity stays sharded P('probe', None, 'frame') and the
+            # reductions below run distributed (SURVEY §3.3's cross-frame
+            # dependency handled the TPU way).
+            from ..parallel.sharded import tacaw_intensity_sharded
+            self.intensity = tacaw_intensity_sharded(
+                wf, mesh, layer_index=layer_index)
+        elif isinstance(wf, jax.Array):
             # Device-resident path (calculator.setup(device_output=True)):
             # the exit waves never visit the host; intensity stays a device
             # array and the analysis methods below reduce on device,

@@ -95,8 +95,19 @@ class MultisliceCalculator:
               fast_grid: bool = False,
               frame_block: Optional[int] = None,
               device_output: bool = False,
-              aberrations=None):
+              aberrations=None,
+              mesh=None):
         """Reference-compatible setup (calculators.py:96-161).
+
+        ``mesh``: optional jax Mesh with ('frame', 'probe') axes
+        (parallel.mesh.make_mesh) — run() then executes the whole frame x
+        probe workload sharded over the mesh (parallel.sharded.run_sharded)
+        and returns a DEVICE-RESIDENT WFData whose wavefunction_data is
+        sharded P('probe', 'frame'); TACAWData / HAADFData consume it
+        through the sharded all_to_all / psum paths. This is the reference
+        user's workflow (main.py:57-80) scaled to a pod without touching
+        parallel.* directly. n_frames and n_probes must divide the mesh's
+        frame / probe extents.
 
         batch_size semantic note (ledger #9): the reference accepts
         ``batch_size: int = 10`` documented as "frames to process at once"
@@ -124,6 +135,12 @@ class MultisliceCalculator:
         self.slice_axis = slice_axis
         self.batch_size = batch_size
         self.device_output = device_output
+        self.mesh = mesh
+        if mesh is not None and use_cache:
+            logger.info("mesh runs are device-resident; the per-frame host "
+                        "cache is disabled (use WFData.save or the "
+                        "streaming engines' checkpoints)")
+            use_cache = False
         if device_output and use_cache:
             # The per-frame .npy cache exists to survive crashes, but every
             # entry is a host transfer — the exact cost device_output avoids.
@@ -173,6 +190,12 @@ class MultisliceCalculator:
         self.spec = SimSpec.create(grid, plan, voltage_eV,
                                    record_layers=self.record_layers,
                                    precision=self.precision)
+
+        if mesh is not None:
+            # early, clear divisibility errors (run_sharded re-checks)
+            from ..parallel.sharded import _check_divisible
+            _check_divisible(mesh, n_frames=self.n_frames,
+                             n_probes=self.n_probes)
 
         cache_key = self._generate_cache_key()
         self.output_dir = Path(cache_root) / f"jax_{cache_key}"
@@ -292,7 +315,39 @@ class MultisliceCalculator:
             wf_data.save(save_dir / "wf_data.npz")
         return wf_data
 
+    def _run_mesh(self) -> WFData:
+        """Multi-chip run through the facade: one sharded dispatch over the
+        ('frame', 'probe') mesh (parallel.sharded.run_sharded — the
+        reference's serial frame loop, calculators.py:172, becomes the
+        mesh's frame axis). The returned WFData is device-resident and
+        sharded P('probe', 'frame'); analysis consumes it without any
+        global gather (TACAWData routes through the all_to_all time-FFT)."""
+        import jax.numpy as jnp
+        from ..parallel.sharded import run_sharded
+
+        t0 = time.time()
+        probes = create_batched_probes(self.base_probe,
+                                       self.probe_positions).array
+        positions = jnp.asarray(np.asarray(self.trajectory.positions))
+        wf = run_sharded(positions, probes, self.spec, self.mesh)
+        logger.info("Sharded simulation dispatched in %.2fs over mesh %s",
+                    time.time() - t0, dict(self.mesh.shape))
+
+        kxs, kys, time_array, layer_array = self._wf_axes()
+        wf_data = WFData(probe_positions=self.probe_positions,
+                         time=time_array, kxs=kxs, kys=kys,
+                         layer=layer_array, wavefunction_data=wf,
+                         probe=self.base_probe,
+                         ksq_shifted=self._ksq_shifted())
+        if self.save_path is not None:
+            save_dir = Path(self.save_path)
+            save_dir.mkdir(parents=True, exist_ok=True)
+            wf_data.save(save_dir / "wf_data.npz")
+        return wf_data
+
     def run(self, progress: bool = True) -> WFData:
+        if self.mesh is not None:
+            return self._run_mesh()
         if self.device_output:
             return self._run_device(progress)
         t0 = time.time()

@@ -264,3 +264,54 @@ def test_multihost_mesh_single_process_fallback():
     assert mesh.devices.shape == (4, 2)          # 8 virtual devices
     with _pytest.raises(ValueError, match="ICI"):
         make_multihost_mesh(n_probe_shards=3)    # 3 does not divide 8
+
+
+def test_mesh_facade_matches_single_device():
+    """MultisliceCalculator.setup(mesh=...) (round-3 item 2): the facade
+    routes run() through run_sharded; wavefunction_data must be BIT-EQUAL
+    to the single-device device_output run, and TACAWData must consume the
+    sharded array through the all_to_all path without changing results."""
+    from pyslice_tpu.analysis.haadf import HAADFData
+    from pyslice_tpu.analysis.tacaw import TACAWData, _sharded_mesh
+    from pyslice_tpu.engine.calculator import MultisliceCalculator
+
+    traj = hbn_thermal(n_frames=8, sigma=0.05, nx=2, ny=2, seed=9)
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    kwargs = dict(aperture=20, voltage_eV=100e3, sampling=0.3,
+                  slice_thickness=0.8, probe_positions=pg.tolist(),
+                  use_cache=False)
+
+    calc0 = MultisliceCalculator(precision=DOUBLE)
+    calc0.setup(traj, device_output=True, **kwargs)
+    wf0 = calc0.run(progress=False)
+
+    mesh = make_mesh(4, 2)
+    calc1 = MultisliceCalculator(precision=DOUBLE)
+    calc1.setup(traj, mesh=mesh, **kwargs)
+    wf1 = calc1.run()
+    assert _sharded_mesh(wf1.wavefunction_data) is not None
+    np.testing.assert_array_equal(to_numpy(wf1.wavefunction_data),
+                                  to_numpy(wf0.wavefunction_data))
+
+    tac0 = TACAWData(wf0)
+    tac1 = TACAWData(wf1)
+    assert isinstance(tac1.intensity, jax.Array)       # stayed sharded
+    np.testing.assert_allclose(tac1.spectrum(), tac0.spectrum(), rtol=1e-9)
+    np.testing.assert_allclose(tac1.diffraction(), tac0.diffraction(),
+                               rtol=1e-9)
+    np.testing.assert_allclose(tac1.spectrum(probe_index=2),
+                               tac0.spectrum(probe_index=2), rtol=1e-9)
+
+    adf0 = HAADFData(wf0).calculateADF(collection_angle=45)
+    adf1 = HAADFData(wf1).calculateADF(collection_angle=45)
+    np.testing.assert_allclose(adf1, adf0, rtol=1e-9)
+
+
+def test_mesh_facade_divisibility_checked_at_setup():
+    from pyslice_tpu.engine.calculator import MultisliceCalculator
+    traj = hbn_thermal(n_frames=6, sigma=0.05, seed=9)
+    mesh = make_mesh(4, 2)
+    calc = MultisliceCalculator(precision=DOUBLE)
+    with pytest.raises(ValueError, match="divisible by the mesh frame"):
+        calc.setup(traj, aperture=0, sampling=0.3, slice_thickness=0.8,
+                   mesh=mesh, use_cache=False)
