@@ -14,13 +14,27 @@ reduction in this framework:
   delta = Cc * (dE/E); run the simulation per node (probe.defocus or
   setup(defocus=...)) and average intensities with the weights.
 
-Both follow the standard treatment (Kirkland ch. 5; abTEM's
+One-call drivers composing these with the streaming/thermal engines
+(round-3 item 5 — previously the user had to hand-write the node loop):
+
+* ``chromatic_stem``        — frozen-phonon HAADF averaged over the
+  chromatic defocus series, with optional source-size blur: the full
+  source + chromatic + thermal incoherent chain in one call.
+* ``chromatic_diffraction`` — thermally averaged CBED/diffraction
+  intensity averaged over the defocus series.
+
+The quadrature is validated against the analytic chromatic damping
+envelope |<e^{-i pi lam df k^2}>| = exp(-(pi lam delta k^2)^2 / 4)
+(Kirkland ch. 5, Eq. 5.47 form with a 1/e half-width delta) on an actual
+Probe.defocus path in tests/test_coherence.py.
+
+All follow the standard treatment (Kirkland ch. 5; abTEM's
 partial-coherence models).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -74,3 +88,129 @@ def defocus_series(delta: float, n: int = 7,
         return np.array([center]), np.array([1.0])
     x, w = np.polynomial.hermite.hermgauss(n)   # weight exp(-x^2)
     return center + delta * x, w / np.sqrt(np.pi)
+
+
+def _scan_axes(probe_positions):
+    positions = np.asarray(probe_positions, dtype=np.float64)
+    xs = np.array(sorted(set(positions[:, 0].tolist())))
+    ys = np.array(sorted(set(positions[:, 1].tolist())))
+    return positions, xs, ys
+
+
+def chromatic_stem(trajectory,
+                   probe_positions,
+                   *,
+                   Cc: float,
+                   dE: float,
+                   voltage_eV: float = 100e3,
+                   aperture: float = 30.0,
+                   defocus: float = 0.0,
+                   n_nodes: int = 7,
+                   n_configs: int = 8,
+                   thermal_sigma: float = 0.1,
+                   seed: Optional[int] = 0,
+                   sampling: float = 0.1,
+                   slice_thickness: float = 0.5,
+                   collection_angle: float = 45.0,
+                   intensity: bool = True,
+                   source_fwhm: float = 0.0,
+                   fast_grid: bool = False,
+                   distribution: str = "gaussian"
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Partially coherent frozen-phonon HAADF in ONE call: the chromatic
+    defocus series (Gauss-Hermite over delta = Cc dE/E, centered on
+    ``defocus``) as an outer loop over Probe.defocus(node), each node's
+    thermal ensemble streamed through StreamingHAADF, intensities
+    weight-averaged, and (optionally) the scan image blurred by the
+    effective source. Returns (image (n_x, n_y), scan_xs, scan_ys).
+
+    All three incoherent mechanisms compose multiplicatively on
+    intensities: thermal (frozen phonons, innermost stream), temporal
+    (defocus quadrature, this loop), spatial (source blur, scan-space
+    convolution — exact for STEM because a shifted source is a shifted
+    probe). The same thermal configurations are reused across defocus
+    nodes (the product measure is separable, so this is unbiased and
+    saves n_nodes-1 ensemble regenerations).
+    """
+    from ..core.grids import grid_from_trajectory
+    from ..physics.potential import make_plan
+    from ..physics.probe import Probe, create_batched_probes
+    from .pipeline import SimSpec
+    from .streaming import StreamingHAADF
+    from .thermal import thermal_configs
+
+    delta = defocus_spread(Cc, dE, voltage_eV)
+    nodes, weights = defocus_series(delta, n=n_nodes, center=defocus)
+    configs = thermal_configs(trajectory, n_configs, thermal_sigma, seed,
+                              distribution)
+    grid = grid_from_trajectory(trajectory, sampling=sampling,
+                                slice_thickness=slice_thickness,
+                                fast_grid=fast_grid)
+    oblique = grid.is_oblique
+    plan = make_plan(grid.xs, grid.ys, grid.zs, configs.positions,
+                     configs.atom_types,
+                     cell2d=grid.cell2d if oblique else None)
+    spec = SimSpec.create(grid, plan, voltage_eV)
+    positions, xs, ys = _scan_axes(probe_positions)
+
+    image = None
+    for node, w in zip(nodes, weights):
+        base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
+                     cell2d=grid.cell2d if oblique else None,
+                     ksq=grid.ksq2d() if oblique else None)
+        if node:
+            base.defocus(float(node))
+        probes = create_batched_probes(base, positions).array
+        stream = StreamingHAADF(spec, probes, positions,
+                                collection_angle=collection_angle,
+                                intensity=intensity)
+        for c in range(n_configs):
+            stream.add_frame(configs.positions[c])
+        node_img = stream.image()
+        image = w * node_img if image is None else image + w * node_img
+
+    if source_fwhm > 0:
+        if len(xs) < 2 or len(ys) < 2:
+            raise ValueError(
+                "source_size_blur needs a 2-D scan grid (>= 2 distinct "
+                "probe x and y positions)")
+        image = source_size_blur(image, (xs[1] - xs[0], ys[1] - ys[0]),
+                                 source_fwhm)
+    return image, xs, ys
+
+
+def chromatic_diffraction(trajectory,
+                          *,
+                          Cc: float,
+                          dE: float,
+                          voltage_eV: float = 100e3,
+                          aperture: float = 0.0,
+                          defocus: float = 0.0,
+                          n_nodes: int = 7,
+                          n_configs: int = 8,
+                          thermal_sigma: float = 0.1,
+                          seed: Optional[int] = 0,
+                          sampling: float = 0.1,
+                          slice_thickness: float = 0.5,
+                          probe_positions: Optional[Sequence] = None,
+                          fast_grid: bool = False,
+                          distribution: str = "gaussian") -> np.ndarray:
+    """Chromatically averaged frozen-phonon diffraction/CBED pattern:
+    mean |psi_k|^2 over thermal configs AND the chromatic defocus series
+    (fftshifted (nx, ny)). The plane-wave case (aperture == 0) is defocus-
+    invariant in intensity (|P|=1 multiplies a single plane wave), so the
+    chromatic average matters for convergent-beam (CBED) patterns."""
+    from .thermal import frozen_phonon_diffraction
+
+    delta = defocus_spread(Cc, dE, voltage_eV)
+    nodes, weights = defocus_series(delta, n=n_nodes, center=defocus)
+    out = None
+    for node, w in zip(nodes, weights):
+        pat = frozen_phonon_diffraction(
+            trajectory, n_configs=n_configs, sigma=thermal_sigma, seed=seed,
+            aperture=aperture, voltage_eV=voltage_eV, sampling=sampling,
+            slice_thickness=slice_thickness, probe_positions=probe_positions,
+            fast_grid=fast_grid, distribution=distribution,
+            defocus=float(node))
+        out = w * pat if out is None else out + w * pat
+    return out

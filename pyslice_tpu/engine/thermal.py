@@ -45,7 +45,7 @@ def thermal_configs(trajectory: Trajectory, n_configs: int, sigma: float,
 
 
 def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
-           probe_positions, fast_grid, configs):
+           probe_positions, fast_grid, configs, defocus=0.0):
     grid = grid_from_trajectory(trajectory, sampling=sampling,
                                 slice_thickness=slice_thickness,
                                 fast_grid=fast_grid)
@@ -57,6 +57,8 @@ def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
     base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
                  cell2d=grid.cell2d if oblique else None,
                  ksq=grid.ksq2d() if oblique else None)
+    if defocus:
+        base.defocus(float(defocus))
     if probe_positions is None:
         probe_positions = [(grid.lx / 2, grid.ly / 2)]
     probes = create_batched_probes(base, probe_positions).array
@@ -112,7 +114,8 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
                               slice_thickness: float = 0.5,
                               probe_positions: Optional[Sequence] = None,
                               fast_grid: bool = False,
-                              distribution: str = "gaussian") -> np.ndarray:
+                              distribution: str = "gaussian",
+                              defocus: float = 0.0) -> np.ndarray:
     """Thermally averaged diffraction pattern (mean |psi_k|^2 over configs
     and probes), (nx, ny) fftshifted — the frozen-phonon CBED/SAED result.
     The average is incoherent (mean of intensities per configuration), the
@@ -123,7 +126,7 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
                               distribution)
     grid, spec, probes, probe_positions = _setup(
         trajectory, aperture, voltage_eV, sampling, slice_thickness,
-        probe_positions, fast_grid, configs)
+        probe_positions, fast_grid, configs, defocus=defocus)
     import jax
     import jax.numpy as jnp
     from .pipeline import frame_exit_waves
