@@ -22,6 +22,8 @@ and waste ~2.7x VMEM):
     HBM in/out (real space):  (R, dy, dx, mx, my)  "stripe-split natural"
     scratch sA (x, ky~):      (dy, dx, mx, my)     written by stage A
     scratch sB (ky~, x~):     (dx, dy, my, mx)     written by stage B
+                              (square grids: stage B writes in place into
+                               sA instead — no sB, one full plane saved)
     transmission stream:      (nz, dy, dx, mx, my) one slice per grid step
     Fresnel (pre-scrambled):  (dy, dx, my, mx)     single-buffered
     kspace out (scrambled):   (R, dx, dy, my, mx)  host gather unscrambles
@@ -36,9 +38,12 @@ the exit conversion's FFT_y + FFT_x in the same dispatch; one static
 host-side gather composes both scramble inverses with the fftshift.
 
 Eligibility: both axes composite with d <= MAX_D and m >= 128 (the
-fused_step_odd rule) plus the VMEM estimate under ~90 MB — at 1023^2
-(d=3, m=341) the working set is ~80 MB with precomputed transmission or
-~71 MB with the in-kernel cos/sin single-probe variant.
+fused_step_odd rule) plus the calibrated VMEM estimate under the chip
+budget (_vmem_estimate — every constant in it traces to a measured
+compiler scoped-vmem report). At 1023^2 (d=3, m=341) that means
+single-probe only with the in-kernel sigma*V transmit — exactly the
+reference's plane-wave TACAW production shape, measured 2.82x the odd
+chain end-to-end (BENCHMARKS.md, "Odd-grid VMEM-resident kernel").
 """
 
 from __future__ import annotations
@@ -53,7 +58,7 @@ from .fused_step_odd import (_axis_consts, _cmul, _fft_tiles, _ifft_tiles,
                              supported_size_odd)
 from .fused_step_resident import PRECOMPUTE_T_MIN_PROBES
 
-VMEM_BUDGET = 90 * 1024 * 1024
+VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _pad2(rows: int, cols: int) -> int:
@@ -61,23 +66,52 @@ def _pad2(rows: int, cols: int) -> int:
     return (-(-rows // 8) * 8) * (-(-cols // 128) * 128) * 4
 
 
-def _vmem_estimate(nx: int, ny: int, pre_t: bool) -> int:
+def _vmem_estimate(nx: int, ny: int, pre_t: bool,
+                   multi_probe: bool = False) -> int:
     dx, mx = matfft.scrambled_factors(nx)
     dy, my = matfft.scrambled_factors(ny)
     plane = dy * dx * _pad2(mx, my)             # one (dy, dx, mx, my) plane
     planeT = dx * dy * _pad2(my, mx)
     n_t = 2 if pre_t else 1
-    est = (2 * plane                            # psi in (re, im)
-           + 2 * max(plane, planeT)             # out
-           + 2 * plane + 2 * planeT             # sA + sB scratch
-           + 2 * n_t * 2 * plane                # t stream, double-buffered
+    # square grids run stage B in place inside sA (no sB scratch)
+    scratch = (2 * plane if (mx == my and dx == dy)
+               else 2 * plane + 2 * planeT)
+    est = (2 * plane                            # psi in (re, im), single-buf
+           + 2 * max(plane, planeT)             # out (re, im), single-buf
+           + scratch
+           + n_t * plane                        # t stream, single-buffered
            + 2 * planeT)                        # Fresnel
+    if multi_probe:
+        # measured: a multi-probe grid adds ~two planes of pipeline staging
+        # (P=16 sigma*V at 1023^2 needed 103.7 MB where the P=1 estimate
+        # is 91.9 and fits) — 1023^2 resident is single-probe-only,
+        # exactly the reference's plane-wave TACAW production shape.
+        est += 2 * plane
     mode = _dot_mode()
-    n_planes = 12 if mode == "bf16x3" else 6
+    # bf16x3: 6 bf16 hi planes (half bytes) + 6 f32 lo planes = 9 f32-
+    # equivalents; other modes: 6 f32 planes.
+    n_planes = 9 if mode == "bf16x3" else 6
     est += n_planes * _pad2(nx, my)             # y-axis stage-2 constants
     if nx != ny:
         est += n_planes * _pad2(ny, mx)
-    return est
+    # Mosaic's in-kernel intermediates (live tile lists + dot temporaries)
+    # add ~45% on top of the static working set — calibrated against the
+    # compiler's scoped-vmem reports at 1023^2: sigma*V config ~96.7 MB
+    # actual vs 66.4 MB static (fits the 100 MB limit), pre_t config
+    # 101.4 MB actual vs 71.1 MB static (does not).
+    return int(est * 1.45)
+
+
+def _pre_t_choice(nx: int, ny: int, n_probes: int) -> bool:
+    """Precompute (cos, sin) transmission planes? Worth it above
+    PRECOMPUTE_T_MIN_PROBES *when the doubled stream still fits VMEM*;
+    otherwise the in-kernel sigma*V transcendentals keep the kernel
+    eligible at half the streaming footprint (1023^2 x 16 probes lands
+    here: measured 101.4 MB actual for the pre_t config — a small extra
+    margin keeps this optional upgrade conservative)."""
+    return (n_probes >= PRECOMPUTE_T_MIN_PROBES
+            and _vmem_estimate(nx, ny, True, n_probes > 1)
+            < VMEM_BUDGET - (2 << 20))
 
 
 def resident_odd_supported(nx: int, ny: int, nz: int,
@@ -86,25 +120,52 @@ def resident_odd_supported(nx: int, ny: int, nz: int,
         return False
     if nz < 2:
         return False
-    pre_t = n_probes >= PRECOMPUTE_T_MIN_PROBES
-    return _vmem_estimate(nx, ny, pre_t) < VMEM_BUDGET
+    pre_t = _pre_t_choice(nx, ny, n_probes)
+    return _vmem_estimate(nx, ny, pre_t, n_probes > 1) < VMEM_BUDGET
+
+
+# The fused exit-conversion variant carries a much larger Mosaic stack
+# than the exit kernel (measured at 1023^2 P=1: 125 MB scoped vs the exit
+# kernel's ~96 — the _convert stage's extra live tiles) — above this
+# estimate the kspace wrapper runs the exit kernel + a standard XLA
+# conversion instead, which still keeps the slice loop in one dispatch.
+KSPACE_BUDGET = 70 * 1024 * 1024
+
+
+def resident_odd_kspace_supported(nx: int, ny: int, nz: int,
+                                  n_probes: int = 1) -> bool:
+    if not resident_odd_supported(nx, ny, nz, n_probes):
+        return False
+    pre_t = _pre_t_choice(nx, ny, n_probes)
+    return _vmem_estimate(nx, ny, pre_t, n_probes > 1) < KSPACE_BUDGET
 
 
 def resident_odd_preferred(n_probes: int, nx: int, ny: int) -> bool:
-    """Dispatch-bound crossover vs the odd two-pass chain. Measured on v5e
-    at 1023^2 x 14 slices (tools/bench_odd_resident.py): resident wins
-    8.6x at 1 probe (11.5k vs 1.3k slice-steps/s) and still 1.5x at 16
-    probes (4.7k vs 3.1k/s per-probe-step 16x batch -> 74.6k vs 49.6k
-    probe-slice-steps/s), so the resident form is preferred everywhere it
-    fits; the chain remains the fallback for VMEM-overflow grids."""
+    """Prefer the resident form everywhere it fits VMEM. Measured on v5e
+    at 1023^2 x 14 slices (tools/bench_odd.py, PYSLICE_BENCH_RESIDENT=
+    auto|off): 1 probe 4,689 vs the chain's 2,549 slice-steps/s (1.84x on
+    the raw loop; larger end-to-end, where the chain also pays a separate
+    exit fft2 the resident kernel fuses — tools/bench_odd_kspace.py).
+    Multi-probe batches at >= 1023^2 never reach this predicate (the VMEM
+    estimate rejects them; resident_odd_supported), and at small odd
+    grids the single dispatch wins at every probe count like the aligned
+    resident kernel does at <= 512^2."""
     del n_probes, nx, ny
     return True
 
 
-def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t):
+def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t,
+            inplace: bool):
     """Body for grid (n_probes, nz). Ref order: t planes (1 or 2), psi
     re/im, P re/im, consts_x..., consts_y..., out re/im, scratch
-    sA re/im, sB re/im."""
+    sA re/im [, sB re/im].
+
+    ``inplace`` (square grids, mx == my): stage B writes its transposed
+    tiles back into sA's own slots instead of a separate sB scratch —
+    safe because stage B fully consumes a group's reads before its
+    writes and stage A likewise per stripe — saving a full complex
+    plane of VMEM (9.5 MB at 1023^2, the margin that lets the
+    production exit+conversion composition fit the chip)."""
     from jax.experimental import pallas as pl
 
     R, dx, mx, dy, my = dims
@@ -117,8 +178,26 @@ def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t):
             sv_ref, vr_ref, vi_ref, pr_ref, pi_ref, *rest = refs
         cx_refs = rest[:n_cx]
         cy_refs = rest[n_cx:n_cx + n_cy] if n_cy else cx_refs
-        (or_ref, oi_ref, sar_ref, sai_ref,
-         sbr_ref, sbi_ref) = rest[n_cx + n_cy:]
+        if inplace:
+            (or_ref, oi_ref, sar_ref, sai_ref) = rest[n_cx + n_cy:]
+            sbr_ref, sbi_ref = sar_ref, sai_ref
+        else:
+            (or_ref, oi_ref, sar_ref, sai_ref,
+             sbr_ref, sbi_ref) = rest[n_cx + n_cy:]
+
+        def tmp_write(a, j, val_r, val_i):
+            # stage-B output tile for (ky1 group j, x digit a)
+            if inplace:
+                sbr_ref[j, a, :, :] = val_r
+                sbi_ref[j, a, :, :] = val_i
+            else:
+                sbr_ref[a, j, :, :] = val_r
+                sbi_ref[a, j, :, :] = val_i
+
+        def tmp_read(i, k1):
+            if inplace:
+                return sbr_ref[k1, i, :, :], sbi_ref[k1, i, :, :]
+            return sbr_ref[i, k1, :, :], sbi_ref[i, k1, :, :]
         ax_xl = ax_x[:2] + ([r[:] for r in cx_refs],)
         ax_yl = (ax_y[:2] + ([r[:] for r in cy_refs],) if n_cy
                  else ax_y[:2] + (ax_xl[2],))
@@ -152,8 +231,7 @@ def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t):
                                            pi_ref[j, k1, :, :])
                 ur, ui = _ifft_tiles(zr, zi, ax_xl, dotmode, tin=False)
                 for a in range(dx):
-                    sbr_ref[a, j, :, :] = ur[a]
-                    sbi_ref[a, j, :, :] = ui[a]
+                    tmp_write(a, j, ur[a], ui[a])
 
         @pl.when(s == 0)
         def _first():
@@ -172,8 +250,9 @@ def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t):
             stage_b()
             # sB -> IFFT_y, transmit (+ FFT_y unless exiting) per stripe
             for i in range(dx):
-                zr = [sbr_ref[i, k1, :, :] for k1 in range(dy)]
-                zi = [sbi_ref[i, k1, :, :] for k1 in range(dy)]
+                pairs = [tmp_read(i, k1) for k1 in range(dy)]
+                zr = [p[0] for p in pairs]
+                zi = [p[1] for p in pairs]
                 tr, ti = _ifft_tiles(zr, zi, ax_yl, dotmode, tin=True)
                 tr, ti = transmit(tr, ti, i)
 
@@ -223,23 +302,40 @@ def _call(re, im, t_planes, p_re, p_im, dims, kspace: bool):
     pre_t = len(t_planes) == 2
     dotmode = _dot_mode()
     nx, ny = dx * mx, dy * my
+
+    def pack(planes):
+        # bf16x3 hi planes (indices 0-5) are bf16-REPRESENTABLE by
+        # construction (_split_hi_lo) — store them as actual bf16 and let
+        # the MXU consume them natively: halves their VMEM (4.7 MB at
+        # 1023^2) with zero numerical change, keeping the whole working
+        # set under the 100 MB scoped-vmem limit.
+        arrs = [jnp.asarray(a) for a in planes]
+        if dotmode == "bf16x3":
+            arrs = [a.astype(jnp.bfloat16) if i < 6 else a
+                    for i, a in enumerate(arrs)]
+        return arrs
+
     ax_y = _axis_consts(ny, dotmode)
     if nx == ny:
         ax_x = ax_y
-        consts_x = [jnp.asarray(a) for a in ax_x[2]]
+        consts_x = pack(ax_x[2])
         consts_y = []
         n_cx, n_cy = len(consts_x), 0
     else:
         ax_x = _axis_consts(nx, dotmode)
-        consts_x = [jnp.asarray(a) for a in ax_x[2]]
-        consts_y = [jnp.asarray(a) for a in ax_y[2]]
+        consts_x = pack(ax_x[2])
+        consts_y = pack(ax_y[2])
         n_cx, n_cy = len(consts_x), len(consts_y)
 
     single = pl.Buffered(buffer_count=1)
     psi_spec = pl.BlockSpec((1, dy, dx, mx, my), lambda p, s: (p, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM, pipeline_mode=single)
+    # The t stream is the only per-slice HBM fetch: 4.75 MB at 1023^2
+    # (~6 us at HBM rate) vs ~0.5 ms of per-slice compute — single-
+    # buffering costs <2% and frees the second buffer's VMEM, which is
+    # what lets 1023^2 fit under the scoped limit.
     t_spec = pl.BlockSpec((1, dy, dx, mx, my), lambda p, s: (s, 0, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
+                          memory_space=pltpu.VMEM, pipeline_mode=single)
     p_spec = pl.BlockSpec((dy, dx, my, mx), lambda p, s: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM, pipeline_mode=single)
 
@@ -248,11 +344,22 @@ def _call(re, im, t_planes, p_re, p_im, dims, kspace: bool):
                             memory_space=pltpu.VMEM, pipeline_mode=single)
 
     out_shape = ((R, dx, dy, my, mx) if kspace else (R, dy, dx, mx, my))
+    # Output changes once per probe (written only at s == nz-1): single-
+    # buffered — double buffering cost the 1023^2 config 9.5 MB of VMEM
+    # for a writeback overlap that happens once per ~28 slice-steps.
     out_spec = pl.BlockSpec((1,) + out_shape[1:],
                             lambda p, s: (p, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.VMEM, pipeline_mode=single)
 
-    body = _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t)
+    # Square grids run stage B in place inside sA (see _kernel): one
+    # complex plane of scratch instead of two.
+    inplace = (mx == my and dx == dy)
+    scratch = [pltpu.VMEM((dy, dx, mx, my), jnp.float32)] * 2
+    if not inplace:
+        scratch += [pltpu.VMEM((dx, dy, my, mx), jnp.float32)] * 2
+
+    body = _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t,
+                   inplace)
     return pl.pallas_call(
         body,
         grid=(R, nz),
@@ -262,8 +369,12 @@ def _call(re, im, t_planes, p_re, p_im, dims, kspace: bool):
                  + [const_spec(a) for a in consts_y],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((dy, dx, mx, my), jnp.float32)] * 2
-                       + [pltpu.VMEM((dx, dy, my, mx), jnp.float32)] * 2,
+        scratch_shapes=scratch,
+        # NB: the Mosaic scheduler grows its in-kernel stack toward
+        # whatever limit it is given (measured: requirement 104 MB at a
+        # 100 MB limit, 116 MB at 112 MB) — raising the limit chases its
+        # own tail. The static shaves (single-buffered output, bf16 hi
+        # constant planes) are what make 1023^2 fit at the standard limit.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*t_planes, re, im, p_re, p_im, *consts_x, *consts_y)
@@ -285,7 +396,7 @@ def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq):
     re = split(jnp.real(psi).astype(jnp.float32), R)
     im = split(jnp.imag(psi).astype(jnp.float32), R)
 
-    if R >= PRECOMPUTE_T_MIN_PROBES:
+    if _pre_t_choice(nx, ny, R):
         from .fused_step import transmission_planes
         t_re, t_im = transmission_planes(sigma, potential_szy)
         t_planes = (split(t_re, nz), split(t_im, nz))
@@ -386,6 +497,13 @@ def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
     if not resident_odd_supported(nx, ny, nz, R):
         raise ValueError(
             f"unsupported grid {nx}x{ny} for odd resident path")
+    if not resident_odd_kspace_supported(nx, ny, nz, R):
+        # the fused-conversion variant overflows the chip vmem at this
+        # size; keep the single-dispatch slice loop, convert with XLA
+        out = fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
+                                            sigma=sigma, lam=lam, dz=dz,
+                                            ksq=ksq)
+        return jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
     dims, re, im, tp, p_re, p_im = _prep(psi, potential_szy, kxs, kys,
                                          sigma, lam, dz, ksq)
     cr, ci = _call(re, im, tp, p_re, p_im, dims, kspace=True)

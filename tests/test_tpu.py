@@ -185,3 +185,25 @@ def test_persistent_compile_cache_active():
     jax.jit(lambda a: (a * 3).sum())(x).block_until_ready()
     p = Path(cache_dir)
     assert p.exists() and any(p.iterdir()), f"no cache entries in {p}"
+
+
+def test_odd_resident_vs_chain_on_hardware():
+    """The single-dispatch odd-resident kernel (round-3 item 1) vs the
+    two-pass odd chain, both against the XLA path at 387^2 on the real
+    MXU — the chain is forced by resident_multislice='off' (auto now
+    dispatches the resident form everywhere it fits)."""
+    _require_tpu()
+    from pyslice_tpu.ops import config as ops_config
+    from pyslice_tpu.ops.fused_step_odd_resident import (
+        resident_odd_supported)
+    assert resident_odd_supported(387, 387, 4, 2)
+    old = ops_config.resident_multislice
+    try:
+        ops_config.resident_multislice = "off"
+        chain, xla_c = _frame_pair(387, 387, n_probes=2, nz=4, seed=2)
+    finally:
+        ops_config.resident_multislice = old
+    assert _residual(xla_c, chain) < 1e-6
+    resident, xla_r = _frame_pair(387, 387, n_probes=2, nz=4, seed=2)
+    assert _residual(xla_r, resident) < 1e-6
+    assert _residual(chain, resident) < 1e-6
