@@ -105,6 +105,7 @@ def chromatic_stem(trajectory,
                    voltage_eV: float = 100e3,
                    aperture: float = 30.0,
                    defocus: float = 0.0,
+                   aberrations=None,
                    n_nodes: int = 7,
                    n_configs: int = 8,
                    thermal_sigma: float = 0.1,
@@ -115,7 +116,9 @@ def chromatic_stem(trajectory,
                    intensity: bool = True,
                    source_fwhm: float = 0.0,
                    fast_grid: bool = False,
-                   distribution: str = "gaussian"
+                   distribution: str = "gaussian",
+                   use_smatrix: Optional[bool] = None,
+                   prism_f: int = 1
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partially coherent frozen-phonon HAADF in ONE call: the chromatic
     defocus series (Gauss-Hermite over delta = Cc dE/E, centered on
@@ -160,10 +163,19 @@ def chromatic_stem(trajectory,
                      ksq=grid.ksq2d() if oblique else None)
         if node:
             base.defocus(float(node))
+        if aberrations is not None:
+            # geometric aberrations (Cs, astigmatism, ...) on top of the
+            # chromatic node's defocus
+            base.aberrate(aberrations)
         probes = create_batched_probes(base, positions).array
+        # mrad + per-node defocus arm the S-matrix auto-dispatch for large
+        # scans (the defocus imprints exactly on the k-diagonal basis).
         stream = StreamingHAADF(spec, probes, positions,
                                 collection_angle=collection_angle,
-                                intensity=intensity)
+                                intensity=intensity, mrad=aperture,
+                                defocus=float(node),
+                                aberrations=aberrations,
+                                use_smatrix=use_smatrix, prism_f=prism_f)
         for c in range(n_configs):
             stream.add_frame(configs.positions[c])
         node_img = stream.image()

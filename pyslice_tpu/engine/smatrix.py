@@ -125,14 +125,38 @@ def _plane_waves(kxb, kyb, xs, ys, cdtype):
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(cdtype)
 
 
+# Measured single-chip crossover (BENCHMARKS.md, PRISM section): the
+# f=1 basis build amortizes against direct propagation at ~2,000 probes
+# per frame on v5e. Scan production (StreamingHAADF / frozen_phonon_haadf
+# / chromatic_stem) auto-dispatches through the S-matrix above this.
+SMATRIX_MIN_PROBES = 2000
+
+
+def smatrix_auto(n_probes: int, mrad: float, ksq2d, nx: int, ny: int,
+                 f: int = 1) -> bool:
+    """Should a scan of ``n_probes`` positions route through the S-matrix?
+    Needs a convergent probe, an orthogonal cell, f-divisible grid axes,
+    and enough probes to amortize the basis build."""
+    return (mrad > 0 and ksq2d is None
+            and nx % f == 0 and ny % f == 0
+            and n_probes >= SMATRIX_MIN_PROBES)
+
+
 def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
                     *, xs, ys, dz: float, precision: Optional[Precision] = None,
-                    beam_chunk: int = 64, ksq=None) -> SMatrix:
+                    beam_chunk: int = 64, ksq=None, mesh=None) -> SMatrix:
     """Propagate the beam basis through one frame's potential.
 
     positions: (n_atoms, 3) frame positions (rasterized with ``plan``).
     beam_chunk bounds HBM: the (chunk, nx, ny) stacks are propagated with
     lax.map over chunks.
+
+    ``mesh``: optional ('frame', 'probe') Mesh — the basis build is
+    embarrassingly parallel over beams, so the beam axis shards over ALL
+    mesh devices (both axes flattened); each device propagates its beam
+    subset locally with zero communication and ``sm.s`` comes back
+    sharded over the beam axis (the downstream synthesis matmul contracts
+    it with XLA inserting the reduction).
     """
     if ksq is not None:
         raise ValueError(
@@ -153,8 +177,11 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
     # (naive nb->multiple-of-beam_chunk padding could nearly double the
     # build for nb just over a multiple).
     n_chunks = -(-nb // max(1, min(beam_chunk, nb)))
+    if mesh is not None:
+        # beam-parallel build: the chunk axis shards over ALL devices
+        n_chunks = -(-n_chunks // mesh.size) * mesh.size
     chunk = -(-nb // n_chunks)
-    pad = (-nb) % chunk
+    pad = n_chunks * chunk - nb
     kxb = np.concatenate([beams.kxb, np.zeros(pad)]).astype(np.float64)
     kyb = np.concatenate([beams.kyb, np.zeros(pad)]).astype(np.float64)
     kxs = np.fft.fftfreq(nx, d=dx)
@@ -163,18 +190,31 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
     xs_r = jnp.asarray(xs, prec.real)
     ys_r = jnp.asarray(ys, prec.real)
 
-    def one_chunk(kb):
+    def one_chunk(kb, v_in):
         waves = _plane_waves(kb[0].astype(prec.real), kb[1].astype(prec.real),
                              xs_r, ys_r, prec.complex)
-        out = multislice(waves, v, kxs, kys, eV=beams.eV, dz=dz,
-                         precision=prec, ksq=ksq)
+        out = multislice(waves, v_in, kxs, kys, eV=beams.eV, dz=dz,
+                        precision=prec, ksq=ksq)
         if f == 1:
             out = jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
         return out
 
     kb = jnp.stack([jnp.asarray(kxb.reshape(-1, chunk)),
                     jnp.asarray(kyb.reshape(-1, chunk))], axis=1)
-    s = jax.lax.map(one_chunk, kb).reshape(-1, nx, ny)[:nb]
+    if mesh is None:
+        s = jax.lax.map(lambda c: one_chunk(c, v), kb)
+    else:
+        from jax.sharding import PartitionSpec as P
+        beam_spec = P(tuple(mesh.axis_names))     # dim 0 over all devices
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(beam_spec, P()),
+                           out_specs=beam_spec)
+        def build_block(kb_local, v_rep):
+            return jax.lax.map(lambda c: one_chunk(c, v_rep), kb_local)
+
+        s = jax.jit(build_block)(kb, v)
+    s = s.reshape(-1, nx, ny)[:nb]
     if f == 1:
         det_kxs, det_kys = np.fft.fftshift(kxs), np.fft.fftshift(kys)
     else:
@@ -371,3 +411,32 @@ def smatrix_reduce(sm: SMatrix, probe_positions, weights,
                          "int" if intensity else "amp", weights=weights,
                          aberrations=aberrations, defocus=defocus)
     return np.asarray(vals) * float(sm.beams.f ** 2)
+
+
+def smatrix_virtual_image(sm: SMatrix, probe_positions, weights,
+                          intensity: bool = True,
+                          precision: Optional[Precision] = None,
+                          probe_chunk: int = 128, aberrations=None,
+                          defocus: float = 0.0):
+    """4D-STEM virtual image through the S-matrix: the detector-weighted
+    reduction of every scan position's diffraction pattern, assembled on
+    the reconstructed scan grid (the analysis.detectors.virtual_image
+    semantics without ever materializing per-probe exit waves).
+
+    Returns (image (n_x, n_y), scan_xs, scan_ys). ``weights`` lives on the
+    FFTSHIFTED detector grid sm.kxs/kys (the window grid when f > 1);
+    ``intensity=True`` gives the physical |psi|^2 detector (pass False for
+    the reference HAADF amplitude convention, quirk #11)."""
+    vals = smatrix_reduce(sm, probe_positions, weights, intensity=intensity,
+                          precision=precision, probe_chunk=probe_chunk,
+                          aberrations=aberrations, defocus=defocus)
+    positions = np.asarray(probe_positions, np.float64).reshape(-1, 2)
+    xs = np.array(sorted(set(positions[:, 0].tolist())))
+    ys = np.array(sorted(set(positions[:, 1].tolist())))
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    d2 = (np.sum(pts ** 2, axis=1)[:, None]
+          - 2.0 * pts @ positions.T
+          + np.sum(positions ** 2, axis=1)[None, :])
+    nearest = np.argmin(d2, axis=1)
+    return vals[nearest].reshape(len(xs), len(ys)), xs, ys

@@ -581,7 +581,23 @@ class StreamingHAADF:
     def __init__(self, spec: SimSpec, probes, probe_positions,
                  collection_angle: float = 45, eV: Optional[float] = None,
                  intensity: bool = False, layer_index: int = -1,
-                 mesh=None):
+                 mesh=None, mrad: Optional[float] = None,
+                 use_smatrix: Optional[bool] = None, prism_f: int = 1,
+                 aberrations=None, defocus: float = 0.0,
+                 beam_chunk: int = 64, probe_chunk: int = 128):
+        """``mrad``/``use_smatrix``/``prism_f``: large scans route each
+        frame through the S-matrix (engine.smatrix) instead of
+        propagating every probe — build the aperture basis once per
+        frame, then synthesize + reduce each probe with one MXU matmul.
+        use_smatrix=None auto-dispatches above the measured crossover
+        (smatrix_auto: ~2,000 probes at f=1 on one chip); passing
+        ``mrad`` (the aperture) is what arms the auto-dispatch, since
+        this class otherwise only sees the pre-shifted probe array.
+        ``aberrations``/``defocus`` describe the base probe for exact
+        coefficient synthesis (they must match how ``probes`` was
+        built). f=1 is exact; f>1 is the PRISM approximation. Requires a
+        mesh frame extent of 1 (the basis build itself shards over the
+        whole mesh)."""
         self.spec = spec
         self.mesh = mesh
         self._frame_extent = 1
@@ -623,6 +639,42 @@ class StreamingHAADF:
                 (n_probes,), prec.real))()
         self._n = 0
         self._seen = set()      # frame indices, when callers provide them
+
+        # --- S-matrix scan path (round-3 item 4) -------------------------
+        from .smatrix import smatrix_auto
+        g = spec.grid
+        if use_smatrix is None:
+            use_smatrix = (mrad is not None and self._frame_extent == 1
+                           and smatrix_auto(n_probes, mrad, spec.ksq2d,
+                                            g.nx, g.ny, prism_f))
+        if use_smatrix:
+            if mrad is None:
+                raise ValueError("use_smatrix=True needs the probe "
+                                 "aperture (mrad=...)")
+            if self._frame_extent > 1:
+                raise ValueError(
+                    "the S-matrix path needs a mesh frame extent of 1 "
+                    "(the basis build shards over the whole mesh instead)")
+            from .smatrix import build_beams
+            self._beams = build_beams(g.xs, g.ys, mrad,
+                                      eV if eV is not None else spec.eV,
+                                      f=prism_f)
+            if prism_f == 1:
+                self._sm_weights = self._mask      # exact detector parity
+            else:
+                wlam = _wavelength(eV if eV is not None else spec.eV)
+                wx, wy = g.nx // prism_f, g.ny // prism_f
+                kxs_w = np.fft.fftshift(np.fft.fftfreq(wx, d=g.dx))
+                kys_w = np.fft.fftshift(np.fft.fftfreq(wy, d=g.dy))
+                qw = np.sqrt(kxs_w[:, None] ** 2 + kys_w[None, :] ** 2)
+                self._sm_weights = jnp.asarray(
+                    (qw > (collection_angle * 1e-3) / wlam).astype(
+                        np.dtype(spec.precision.real)))
+            self._sm_kwargs = dict(aberrations=aberrations,
+                                   defocus=defocus,
+                                   probe_chunk=probe_chunk)
+            self._beam_chunk = beam_chunk
+        self.use_smatrix = bool(use_smatrix)
 
     def _init_frame_sharded_haadf(self, n_probes, prec):
         import functools as _ft
@@ -679,9 +731,30 @@ class StreamingHAADF:
                 f"{self._frame_extent} > 1); feed frames through "
                 "add_frame_block")
         self._track(frame_index)
+        if self.use_smatrix:
+            self._add_frame_smatrix(positions)
+            return
         self._acc = _haadf_accumulate(self._acc, jnp.asarray(positions),
                                       self.probes, self._mask, self.spec,
                                       self.layer_index, self.intensity)
+        self._n += 1
+
+    def _add_frame_smatrix(self, positions) -> None:
+        """One frame through the S-matrix: basis build (beam-sharded over
+        the mesh when one is given) + synthesis-reduction per probe —
+        never materializes per-probe exit waves."""
+        from .smatrix import compute_smatrix, smatrix_reduce
+        g = self.spec.grid
+        sm = compute_smatrix(positions, self.spec.plan, self._beams,
+                             xs=g.xs, ys=g.ys, dz=self.spec.dz,
+                             precision=self.spec.precision,
+                             beam_chunk=self._beam_chunk, mesh=self.mesh)
+        vals = smatrix_reduce(sm, self.probe_positions, self._sm_weights,
+                              intensity=self.intensity,
+                              precision=self.spec.precision,
+                              **self._sm_kwargs)
+        self._acc = self._acc + jnp.asarray(
+            vals.astype(np.dtype(self.spec.precision.real)))
         self._n += 1
 
     def add_frame_block(self, positions_block, frame_indices=None) -> None:
@@ -709,12 +782,15 @@ class StreamingHAADF:
         g = self.spec.grid
         mesh_shape = (tuple(sorted(self.mesh.shape.items()))
                       if self.mesh is not None else None)
+        sm_cfg = ((self._beams.f, self._beams.mrad, self._beams.n_beams,
+                   repr(self._sm_kwargs)) if self.use_smatrix else None)
         params = str((g.nx, g.ny, g.nz, self.spec.eV, self.spec.dz,
                       self.spec.record_layers, self.layer_index,
                       self.intensity, _digest_addressable(self.probes),
                       _digest_addressable(self._mask),
                       _digest_addressable(self.probe_positions),
-                      mesh_shape, self._frame_extent, jax.process_index()))
+                      mesh_shape, self._frame_extent, sm_cfg,
+                      jax.process_index()))
         return hashlib.md5(params.encode()).hexdigest()[:12]
 
     def save_checkpoint(self, directory) -> None:

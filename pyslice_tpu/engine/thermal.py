@@ -77,7 +77,9 @@ def frozen_phonon_haadf(trajectory: Trajectory,
                         collection_angle: float = 45.0,
                         intensity: bool = True,
                         fast_grid: bool = False,
-                        distribution: str = "gaussian"
+                        distribution: str = "gaussian",
+                        use_smatrix: Optional[bool] = None,
+                        prism_f: int = 1
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Frozen-phonon HAADF image in one call.
 
@@ -86,6 +88,11 @@ def frozen_phonon_haadf(trajectory: Trajectory,
     (image (n_x, n_y), scan_xs, scan_ys). Unlike HAADFData's reference-
     parity default, ``intensity`` defaults to True (|psi|^2 — the physical
     detector; quirk #11 is about parity, not physics).
+
+    Large scans auto-route each configuration through the S-matrix
+    (engine.smatrix; use_smatrix=None = auto above the measured ~2,000-
+    probe crossover, True/False forces; prism_f > 1 trades accuracy for
+    an f^2-smaller basis).
     """
     configs = thermal_configs(trajectory, n_configs, sigma, seed,
                               distribution)
@@ -94,7 +101,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
         probe_positions, fast_grid, configs)
     stream = StreamingHAADF(spec, probes, probe_positions,
                             collection_angle=collection_angle,
-                            intensity=intensity)
+                            intensity=intensity, mrad=aperture,
+                            use_smatrix=use_smatrix, prism_f=prism_f)
     for c in range(n_configs):
         stream.add_frame(configs.positions[c])
     image = stream.image()

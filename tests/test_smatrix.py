@@ -202,3 +202,105 @@ def test_prism_window_centering_odd_grid():
     peak = np.unravel_index(np.argmax(np.abs(win)), win.shape)
     assert peak == (wx // 2, wy // 2), (
         f"probe peak {peak} not at window center {(wx // 2, wy // 2)}")
+
+
+def test_streaming_haadf_smatrix_parity(problem):
+    """StreamingHAADF(use_smatrix=True, f=1) must equal the direct
+    streaming path — same detector mask, exact basis (round-3 item 4)."""
+    from pyslice_tpu.core.grids import Grid
+    from pyslice_tpu.engine.streaming import StreamingHAADF
+    xs, ys, zs = problem["xs"], problem["ys"], problem["zs"]
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=xs[-1] + xs[1], ly=ys[-1] + ys[1],
+                lz=zs[-1] + zs[1], sampling=xs[1], slice_thickness=zs[1])
+    spec = SimSpec.create(grid, problem["plan"], problem["eV"],
+                          precision=SINGLE)
+    base = Probe(xs, ys, problem["mrad"], problem["eV"], precision=SINGLE)
+    probes = create_batched_probes(base, problem["scan"]).array
+
+    imgs = {}
+    for use in (False, True):
+        st = StreamingHAADF(spec, probes, problem["scan"],
+                            collection_angle=45, intensity=True,
+                            mrad=problem["mrad"], use_smatrix=use)
+        assert st.use_smatrix == use
+        for f in range(2):
+            st.add_frame(problem["pos"], frame_index=f)
+        imgs[use] = st.image()
+    np.testing.assert_allclose(imgs[True], imgs[False], rtol=2e-4)
+
+
+def test_smatrix_auto_crossover(problem, monkeypatch):
+    """use_smatrix=None auto-arms above SMATRIX_MIN_PROBES (and only when
+    mrad is provided and the cell is orthogonal)."""
+    from pyslice_tpu.core.grids import Grid
+    from pyslice_tpu.engine import smatrix as sm_mod
+    from pyslice_tpu.engine.streaming import StreamingHAADF
+    xs, ys, zs = problem["xs"], problem["ys"], problem["zs"]
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=xs[-1] + xs[1], ly=ys[-1] + ys[1],
+                lz=zs[-1] + zs[1], sampling=xs[1], slice_thickness=zs[1])
+    spec = SimSpec.create(grid, problem["plan"], problem["eV"],
+                          precision=SINGLE)
+    base = Probe(xs, ys, problem["mrad"], problem["eV"], precision=SINGLE)
+    probes = create_batched_probes(base, problem["scan"]).array
+
+    st = StreamingHAADF(spec, probes, problem["scan"], mrad=problem["mrad"])
+    assert not st.use_smatrix                       # 9 probes < crossover
+    monkeypatch.setattr(sm_mod, "SMATRIX_MIN_PROBES", 4)
+    st = StreamingHAADF(spec, probes, problem["scan"], mrad=problem["mrad"])
+    assert st.use_smatrix                           # above (patched) bar
+    st = StreamingHAADF(spec, probes, problem["scan"])  # no mrad -> off
+    assert not st.use_smatrix
+
+
+def test_compute_smatrix_mesh_beam_sharding(problem):
+    """Beam-parallel basis build over the 8-device mesh == single device.
+
+    Tolerance note: the shard_map context lowers some f32 ops through a
+    different (equally valid) rounding path on CPU — measured 4.3e-4
+    absolute, while BOTH paths sit ~2.5e-3 from the float64 oracle — so
+    the bar here is oracle-level accuracy, not bit equality."""
+    from pyslice_tpu.parallel.mesh import make_mesh
+    beams = build_beams(problem["xs"], problem["ys"], problem["mrad"],
+                        problem["eV"], f=1)
+    kw = dict(xs=problem["xs"], ys=problem["ys"], dz=problem["dz"],
+              precision=SINGLE, beam_chunk=8)
+    sm0 = compute_smatrix(problem["pos"], problem["plan"], beams, **kw)
+    sm1 = compute_smatrix(problem["pos"], problem["plan"], beams,
+                          mesh=make_mesh(4, 2), **kw)
+    a, b = to_numpy(sm0.s), to_numpy(sm1.s)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() / np.abs(a).max() < 2e-3
+
+
+def test_smatrix_virtual_image_matches_detectors(problem):
+    """4D-STEM virtual image via the S-matrix == analysis.detectors'
+    virtual_image over a direct WFData (f=1 exactness)."""
+    from pyslice_tpu.analysis.detectors import annular_mask, virtual_image
+    from pyslice_tpu.analysis.wf_data import WFData
+    from pyslice_tpu.engine.smatrix import smatrix_virtual_image
+
+    lam = wavelength(problem["eV"])
+    beams = build_beams(problem["xs"], problem["ys"], problem["mrad"],
+                        problem["eV"], f=1)
+    sm = compute_smatrix(problem["pos"], problem["plan"], beams,
+                         xs=problem["xs"], ys=problem["ys"],
+                         dz=problem["dz"], precision=SINGLE)
+    mask = annular_mask(sm.kxs, sm.kys, lam, inner_mrad=40.0)
+    img, xs_s, ys_s = smatrix_virtual_image(sm, problem["scan"], mask,
+                                            intensity=True,
+                                            precision=SINGLE)
+
+    wf_k = _direct_exit_k(problem)
+    base = Probe(problem["xs"], problem["ys"], problem["mrad"],
+                 problem["eV"], precision=SINGLE)
+    wf = WFData(probe_positions=np.asarray(problem["scan"]),
+                time=np.array([0.0]),
+                kxs=np.fft.fftshift(np.fft.fftfreq(
+                    len(problem["xs"]), problem["xs"][1])),
+                kys=np.fft.fftshift(np.fft.fftfreq(
+                    len(problem["ys"]), problem["ys"][1])),
+                layer=np.array([0]),
+                wavefunction_data=wf_k[:, None, :, :, None],
+                probe=base)
+    want = virtual_image(wf, mask, intensity=True)
+    np.testing.assert_allclose(img, want, rtol=2e-4)
