@@ -568,6 +568,20 @@ def _haadf_accumulate(acc, positions, probes, mask, spec: SimSpec,
     return acc + jnp.sum(amp * mask[None], axis=(1, 2))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "intensity"))
+def _haadf_chunk_values(positions, probes, mask, spec: SimSpec,
+                        layer_index: int, intensity: bool):
+    """(chunk,) detector values for one probe chunk of one frame —
+    bounds the working set to chunk * nx * ny exit waves (a 4,096-probe
+    production scan cannot hold all exit waves in HBM at once)."""
+    psi = frame_exit_waves(positions, probes, spec)[..., layer_index]
+    amp = jnp.abs(psi)
+    if intensity:
+        amp = amp * amp
+    return jnp.sum(amp * mask[None], axis=(1, 2))
+
+
 class StreamingHAADF:
     """Running ADF accumulation: mean over frames of the annular-masked
     k-space amplitude sum per probe (haadf_data.py:43-65 semantics).
@@ -584,7 +598,8 @@ class StreamingHAADF:
                  mesh=None, mrad: Optional[float] = None,
                  use_smatrix: Optional[bool] = None, prism_f: int = 1,
                  aberrations=None, defocus: float = 0.0,
-                 beam_chunk: int = 64, probe_chunk: int = 128):
+                 beam_chunk: int = 64, probe_chunk: Optional[int] = None,
+                 synth_chunk: int = 128):
         """``mrad``/``use_smatrix``/``prism_f``: large scans route each
         frame through the S-matrix (engine.smatrix) instead of
         propagating every probe — build the aperture basis once per
@@ -597,11 +612,24 @@ class StreamingHAADF:
         coefficient synthesis (they must match how ``probes`` was
         built). f=1 is exact; f>1 is the PRISM approximation. Requires a
         mesh frame extent of 1 (the basis build itself shards over the
-        whole mesh)."""
+        whole mesh). ``synth_chunk`` bounds the synthesis matmul's probe
+        rows.
+
+        ``probe_chunk``: direct-path HBM bound — at most this many
+        probes' exit waves live at once (a 4,096-probe 1024^2 scan is
+        ~34 GB of exit waves, far beyond one chip's HBM). None = all at
+        once. Mutually exclusive with a mesh (sharding already bounds
+        the per-device working set)."""
         self.spec = spec
         self.mesh = mesh
         self._frame_extent = 1
-        if mesh is not None:
+        if probes is None and not use_smatrix:
+            # The S-matrix path never touches the probe array (it
+            # synthesizes from coefficients) — a 4,096-probe 1024^2 scan's
+            # probes alone are ~34 GB, so large scans pass probes=None
+            # with use_smatrix=True.
+            raise ValueError("probes=None requires use_smatrix=True")
+        if mesh is not None and probes is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
             if probes.shape[0] % mesh.shape[PROBE_AXIS]:
@@ -630,7 +658,13 @@ class StreamingHAADF:
         radius = (collection_angle * 1e-3) / lam
         self._mask = jnp.asarray((q > radius).astype(
             np.dtype(spec.precision.real)))
-        n_probes = probes.shape[0]
+        n_probes = (probes.shape[0] if probes is not None
+                    else len(self.probe_positions))
+        if probes is not None and probes.shape[0] != \
+                len(self.probe_positions):
+            raise ValueError(
+                f"probes ({probes.shape[0]}) and probe_positions "
+                f"({len(self.probe_positions)}) disagree")
         prec = spec.precision
         if self._frame_extent > 1:
             self._init_frame_sharded_haadf(n_probes, prec)
@@ -672,9 +706,12 @@ class StreamingHAADF:
                         np.dtype(spec.precision.real)))
             self._sm_kwargs = dict(aberrations=aberrations,
                                    defocus=defocus,
-                                   probe_chunk=probe_chunk)
+                                   probe_chunk=synth_chunk)
             self._beam_chunk = beam_chunk
         self.use_smatrix = bool(use_smatrix)
+        if probe_chunk is not None and mesh is not None:
+            raise ValueError("probe_chunk and mesh are mutually exclusive")
+        self.probe_chunk = probe_chunk
 
     def _init_frame_sharded_haadf(self, n_probes, prec):
         import functools as _ft
@@ -734,6 +771,18 @@ class StreamingHAADF:
         if self.use_smatrix:
             self._add_frame_smatrix(positions)
             return
+        if self.probe_chunk is not None \
+                and self.probe_chunk < self.probes.shape[0]:
+            pos = jnp.asarray(positions)
+            c = self.probe_chunk
+            vals = jnp.concatenate(
+                [_haadf_chunk_values(pos, self.probes[i:i + c], self._mask,
+                                     self.spec, self.layer_index,
+                                     self.intensity)
+                 for i in range(0, self.probes.shape[0], c)])
+            self._acc = self._acc + vals
+            self._n += 1
+            return
         self._acc = _haadf_accumulate(self._acc, jnp.asarray(positions),
                                       self.probes, self._mask, self.spec,
                                       self.layer_index, self.intensity)
@@ -786,7 +835,9 @@ class StreamingHAADF:
                    repr(self._sm_kwargs)) if self.use_smatrix else None)
         params = str((g.nx, g.ny, g.nz, self.spec.eV, self.spec.dz,
                       self.spec.record_layers, self.layer_index,
-                      self.intensity, _digest_addressable(self.probes),
+                      self.intensity,
+                      (_digest_addressable(self.probes)
+                       if self.probes is not None else "smatrix-only"),
                       _digest_addressable(self._mask),
                       _digest_addressable(self.probe_positions),
                       mesh_shape, self._frame_extent, sm_cfg,

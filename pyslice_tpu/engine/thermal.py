@@ -79,7 +79,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
                         fast_grid: bool = False,
                         distribution: str = "gaussian",
                         use_smatrix: Optional[bool] = None,
-                        prism_f: int = 1
+                        prism_f: int = 1,
+                        probe_chunk: Optional[int] = None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Frozen-phonon HAADF image in one call.
 
@@ -102,7 +103,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
     stream = StreamingHAADF(spec, probes, probe_positions,
                             collection_angle=collection_angle,
                             intensity=intensity, mrad=aperture,
-                            use_smatrix=use_smatrix, prism_f=prism_f)
+                            use_smatrix=use_smatrix, prism_f=prism_f,
+                            probe_chunk=probe_chunk)
     for c in range(n_configs):
         stream.add_frame(configs.positions[c])
     image = stream.image()

@@ -307,3 +307,21 @@ def test_duplicate_haadf_frame_index_rejected(setup):
     st.add_frame(traj.positions[0], frame_index=0)
     with pytest.raises(ValueError, match="more than once"):
         st.add_frame(traj.positions[1], frame_index=0)
+
+
+def test_streaming_haadf_probe_chunking(setup):
+    """probe_chunk bounds the direct path's working set without changing
+    results (the HBM guard for >1k-probe production scans)."""
+    traj, g, spec = setup
+    pg = probe_grid([1, 3], [1, 3], 3, 3)
+    base = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    imgs = {}
+    for chunk in (None, 4):
+        st = StreamingHAADF(spec, probes, pg, collection_angle=45,
+                            probe_chunk=chunk)
+        for f in range(2):
+            st.add_frame(traj.positions[f])
+        imgs[chunk] = st.image()
+    np.testing.assert_allclose(imgs[4], imgs[None], rtol=1e-12)
