@@ -1,0 +1,295 @@
+"""Ptychographic phase reconstruction from 4D-STEM data.
+
+Beyond-reference analysis family (the reference ships only HAADF over its
+WFData 4D datasets, /root/reference/src/postprocessing/haadf_data.py): the
+(probes, kx, ky) exit-wave intensities the pipeline already produces ARE a
+4D-STEM/ptychography dataset, and these routines invert them for the
+specimen's phase:
+
+* ``scan_grid_data``   — WFData -> (scan_xs, scan_ys, I(sx, sy, kx, ky)),
+  the frame-averaged CBED stack on the rectangular scan grid;
+* ``ssb_reconstruct``  — single-sideband ptychography (Rodenburg & Bates
+  1992; Pennycook et al., Ultramicroscopy 151 (2015) 160): direct,
+  non-iterative weak-phase reconstruction from the trotter overlaps of
+  G(Q, kf) = FFT_scan[I];
+* ``epie_reconstruct`` — ePIE (Maiden & Rodenburg, Ultramicroscopy 109
+  (2009) 1256): iterative object (and optionally probe) retrieval. The
+  whole solver is ONE jitted program — lax.scan over scan positions inside
+  lax.scan over iterations — with probe shifts applied as exact k-space
+  phase ramps (no dynamic-shape windowing, so XLA compiles a single static
+  kernel and the MXU-backed matmul-FFTs carry the transforms).
+
+Conventions: detector axes arrive fftshifted + monotonic (the WFData
+layout); reconstruction internals run in natural FFT order on device.
+Complex results cross the host boundary through utils.host.to_numpy
+(split-transfer; complex buffers cannot cross the axon PJRT layer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import get_precision
+from ..ops import matfft
+from ..utils.host import to_device_complex, to_numpy
+from .detectors import _scan_grid
+
+
+def scan_grid_data(wf_data, layer_index: int = -1):
+    """Arrange a WFData as a 4D-STEM dataset on its rectangular scan grid.
+
+    Returns ``(scan_xs, scan_ys, data4d)`` with ``data4d`` of shape
+    (n_sx, n_sy, nkx, nky): frame-averaged detector intensity per scan
+    point (nearest probe per unique-x/unique-y point, the same scan-grid
+    reconstruction HAADFData.calculateADF uses). Device-resident WFData
+    reduces on device; the returned stack is a host array.
+    """
+    wf = wf_data.wavefunction_data
+    xp = jnp if isinstance(wf, jax.Array) else np
+    inten = xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1)
+    xs, ys, nearest = _scan_grid(wf_data.probe_positions)
+    inten = np.asarray(inten)
+    data4d = inten[nearest].reshape(len(xs), len(ys), *inten.shape[-2:])
+    return xs, ys, data4d
+
+
+def _uniform_step(axis, name: str) -> float:
+    axis = np.asarray(axis, dtype=np.float64)
+    if len(axis) < 2:
+        raise ValueError(f"{name} needs >= 2 scan points")
+    steps = np.diff(axis)
+    if not np.allclose(steps, steps[0], rtol=1e-6, atol=1e-9):
+        raise ValueError(f"{name} must be uniformly spaced for the scan FFT")
+    return float(steps[0])
+
+
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _ssb_trotters(g_chunk, q_chunk, kx2d, ky2d, kmax: float):
+    """Single-sideband trotter sums for a chunk of scan frequencies.
+
+    g_chunk: (c, nkx, nky) complex G(Q, kf); q_chunk: (c, 2) scan
+    frequencies (1/A). Returns (c,) complex means over the double-overlap
+    region A(kf) & A(kf + Q) & ~A(kf - Q).
+
+    Geometry note: this framework's scan convention (shift_probes, the
+    reference's quirk #14) places the probe listed at R physically at
+    c - R (c = the base probe's center). Under the scan FFT that reverses
+    the position axis, so the weak-phase expansion of |FT psi_exit|^2
+    puts the conjugated object spectrum on the A(kf+Q) sideband:
+    G(Q, kf) = i * conj(Phi)(Q) * e^{-2 pi i Q.c} * N_scan there (ideal
+    aperture). The caller removes the probe-center phase.
+    """
+    k2 = kmax * kmax
+
+    def one(g, q):
+        a0 = (kx2d ** 2 + ky2d ** 2) <= k2
+        am = ((kx2d - q[0]) ** 2 + (ky2d - q[1]) ** 2) <= k2
+        ap = ((kx2d + q[0]) ** 2 + (ky2d + q[1]) ** 2) <= k2
+        band = a0 & ap & jnp.logical_not(am)
+        cnt = jnp.sum(band)
+        val = jnp.sum(jnp.where(band, g, 0.0 + 0.0j))
+        return val / jnp.maximum(cnt, 1).astype(val.real.dtype), cnt
+
+    return jax.vmap(one)(g_chunk, q_chunk)
+
+
+def ssb_reconstruct(data4d, scan_xs, scan_ys, kxs, kys,
+                    mrad: Optional[float] = None,
+                    eV: Optional[float] = None, probe=None,
+                    probe_center: Optional[Tuple[float, float]] = None,
+                    q_chunk: int = 1024) -> dict:
+    """Single-sideband ptychography: direct weak-phase reconstruction.
+
+    Args:
+        data4d: (n_sx, n_sy, nkx, nky) detector intensities on the scan
+            grid (``scan_grid_data`` output; detector axes fftshifted).
+        scan_xs/scan_ys: uniform scan-point coordinates (Angstrom).
+        kxs/kys: detector axes, 1/Angstrom, fftshifted monotonic
+            (WFData.kxs/kys).
+        mrad/eV: probe aperture semi-angle and beam energy (must match
+            the probes that recorded ``data4d`` — the trotter geometry
+            is the aperture's). Default from ``probe`` when given.
+        probe: optional ``Probe`` — supplies mrad/eV/probe_center
+            (pass ``wf_data.probe`` alongside ``scan_grid_data`` output).
+        probe_center: real-space center (Angstrom) of the UNSHIFTED base
+            probe. This framework's probes are built at the cell center
+            (probe_array's ifftshift) and scanned with the reference's
+            shift sign (quirk #14: listed R -> physical c - R); the
+            resulting e^{-2 pi i Q.c} phase must be removed or the
+            reconstruction is circularly translated by c. Default: taken
+            from ``probe``, else (0, 0).
+        q_chunk: scan-frequency bins processed per device dispatch.
+
+    Returns dict with ``phase`` (n_sx, n_sy float, the reconstructed
+    object phase at the scan coordinates — QUANTITATIVE, in radians
+    within the weak-phase approximation, mean-free), ``qxs``/``qys``
+    (scan-frequency axes), and ``trotter_pixels`` (n_sx, n_sy int — 0
+    marks frequencies outside the double-overlap band |Q| in (0, 2 k_ap),
+    which carry no signal). Resolution is aperture-limited (|Q| <
+    2 alpha / lambda), the standard SSB band; the scan Nyquist
+    1/(2*step) should exceed it or the band is clipped.
+    """
+    from ..core.constants import wavelength
+
+    if probe is not None:
+        mrad = probe.mrad if mrad is None else mrad
+        eV = probe.eV if eV is None else eV
+        if probe_center is None:
+            probe_center = (float(probe.xs[len(probe.xs) // 2]),
+                            float(probe.ys[len(probe.ys) // 2]))
+    if mrad is None or eV is None:
+        raise ValueError("pass mrad and eV (or a probe)")
+    if probe_center is None:
+        probe_center = (0.0, 0.0)
+
+    data4d = np.asarray(data4d)
+    n_sx, n_sy = data4d.shape[:2]
+    dx = _uniform_step(scan_xs, "scan_xs")
+    dy = _uniform_step(scan_ys, "scan_ys")
+    qxs = np.fft.fftfreq(n_sx, d=dx)
+    qys = np.fft.fftfreq(n_sy, d=dy)
+    kmax = (mrad * 1e-3) / wavelength(eV)
+
+    # G(Q, kf): FFT over the scan axes only. Host FFT — the scan grid is
+    # small next to the detector axes and the result feeds device chunks.
+    g = np.fft.fft2(data4d, axes=(0, 1))
+    g = g.reshape(n_sx * n_sy, *data4d.shape[2:])
+    qgrid = np.stack(np.meshgrid(qxs, qys, indexing="ij"),
+                     axis=-1).reshape(-1, 2)
+
+    prec = get_precision("single")
+    kx2d = jnp.asarray(np.asarray(kxs, np.float64)[:, None],
+                       dtype=prec.real)
+    ky2d = jnp.asarray(np.asarray(kys, np.float64)[None, :],
+                       dtype=prec.real)
+
+    vals = np.zeros(n_sx * n_sy, dtype=np.complex128)
+    cnts = np.zeros(n_sx * n_sy, dtype=np.int64)
+    for i in range(0, len(qgrid), q_chunk):
+        gc = to_device_complex(g[i:i + q_chunk], prec.complex)
+        qc = jnp.asarray(qgrid[i:i + q_chunk].astype(np.float32))
+        v, c = _ssb_trotters(gc, qc, kx2d, ky2d, float(kmax))
+        vals[i:i + q_chunk] = to_numpy(v)
+        cnts[i:i + q_chunk] = np.asarray(c)
+
+    # est(Q) = i * conj(Phi)(Q) * e^{-2 pi i Q.c}  =>
+    # Phi(Q) = conj(est / i) * e^{-2 pi i Q.c}
+    # (see _ssb_trotters' geometry note for the sideband derivation).
+    qdotc = (qgrid[:, 0] * probe_center[0]
+             + qgrid[:, 1] * probe_center[1])
+    phi_q = (np.conj(vals / 1j)
+             * np.exp(-2j * np.pi * qdotc)).reshape(n_sx, n_sy)
+    phase = np.real(np.fft.ifft2(phi_q))
+    return dict(phase=phase, qxs=qxs, qys=qys,
+                trotter_pixels=cnts.reshape(n_sx, n_sy))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "update_probe"))
+def _epie_run(amps, positions, obj0, probe0, kx, ky, alpha, beta,
+              n_iters: int, update_probe: bool):
+    """The whole ePIE solve as one compiled program.
+
+    amps: (npos, nx, ny) measured detector AMPLITUDES, natural FFT order.
+    positions: (npos, 2) Angstrom. kx/ky: natural-order axes (1/A).
+    Carry = (object, probe) on the full grid; probe shifts are exact
+    k-space phase ramps so every step has static shapes. The ramp sign
+    matches physics.probe.shift_probes (the reference's quirk #14), so a
+    probe guess equal to the data's true illumination is exactly
+    self-consistent and the recovered object is in physical coordinates.
+    """
+    two_pi = 2.0 * np.pi
+
+    def ramp_for(pos):
+        ph = two_pi * (kx[:, None] * pos[0] + ky[None, :] * pos[1])
+        return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+    def one_pos(carry, inputs):
+        obj, probe = carry
+        a_j, pos = inputs
+        ramp = ramp_for(pos)
+        p_j = matfft.ifft2(matfft.fft2(probe) * ramp)
+        psi = p_j * obj
+        big = matfft.fft2(psi)
+        mag = jnp.abs(big)
+        err = jnp.mean((mag - a_j) ** 2)
+        psi2 = matfft.ifft2(big * (a_j / (mag + 1e-12)))
+        d = psi2 - psi
+        obj_new = obj + alpha * jnp.conj(p_j) * d \
+            / jnp.max(jnp.abs(p_j) ** 2)
+        if update_probe:
+            p_new = p_j + beta * jnp.conj(obj) * d \
+                / jnp.max(jnp.abs(obj) ** 2)
+            probe = matfft.ifft2(matfft.fft2(p_new) * jnp.conj(ramp))
+        return (obj_new, probe), err
+
+    def one_iter(carry, _):
+        carry, errs = jax.lax.scan(one_pos, carry, (amps, positions))
+        return carry, jnp.mean(errs)
+
+    (obj, probe), losses = jax.lax.scan(one_iter, (obj0, probe0), None,
+                                        length=n_iters)
+    return obj, probe, losses
+
+
+def epie_reconstruct(data4d, probe_positions, probe, n_iters: int = 50,
+                     alpha: float = 0.2, beta: float = 0.2,
+                     update_probe: bool = True,
+                     obj_init=None) -> dict:
+    """ePIE object (and probe) retrieval from intensity-only 4D-STEM data.
+
+    Args:
+        data4d: (npos, nkx, nky) detector intensities, fftshifted (the
+            WFData k layout; flatten ``scan_grid_data``'s first two axes
+            or pass per-probe frames directly).
+        probe_positions: (npos, 2) scan coordinates, Angstrom.
+        probe: the illumination ``Probe`` (its array is the real-space
+            initial guess; its kxs/kys supply the shift ramps).
+        n_iters: full sweeps over the scan.
+        alpha/beta: object/probe update strengths (Maiden & Rodenburg's
+            notation).
+        update_probe: False freezes the probe (PIE) — e.g. when the
+            illumination is known exactly, as for simulated data.
+        obj_init: optional (nx, ny) complex initial object (default: 1).
+
+    Returns dict with ``object`` (nx, ny complex, full-resolution),
+    ``probe`` (nx, ny complex, the refined illumination), and ``losses``
+    (n_iters, detector-amplitude MSE per sweep). The usual ptychographic
+    ambiguities apply: a global phase offset, and (with update_probe) a
+    complex-scale split between object and probe.
+    """
+    prec = probe.precision
+    data = np.asarray(data4d)
+    npos = data.shape[0]
+    if np.asarray(probe_positions).shape[0] != npos:
+        raise ValueError(
+            f"data4d has {npos} patterns but probe_positions has "
+            f"{np.asarray(probe_positions).shape[0]} entries")
+    amps = np.sqrt(np.maximum(np.fft.ifftshift(data, axes=(-2, -1)), 0.0))
+
+    p0 = probe.array
+    if p0.ndim != 2:
+        raise ValueError("probe must be a single (nx, ny) Probe, "
+                         "not a batch")
+    # jit the ones so the complex constant materializes on device (the
+    # axon PJRT layer cannot transfer complex host buffers).
+    obj0 = (jax.jit(lambda: jnp.ones(p0.shape, dtype=prec.complex))()
+            if obj_init is None
+            else to_device_complex(np.asarray(obj_init), prec.complex))
+
+    obj, pr, losses = _epie_run(
+        jnp.asarray(amps.astype(np.dtype(prec.real))),
+        jnp.asarray(np.asarray(probe_positions, np.float64)
+                    .astype(np.dtype(prec.real))),
+        obj0, p0,
+        jnp.asarray(probe.kxs.astype(np.dtype(prec.real))),
+        jnp.asarray(probe.kys.astype(np.dtype(prec.real))),
+        np.dtype(prec.real).type(alpha), np.dtype(prec.real).type(beta),
+        int(n_iters), bool(update_probe))
+    return dict(object=to_numpy(obj), probe=to_numpy(pr),
+                losses=np.asarray(losses))

@@ -1,0 +1,193 @@
+"""Ptychography (SSB + ePIE) against the framework's own forward model.
+
+Beyond-reference capability tests: simulate 4D-STEM data with the real
+multislice propagator, discard the phases (intensity-only, as a detector
+records), and verify each reconstruction recovers the specimen phase
+within its information limit. Ground truth is the projected potential
+phase sigma * sum_z V(z) (weak-phase object), band-limited to the method's
+band before comparison.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp  # noqa: E402
+
+from pyslice_tpu.analysis.ptychography import (epie_reconstruct,  # noqa: E402
+                                               scan_grid_data,
+                                               ssb_reconstruct)
+from pyslice_tpu.core.constants import (interaction_parameter,  # noqa: E402
+                                        wavelength)
+from pyslice_tpu.core.dtypes import get_precision  # noqa: E402
+from pyslice_tpu.physics.potential import make_plan, rasterize  # noqa: E402
+from pyslice_tpu.physics.probe import Probe, shift_probes  # noqa: E402
+from pyslice_tpu.physics.propagate import multislice  # noqa: E402
+
+NX = NY = 64
+SAMPLING = 0.15
+EV = 100e3
+MRAD = 20.0
+DZ = 1.0
+
+
+def band_limit(img, kxs, kys, q_max):
+    mask = (np.asarray(kxs)[:, None] ** 2
+            + np.asarray(kys)[None, :] ** 2) < q_max ** 2
+    return np.real(np.fft.ifft2(np.fft.fft2(img) * mask))
+
+
+def pearson(a, b):
+    a = np.asarray(a, np.float64) - np.mean(a)
+    b = np.asarray(b, np.float64) - np.mean(b)
+    return float((a * b).sum()
+                 / np.sqrt((a ** 2).sum() * (b ** 2).sum() + 1e-30))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    """Weak-phase specimen + dense scan + intensity-only CBED stack."""
+    prec = get_precision("single")
+    lx, ly = NX * SAMPLING, NY * SAMPLING
+    xs = np.linspace(0, lx, NX, endpoint=False)
+    ys = np.linspace(0, ly, NY, endpoint=False)
+    zs = np.array([0.0, DZ])
+
+    rng = np.random.default_rng(3)
+    n_atoms = 10
+    pos = rng.random((1, n_atoms, 3)) * np.array([lx, ly, 2 * DZ - 0.1])
+    types = rng.choice([5, 7], n_atoms).astype(np.int32)
+    plan = make_plan(xs, ys, zs, pos, types)
+    v = np.asarray(rasterize(jnp.asarray(pos[0], prec.real), plan, prec))
+
+    sigma = interaction_parameter(EV)
+    # Scale to a genuinely weak object (max phase ~0.05 rad) so the SSB
+    # weak-phase expansion holds to the test tolerance.
+    scale = 0.05 / (sigma * np.abs(v).max())
+    v = v * scale
+    phi_true = sigma * v.sum(axis=0)
+
+    # 32x32 scan at exact 2-pixel steps: scan Nyquist 1/(2*0.3) = 1.67 1/A
+    # exceeds the SSB band 2*k_ap = 1.08 1/A (no trotter aliasing).
+    n_s = 32
+    step = lx / n_s
+    scan_xs = np.arange(n_s) * step
+    scan_ys = np.arange(n_s) * step
+    positions = np.array([(sx, sy) for sx in scan_xs for sy in scan_ys])
+
+    base = Probe(xs, ys, MRAD, EV, precision=prec)
+    probes = shift_probes(base.array, base.kxs, base.kys, positions,
+                          precision=prec)
+    exit_waves = multislice(probes, jnp.asarray(v, prec.real),
+                            base.kxs, base.kys, eV=EV, dz=DZ,
+                            precision=prec, fused=False)
+    inten = np.asarray(
+        jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(exit_waves),
+                                 axes=(-2, -1))) ** 2)
+    kxs_shift = np.fft.fftshift(base.kxs)
+    kys_shift = np.fft.fftshift(base.kys)
+    return dict(prec=prec, base=base, positions=positions,
+                scan_xs=scan_xs, scan_ys=scan_ys, n_s=n_s,
+                inten=inten, phi_true=phi_true,
+                kxs=base.kxs, kys=base.kys,
+                kxs_shift=kxs_shift, kys_shift=kys_shift)
+
+
+def test_ssb_recovers_weak_phase(problem):
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY)
+    rec = ssb_reconstruct(data4d, p["scan_xs"], p["scan_ys"],
+                          p["kxs_shift"], p["kys_shift"], probe=p["base"])
+
+    q_band = 2 * (MRAD * 1e-3) / wavelength(EV)
+    truth = band_limit(p["phi_true"], p["kxs"], p["kys"], q_band)[::2, ::2]
+    c = pearson(rec["phase"], truth)
+    assert c > 0.9, f"SSB phase correlation {c:.3f}"
+
+    # The extraction is calibrated: the output is the band-limited object
+    # phase in RADIANS (quantitative within the weak-phase approximation).
+    ratio = (np.linalg.norm(rec["phase"] - rec["phase"].mean())
+             / np.linalg.norm(truth - truth.mean()))
+    assert 0.9 < ratio < 1.1, f"SSB radian calibration off: {ratio:.3f}"
+
+    # Signal lives only in the double-overlap band: DC and |Q| >= 2 k_ap
+    # bins have no trotter pixels.
+    tp = rec["trotter_pixels"]
+    assert tp[0, 0] == 0
+    qx, qy = np.meshgrid(rec["qxs"], rec["qys"], indexing="ij")
+    outside = (qx ** 2 + qy ** 2) >= (q_band * 1.05) ** 2
+    assert tp[outside].max() == 0
+    assert tp[~outside].sum() > 0
+
+
+def test_ssb_rejects_nonuniform_scan(problem):
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY)
+    bad = p["scan_xs"].copy()
+    bad[3] += 0.05
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        ssb_reconstruct(data4d, bad, p["scan_ys"],
+                        p["kxs_shift"], p["kys_shift"], probe=p["base"])
+
+
+def test_epie_recovers_phase_known_probe(problem):
+    """PIE (probe frozen at the true illumination) must fit the data and
+    recover the full-resolution object phase within the aperture band."""
+    p = problem
+    # every 2nd scan point in each direction (16x16 = 256 patterns) keeps
+    # the test fast; probe overlap is still ~6x the scan step.
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 2)
+                    for j in range(0, p["n_s"], 2)])
+    rec = epie_reconstruct(p["inten"][idx], p["positions"][idx], p["base"],
+                           n_iters=40, alpha=0.9, update_probe=False)
+
+    assert rec["losses"][-1] < rec["losses"][0] / 10
+
+    q_band = 2 * (MRAD * 1e-3) / wavelength(EV)
+    phase = band_limit(np.angle(rec["object"]), p["kxs"], p["kys"], q_band)
+    truth = band_limit(p["phi_true"], p["kxs"], p["kys"], q_band)
+    c = pearson(phase, truth)
+    assert c > 0.8, f"ePIE phase correlation {c:.3f}"
+
+
+def test_epie_probe_update_converges(problem):
+    """Full ePIE from a perturbed probe guess still reduces the misfit
+    monotonically-ish (final < initial / 3)."""
+    p = problem
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 4)
+                    for j in range(0, p["n_s"], 4)])
+    guess = Probe(p["base"].xs, p["base"].ys, MRAD, EV,
+                  precision=p["prec"])
+    guess.defocus(30.0)   # wrong focus: the probe update must fix it
+    rec = epie_reconstruct(p["inten"][idx], p["positions"][idx], guess,
+                           n_iters=30, alpha=0.5, beta=0.5,
+                           update_probe=True)
+    assert rec["losses"][-1] < rec["losses"][0] / 3
+    assert np.isfinite(rec["losses"]).all()
+
+
+def test_scan_grid_data_roundtrip(problem):
+    """scan_grid_data reassembles the (sx, sy) stack from a WFData whose
+    probe order is scrambled."""
+    from pyslice_tpu.analysis.wf_data import WFData
+
+    p = problem
+    perm = np.random.default_rng(0).permutation(len(p["positions"]))
+    wf = WFData(
+        probe_positions=p["positions"][perm],
+        time=np.array([0.0]),
+        kxs=p["kxs_shift"], kys=p["kys_shift"],
+        layer=np.array([0]),
+        wavefunction_data=np.sqrt(p["inten"][perm])[:, None, :, :, None]
+        .astype(np.complex64),
+        probe=p["base"])
+    xs, ys, data4d = scan_grid_data(wf)
+    np.testing.assert_allclose(xs, p["scan_xs"], atol=1e-9)
+    np.testing.assert_allclose(
+        data4d, p["inten"].reshape(p["n_s"], p["n_s"], NX, NY), rtol=2e-5)
