@@ -8,7 +8,9 @@ projected potential the simulation used:
 
   1. SSB (single-sideband): direct, non-iterative, aperture-band-limited
      phase on the scan grid.
-  2. ePIE: iterative object+probe retrieval at FULL grid resolution, the
+  2. iCoM/iDPC: Fourier integration of the center-of-mass deflection
+     field — the cheapest method (two scan-grid FFTs).
+  3. ePIE: iterative object+probe retrieval at FULL grid resolution, the
      whole solver compiled as one jitted lax.scan program.
 
 Run:  python examples/ptychography_demo.py [--scan 32] [--iters 40]
@@ -29,6 +31,7 @@ import numpy as np
 
 import pyslice_tpu as pt
 from pyslice_tpu.analysis.ptychography import (epie_reconstruct,
+                                               icom_reconstruct,
                                                scan_grid_data,
                                                ssb_reconstruct)
 from pyslice_tpu.core.constants import interaction_parameter, wavelength
@@ -116,6 +119,20 @@ def main():
     print(f"SSB: {time.time() - t0:.1f}s, phase vs truth r = {c_ssb:.3f}")
     np.save(out / "ssb_phase.npy", rec["phase"])
 
+    # --- iCoM / iDPC ---------------------------------------------------------
+    t0 = time.time()
+    r_icom = icom_reconstruct(data4d, scan_xs, scan_ys, wf.kxs, wf.kys,
+                              probe=wf.probe)
+    # iCoM's exact expectation is the PROBE-INTENSITY-blurred phase.
+    a2 = np.fft.ifftshift(np.abs(to_numpy(wf.probe.array)) ** 2)
+    a2_hat = np.fft.fft2(a2)
+    phi_b = np.fft.fft2(phi_true) * np.conj(a2_hat) / a2_hat[0, 0].real
+    truth_icom = np.real(ex @ phi_b @ ey.T) / phi_true.size
+    c_icom = pearson(r_icom["phase"], truth_icom)
+    print(f"iCoM: {time.time() - t0:.1f}s, phase vs blurred truth "
+          f"r = {c_icom:.3f}, curl_rms = {r_icom['curl_rms']:.3f}")
+    np.save(out / "icom_phase.npy", r_icom["phase"])
+
     # --- ePIE ----------------------------------------------------------------
     t0 = time.time()
     inten = data4d.reshape(-1, *data4d.shape[2:])
@@ -132,11 +149,12 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        fig, axes = plt.subplots(1, 4, figsize=(20, 5))
         for ax, img, title in [
                 (axes[0], phi_true, "true projected phase"),
                 (axes[1], rec["phase"], "SSB (scan-grid)"),
-                (axes[2], np.angle(r2["object"]), "ePIE (full grid)")]:
+                (axes[2], r_icom["phase"], "iCoM (scan-grid)"),
+                (axes[3], np.angle(r2["object"]), "ePIE (full grid)")]:
             im = ax.imshow(np.asarray(img).T, origin="lower", cmap="magma")
             ax.set_title(title)
             fig.colorbar(im, ax=ax, shrink=0.8)

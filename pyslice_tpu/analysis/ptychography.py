@@ -17,7 +17,11 @@ specimen's phase:
   whole solver is ONE jitted program — lax.scan over scan positions inside
   lax.scan over iterations — with probe shifts applied as exact k-space
   phase ramps (no dynamic-shape windowing, so XLA compiles a single static
-  kernel and the MXU-backed matmul-FFTs carry the transforms).
+  kernel and the MXU-backed matmul-FFTs carry the transforms);
+* ``icom_reconstruct`` — integrated center of mass (iCoM / iDPC; Lazic
+  et al., Ultramicroscopy 160 (2016) 265): Fourier integration of the
+  first-moment deflection field into a quantitative probe-blurred phase
+  map — the cheapest member of the family (two scan-grid FFTs).
 
 Conventions: detector axes arrive fftshifted + monotonic (the WFData
 layout); reconstruction internals run in natural FFT order on device.
@@ -187,6 +191,88 @@ def ssb_reconstruct(data4d, scan_xs, scan_ys, kxs, kys,
     phase = np.real(np.fft.ifft2(phi_q))
     return dict(phase=phase, qxs=qxs, qys=qys,
                 trotter_pixels=cnts.reshape(n_sx, n_sy))
+
+
+def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
+                     probe_center: Optional[Tuple[float, float]] = None
+                     ) -> dict:
+    """Integrated center of mass (iCoM / iDPC) phase reconstruction.
+
+    For a (weak) phase object the diffraction pattern's first moment is
+    the probe-intensity-blurred phase gradient — the CoM theorem,
+    <k> = (1/2pi) grad phi_blur at the PHYSICAL probe position. Under
+    this framework's scan convention (listed R -> physical c - R, quirk
+    #14; verified numerically to r=1.000 against the spectral gradient
+    of the blurred truth) the measured field over the scan grid is
+    M(R) = (1/2pi)(grad phi_blur)(c - R). Fourier integration recovers
+    h(R) = phi_blur(c - R); a conjugate + probe-center phase ramp folds
+    the reflection back so the output is phi_blur at the LISTED scan
+    coordinates — the same frame ``ssb_reconstruct`` reports. No
+    trotters, no iterations; two scan-grid FFTs total.
+
+    Args:
+        data4d: (n_sx, n_sy, nkx, nky) detector intensities on the scan
+            grid (``scan_grid_data`` output).
+        scan_xs/scan_ys: uniform scan coordinates (Angstrom).
+        kxs/kys: detector axes, 1/Angstrom, fftshifted monotonic
+            (WFData.kxs/kys).
+        probe: optional ``Probe`` — supplies ``probe_center``.
+        probe_center: real-space center (Angstrom) of the unshifted base
+            probe (see ``ssb_reconstruct``). Default: from ``probe``,
+            else (0, 0) — wrong center circularly translates + reflects
+            the map but does not corrupt it.
+
+    Returns dict with ``phase`` (n_sx, n_sy float, radians — QUANTITATIVE
+    for a weak phase object up to the probe-intensity blur A/integral(A);
+    compare against truth convolved with that kernel, not raw truth),
+    ``com`` (2, n_sx, n_sy — the kx/ky first-moment field, 1/Angstrom),
+    and ``curl_rms`` (RMS of the deflection field's discrete curl over
+    its RMS gradient — a conservativeness diagnostic; large values mean
+    the weak-phase/thin-object assumptions are failing and the phase map
+    is untrustworthy). The DC (mean) phase is unrecoverable and set to 0.
+    """
+    if probe is not None and probe_center is None:
+        probe_center = (float(probe.xs[len(probe.xs) // 2]),
+                        float(probe.ys[len(probe.ys) // 2]))
+    if probe_center is None:
+        probe_center = (0.0, 0.0)
+
+    data4d = np.asarray(data4d, dtype=np.float64)
+    dx = _uniform_step(scan_xs, "scan_xs")
+    dy = _uniform_step(scan_ys, "scan_ys")
+    n_sx, n_sy = data4d.shape[:2]
+
+    kx = np.asarray(kxs, np.float64)[:, None]
+    ky = np.asarray(kys, np.float64)[None, :]
+    total = data4d.sum(axis=(-2, -1))
+    comx = (data4d * kx).sum(axis=(-2, -1)) / total
+    comy = (data4d * ky).sum(axis=(-2, -1)) / total
+
+    qx = np.fft.fftfreq(n_sx, d=dx)[:, None]
+    qy = np.fft.fftfreq(n_sy, d=dy)[None, :]
+    q2 = qx ** 2 + qy ** 2
+    mx = np.fft.fft2(comx)
+    my = np.fft.fft2(comy)
+    # h(R) = phi_blur(c - R): grad_R h = -(grad phi_blur)(c-R) = -2pi M
+    # =>  M^ = -i Q h^  =>  h^ = i (Q . M^) / |Q|^2  (DC unrecoverable).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h_hat = 1j * (qx * mx + qy * my) / q2
+    h_hat[0, 0] = 0.0
+    # undo the scan reflection: phase(R) = h(c - R), i.e.
+    # phase^(Q) = e^{-2 pi i Q.c} conj(h^(Q)) for real h.
+    qdotc = qx * probe_center[0] + qy * probe_center[1]
+    phase_hat = np.exp(-2j * np.pi * qdotc) * np.conj(h_hat)
+    phase = np.real(np.fft.ifft2(phase_hat))
+
+    # curl diagnostic: d(comy)/dx - d(comx)/dy should vanish for a
+    # conservative (gradient) field. Spectral derivatives, same grid.
+    curl = np.real(np.fft.ifft2(2j * np.pi * (qx * my - qy * mx)))
+    grad_mag = np.sqrt(np.mean(
+        np.real(np.fft.ifft2(2j * np.pi * qx * mx)) ** 2
+        + np.real(np.fft.ifft2(2j * np.pi * qy * my)) ** 2))
+    curl_rms = float(np.sqrt(np.mean(curl ** 2)) / (grad_mag + 1e-30))
+    return dict(phase=phase, com=np.stack([comx, comy], axis=0),
+                curl_rms=curl_rms)
 
 
 @functools.partial(

@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp  # noqa: E402
 
 from pyslice_tpu.analysis.ptychography import (epie_reconstruct,  # noqa: E402
+                                               icom_reconstruct,
                                                scan_grid_data,
                                                ssb_reconstruct)
 from pyslice_tpu.core.constants import (interaction_parameter,  # noqa: E402
@@ -122,6 +123,45 @@ def test_ssb_recovers_weak_phase(problem):
     outside = (qx ** 2 + qy ** 2) >= (q_band * 1.05) ** 2
     assert tp[outside].max() == 0
     assert tp[~outside].sum() > 0
+
+
+def test_icom_recovers_blurred_phase(problem):
+    """iCoM must equal the probe-intensity-blurred object phase — the
+    exact CoM-theorem expectation h = (A/integral A) * phi — in radians."""
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY)
+    rec = icom_reconstruct(data4d, p["scan_xs"], p["scan_ys"],
+                           p["kxs_shift"], p["kys_shift"], probe=p["base"])
+
+    from pyslice_tpu.utils.host import to_numpy
+    # probe intensity re-centered at the origin so the blur kernel carries
+    # no shift (the probe is built at the cell center).
+    a2 = np.fft.ifftshift(np.abs(to_numpy(p["base"].array)) ** 2)
+    a2_hat = np.fft.fft2(a2)
+    truth_blur = np.real(np.fft.ifft2(
+        np.fft.fft2(p["phi_true"]) * np.conj(a2_hat) / a2_hat[0, 0].real))
+    truth = truth_blur[::2, ::2]
+
+    c = pearson(rec["phase"], truth)
+    assert c > 0.95, f"iCoM phase correlation {c:.3f}"
+    ratio = (np.linalg.norm(rec["phase"] - rec["phase"].mean())
+             / np.linalg.norm(truth - truth.mean()))
+    assert 0.85 < ratio < 1.15, f"iCoM radian calibration off: {ratio:.3f}"
+    assert rec["curl_rms"] < 0.2, rec["curl_rms"]
+    assert rec["com"].shape == (2, p["n_s"], p["n_s"])
+
+
+def test_icom_agrees_with_ssb(problem):
+    """Two independent reconstructions of the same data agree up to
+    their different contrast transfer (iCoM: probe-intensity blur; SSB:
+    trotter band limit — the two truths themselves correlate ~0.89)."""
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY)
+    icom = icom_reconstruct(data4d, p["scan_xs"], p["scan_ys"],
+                            p["kxs_shift"], p["kys_shift"], probe=p["base"])
+    ssb = ssb_reconstruct(data4d, p["scan_xs"], p["scan_ys"],
+                          p["kxs_shift"], p["kys_shift"], probe=p["base"])
+    assert pearson(icom["phase"], ssb["phase"]) > 0.85
 
 
 def test_ssb_rejects_nonuniform_scan(problem):
