@@ -50,6 +50,8 @@ from .physics.aberrations import Aberrations
 from .analysis.wf_data import WFData
 from .analysis.tacaw import TACAWData
 from .analysis.haadf import HAADFData
+from .analysis.ptychography import (epie_reconstruct, icom_reconstruct,
+                                    scan_grid_data, ssb_reconstruct)
 
 
 def getZfromElementName(element: str) -> int:
@@ -72,14 +74,15 @@ def loadKirkland(device=None):
     return load_parameters()
 
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Trajectory", "TrajectoryLoader", "Grid", "grid_from_box",
     "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",
     "Propagate", "multislice", "create_batched_probes", "probe_grid",
     "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
-    "HAADFData", "wavelength", "interaction_parameter", "m_effective",
+    "HAADFData", "ssb_reconstruct", "icom_reconstruct", "epie_reconstruct",
+    "scan_grid_data", "wavelength", "interaction_parameter", "m_effective",
     "form_factor", "kirkland", "loadKirkland", "getZfromElementName", "element_to_z",
     "z_to_element", "Precision", "SINGLE", "DOUBLE", "get_precision",
     "set_default_precision", "RasterizerPlan", "make_plan", "rasterize",
