@@ -212,6 +212,38 @@ def test_epie_probe_update_converges(problem):
     assert np.isfinite(rec["losses"]).all()
 
 
+def test_icom_finite_dose(problem):
+    """Phase retrieval under shot noise: at a realistic STEM dose the
+    iCoM map must still track the blurred truth; at absurdly low dose it
+    must degrade (the test would catch a method that ignores its input)."""
+    from pyslice_tpu.analysis.detectors import apply_shot_noise
+    from pyslice_tpu.utils.host import to_numpy
+
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY)
+    step = p["scan_xs"][1] - p["scan_xs"][0]
+    pixel_area = step * step
+
+    a2 = np.fft.ifftshift(np.abs(to_numpy(p["base"].array)) ** 2)
+    a2_hat = np.fft.fft2(a2)
+    truth = np.real(np.fft.ifft2(
+        np.fft.fft2(p["phi_true"]) * np.conj(a2_hat)
+        / a2_hat[0, 0].real))[::2, ::2]
+
+    cs = {}
+    for dose in (1e7, 1e2):
+        noisy = apply_shot_noise(data4d, dose=dose, pixel_area=pixel_area,
+                                 seed=7)
+        rec = icom_reconstruct(noisy, p["scan_xs"], p["scan_ys"],
+                               p["kxs_shift"], p["kys_shift"],
+                               probe=p["base"])
+        cs[dose] = pearson(rec["phase"], truth)
+    # ~0.05 rad features need a high dose; 1e7 e/A^2 is a (cryo-unfriendly
+    # but physical) materials-science dose where the map must survive.
+    assert cs[1e7] > 0.9, cs
+    assert cs[1e2] < cs[1e7] - 0.2, cs
+
+
 def test_scan_grid_data_roundtrip(problem):
     """scan_grid_data reassembles the (sx, sy) stack from a WFData whose
     probe order is scrambled."""
