@@ -15,8 +15,9 @@ API-parity facade over the pure-NumPy parsers in io.lammps / io.xyz / io.cif
   inherits exactly that staleness, loader.py:114-145).
 
 Ingest surfaces the reference gets from OVITO (loader.py:195-271), covered
-natively here: gzipped dumps (.gz, sniffed by magic bytes), element-name
-atom columns (io.lammps), and multi-file dump patterns —
+natively here: gzipped dumps (.gz, sniffed by magic bytes), binary dumps
+(.bin, sniffed by NUL words — io.lammps parse_lammps_dump_binary),
+element-name atom columns (io.lammps), and multi-file dump patterns —
 ``TrajectoryLoader("dump.*.lammpstrj")`` (glob) or an explicit list of
 files, concatenated in natural (numeric-aware) order.
 """
@@ -181,14 +182,20 @@ class TrajectoryLoader:
             return types, pos, np.zeros_like(pos), box
         if kind == ".xyz":
             return xyz_io.parse_xyz(path)
-        # LAMMPS dump (.lammpstrj, .dump, ...). The native C parser reads
-        # raw text only — gzipped dumps go straight to the Python parser
-        # (which sniffs the magic bytes).
+        # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
+        # reads raw text only — gzipped and binary dumps (LAMMPS writes
+        # binary for filenames ending .bin) go straight to the Python
+        # parser, which sniffs gzip magic bytes and binary NUL words.
+        if kind in (".bin", ".lammpsbin"):
+            return lammps_io.parse_lammps_dump_binary(path)
         if not gz:
-            from .native_loader import parse_lammps_dump_native
-            native = parse_lammps_dump_native(path)
-            if native is not None:
-                return native
+            with open(path, "rb") as fh:
+                head = fh.read(256)
+            if b"\x00" not in head:
+                from .native_loader import parse_lammps_dump_native
+                native = parse_lammps_dump_native(path)
+                if native is not None:
+                    return native
         return lammps_io.parse_lammps_dump(path)
 
     def load(self) -> Trajectory:

@@ -415,6 +415,108 @@ class TestIngestSurfaces:
         with pytest.raises(FileNotFoundError, match="pattern"):
             TrajectoryLoader(str(tmp_path / "nope.*.lammpstrj"))
 
+    def test_binary_dump_roundtrip(self, traj, tmp_path):
+        """Modern (revision-2 DUMPCUSTOM) binary dump through the loader."""
+        path = tmp_path / "t.bin"
+        lammps_io.write_lammps_dump_binary(
+            path, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix)
+        got = TrajectoryLoader(str(path), timestep=0.01,
+                               use_cache=False).load()
+        np.testing.assert_array_equal(got.atom_types, traj.atom_types)
+        np.testing.assert_allclose(got.positions, traj.positions, atol=1e-9)
+        np.testing.assert_allclose(got.velocities, traj.velocities, atol=1e-9)
+        np.testing.assert_allclose(got.box_matrix, traj.box_matrix, atol=1e-9)
+
+    def test_binary_dump_sniffed_without_bin_suffix(self, traj, tmp_path):
+        """A binary dump misnamed .lammpstrj still parses (NUL sniff)."""
+        path = tmp_path / "t.lammpstrj"
+        lammps_io.write_lammps_dump_binary(
+            path, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix)
+        types, pos, _, _ = lammps_io.parse_lammps_dump(path)
+        np.testing.assert_allclose(pos, traj.positions, atol=1e-9)
+
+    def test_binary_dump_legacy_atom_layout(self, traj, tmp_path):
+        """Pre-magic-string header: columns inferred as id type xs ys zs."""
+        path = tmp_path / "legacy.bin"
+        lammps_io.write_lammps_dump_binary(
+            path, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix, legacy=True)
+        types, pos, vel, box = lammps_io.parse_lammps_dump_binary(path)
+        np.testing.assert_array_equal(types, traj.atom_types)
+        np.testing.assert_allclose(pos, traj.positions, atol=1e-9)
+        assert not vel.any()                       # legacy layout has no vx
+
+    def test_binary_dump_multichunk(self, traj, tmp_path):
+        """Per-MPI-rank chunks concatenate into one frame."""
+        path = tmp_path / "chunks.bin"
+        lammps_io.write_lammps_dump_binary(
+            path, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix, nchunk=3)
+        _, pos, _, _ = lammps_io.parse_lammps_dump_binary(path)
+        np.testing.assert_allclose(pos, traj.positions, atol=1e-9)
+
+    def test_binary_dump_gzipped(self, traj, tmp_path):
+        import gzip
+        raw = tmp_path / "t.bin"
+        lammps_io.write_lammps_dump_binary(
+            raw, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix)
+        gz = tmp_path / "t.bin.gz"
+        gz.write_bytes(gzip.compress(raw.read_bytes()))
+        got = TrajectoryLoader(str(gz), timestep=0.01, use_cache=False).load()
+        np.testing.assert_allclose(got.positions, traj.positions, atol=1e-9)
+
+    def test_binary_dump_big_endian(self, tmp_path):
+        """A big-endian revision-2 snapshot parses via byte-order sniff."""
+        import struct
+        magic = b"DUMPCUSTOM"
+        cols = b"id type x y z"
+        buf = struct.pack(">q", -len(magic)) + magic
+        buf += struct.pack(">iiqqi", 0x0001, 0x0002, 0, 1, 0)   # ts natoms tri
+        buf += struct.pack(">6i", *([0] * 6))
+        buf += struct.pack(">6d", 0, 10, 0, 10, 0, 10)
+        buf += struct.pack(">i", 5)                             # size_one
+        buf += struct.pack(">i", 0) + struct.pack(">b", 0)      # units, time
+        buf += struct.pack(">i", len(cols)) + cols
+        buf += struct.pack(">ii", 1, 5)                         # nchunk, n
+        buf += struct.pack(">5d", 1.0, 6.0, 2.5, 5.0, 7.5)
+        path = tmp_path / "be.bin"
+        path.write_bytes(buf)
+        types, pos, _, _ = lammps_io.parse_lammps_dump_binary(path)
+        np.testing.assert_array_equal(types, [6])
+        np.testing.assert_allclose(pos[0, 0], [2.5, 5.0, 7.5])
+
+    def test_binary_dump_legacy_custom_rejected(self, traj, tmp_path):
+        """Legacy header with a non-atom-style width: clear error, since the
+        file records no column names."""
+        import struct
+        path = tmp_path / "cust.bin"
+        buf = struct.pack("<qqi", 0, 1, 0)
+        buf += struct.pack("<6i", *([0] * 6))
+        buf += struct.pack("<6d", 0, 10, 0, 10, 0, 10)
+        buf += struct.pack("<i", 7)                             # size_one
+        buf += struct.pack("<ii", 1, 7)
+        buf += struct.pack("<7d", *range(7))
+        path.write_bytes(buf)
+        with pytest.raises(ValueError, match="column names"):
+            lammps_io.parse_lammps_dump_binary(path)
+
+    def test_binary_dump_truncated_errors(self, traj, tmp_path):
+        path = tmp_path / "t.bin"
+        lammps_io.write_lammps_dump_binary(
+            path, traj.atom_types, traj.positions, traj.velocities,
+            traj.box_matrix)
+        data = path.read_bytes()
+        # Cuts chosen to land mid-structure (a frame-aligned cut is a
+        # legitimate shorter trajectory, not an error).
+        frame = len(data) // 4                    # writer emits 4 equal frames
+        for cut in (9, 40, frame + 21, len(data) - 3):
+            (tmp_path / "cut.bin").write_bytes(data[:cut])
+            with pytest.raises(ValueError):
+                lammps_io.parse_lammps_dump_binary(tmp_path / "cut.bin")
+
     def test_multifile_cache_roundtrip(self, traj, tmp_path):
         for k in range(2):
             lammps_io.write_lammps_dump(

@@ -70,11 +70,20 @@ def test_native_image_flags(tmp_path):
 def test_native_is_faster(dump_file):
     """Sanity: the native path should beat pure Python on a real file."""
     path, _ = dump_file
-    t0 = time.perf_counter()
+    # Warm both paths (library load / interpreter caches), then take the
+    # best of 5 — a single cold measurement on a small file is all noise.
     parse_lammps_dump_native(path)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
     lammps_io.parse_lammps_dump(path)
-    t_py = time.perf_counter() - t0
+
+    def best_of(fn, n=5):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(path)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best_of(parse_lammps_dump_native)
+    t_py = best_of(lammps_io.parse_lammps_dump)
     # Not asserted as a hard multiple (CI noise); just require it not slower.
     assert t_native < t_py * 1.5, (t_native, t_py)
