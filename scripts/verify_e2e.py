@@ -124,6 +124,22 @@ def main():
     check("frozen-phonon diffraction", np.all(np.isfinite(patt))
           and float(patt.sum()) > 0)
 
+    # --- HRTEM/CTEM imaging ---------------------------------------------------
+    from pyslice_tpu.engine.ctem import hrtem_image, image_from_exit_wave
+    img, hx, hy = hrtem_image(traj5, n_configs=2, thermal_sigma=0.05,
+                              sampling=0.25, slice_thickness=1.0,
+                              defocus=-300.0, Cc=1.0e7, dE=0.5, n_nodes=3)
+    check("HRTEM image (thermal x chromatic)",
+          img.shape == (len(hx), len(hy)) and np.all(np.isfinite(img))
+          and float(img.min()) >= 0 and float(img.std()) > 0)
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+    kx32 = np.fft.fftfreq(32, 0.2)
+    ident = np.asarray(image_from_exit_wave(psi, kx32, kx32, lam=lam))
+    dev = float(np.max(np.abs(ident - np.abs(psi) ** 2)))
+    check("CTEM identity lens == |psi|^2", dev < 1e-3,
+          f"(max dev {dev:.2e})")
+
     # --- fused Pallas path parity (TPU only; 128-divisible grid) -----------
     if jax.default_backend() == "tpu":
         from pyslice_tpu.core.grids import grid_from_box
