@@ -52,7 +52,9 @@ from .analysis.tacaw import TACAWData
 from .analysis.haadf import HAADFData
 from .analysis.ptychography import (epie_reconstruct, icom_reconstruct,
                                     scan_grid_data, ssb_reconstruct)
-from .engine.ctem import hrtem_image, image_from_exit_wave, objective_transfer
+from .analysis.ewr import iwfr_reconstruct
+from .engine.ctem import (focal_series, hrtem_image, image_from_exit_wave,
+                          objective_transfer)
 
 
 def getZfromElementName(element: str) -> int:
@@ -84,7 +86,8 @@ __all__ = [
     "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
     "HAADFData", "ssb_reconstruct", "icom_reconstruct", "epie_reconstruct",
     "scan_grid_data", "hrtem_image", "image_from_exit_wave",
-    "objective_transfer", "wavelength", "interaction_parameter", "m_effective",
+    "objective_transfer", "focal_series", "iwfr_reconstruct",
+    "wavelength", "interaction_parameter", "m_effective",
     "form_factor", "kirkland", "loadKirkland", "getZfromElementName", "element_to_z",
     "z_to_element", "Precision", "SINGLE", "DOUBLE", "get_precision",
     "set_default_precision", "RasterizerPlan", "make_plan", "rasterize",

@@ -127,6 +127,44 @@ def image_from_exit_wave(exit_wave, kxs, kys, *, lam: float,
     return _ctf_images(kw, *_transfer_planes(transfer, prec))
 
 
+def focal_series(exit_wave, defoci, kxs, kys, *, lam: float,
+                 ab: Optional[Aberrations] = None,
+                 aperture: Optional[float] = None,
+                 input_space: str = "real",
+                 ksq=None, precision=None) -> jnp.ndarray:
+    """Through-focal series of HRTEM images from ONE exit wave.
+
+    ``defoci`` (N,) are added to ``ab.C1`` per plane; all N lens states
+    act on the same (nx, ny) exit wave as a single batched FFT dispatch.
+    Returns (N, nx, ny) image intensities (device array). This is the
+    forward model inverted by analysis.ewr.iwfr_reconstruct.
+    """
+    from ..utils.host import put_complex_or_real
+    prec = get_precision(precision)
+    wave = put_complex_or_real(np.asarray(exit_wave), prec.complex)
+    if wave.ndim != 2:
+        raise ValueError(f"exit_wave must be 2-D, got {wave.shape}")
+    if input_space == "real":
+        kw = jnp.fft.fft2(wave)
+    elif input_space == "k":
+        kw = wave
+    elif input_space == "k_shifted":
+        kw = jnp.fft.ifftshift(wave, axes=(-2, -1))
+    else:
+        raise ValueError(
+            f"input_space must be 'real', 'k' or 'k_shifted', "
+            f"got {input_space!r}")
+    base = ab if ab is not None else Aberrations()
+    planes = [_transfer_planes(objective_transfer(
+        kxs, kys, lam=lam,
+        ab=dataclasses.replace(base, C1=base.C1 + float(d)),
+        aperture=aperture, ksq=ksq, precision=prec), prec)
+        for d in np.asarray(defoci, dtype=np.float64).ravel()]
+    h_re = jnp.stack([p[0] for p in planes])
+    h_im = jnp.stack([p[1] for p in planes])
+    return _ctf_images(kw[None, :, :], h_re, h_im)
+
+
 def _tilt_series(beam_semiangle: float, n_tilts: int, lam: float
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """(tilts (m, 2) in 1/Angstrom, weights (m,)) for a Gaussian

@@ -140,6 +140,21 @@ def main():
     check("CTEM identity lens == |psi|^2", dev < 1e-3,
           f"(max dev {dev:.2e})")
 
+    # --- focal-series exit-wave reconstruction (IWFR) -----------------------
+    from pyslice_tpu.analysis.ewr import iwfr_reconstruct
+    from pyslice_tpu.engine.ctem import focal_series
+    env = np.exp(-(kx32[:, None] ** 2 + kx32[None, :] ** 2) / (2 * 0.4 ** 2))
+    ph = np.real(np.fft.ifft2(np.fft.fft2(rng.normal(size=(32, 32))) * env))
+    psi_s = np.exp(1j * 0.4 * ph / ph.std())
+    defoci = np.array([-300.0, -150.0, 0.0, 150.0, 300.0])
+    fs = focal_series(psi_s, defoci, kx32, kx32, lam=lam)
+    rec, errs = iwfr_reconstruct(np.asarray(fs), defoci, kx32, kx32,
+                                 lam=lam, n_iters=150)
+    rec_al = rec * np.exp(1j * np.angle(np.vdot(rec, psi_s)))
+    rel = float(np.linalg.norm(rec_al - psi_s) / np.linalg.norm(psi_s))
+    check("IWFR exit-wave reconstruction", rel < 1e-2 and errs[-1] < 1e-6,
+          f"(wave rel {rel:.2e}, residual {float(errs[-1]):.2e})")
+
     # --- fused Pallas path parity (TPU only; 128-divisible grid) -----------
     if jax.default_backend() == "tpu":
         from pyslice_tpu.core.grids import grid_from_box
