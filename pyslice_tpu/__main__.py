@@ -83,7 +83,8 @@ def cmd_run(args) -> int:
                batch_size=cfg.batch_size, slice_axis=cfg.slice_axis,
                record_layers=cfg.record_layers, use_cache=cfg.use_cache,
                cache_root=cfg.cache_root, fast_grid=cfg.fast_grid,
-               aberrations=cfg.aberrations)
+               aberrations=cfg.aberrations,
+               bandwidth_limit=cfg.bandwidth_limit)
     print(f"Grid {calc.nx}x{calc.ny}x{calc.nz}, {calc.n_probes} probes")
     t0 = time.time()
     wf = calc.run()

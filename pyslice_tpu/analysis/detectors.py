@@ -92,10 +92,17 @@ def _collected(wf_data, mask, intensity: bool, layer_index: int = -1):
     return np.asarray(out)
 
 
-def _scan_grid(probe_positions):
+def _scan_axes(probe_positions):
+    """Unique sorted scan axes (the HAADFData.calculateADF reconstruction
+    convention); shared by detectors, engine.smatrix and engine.coherence."""
     positions = np.asarray(probe_positions, dtype=np.float64)
     xs = np.array(sorted(set(positions[:, 0].tolist())))
     ys = np.array(sorted(set(positions[:, 1].tolist())))
+    return positions, xs, ys
+
+
+def _scan_grid(probe_positions):
+    positions, xs, ys = _scan_axes(probe_positions)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
     d2 = (np.sum(pts ** 2, axis=1)[:, None] - 2.0 * pts @ positions.T

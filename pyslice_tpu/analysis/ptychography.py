@@ -62,6 +62,15 @@ def scan_grid_data(wf_data, layer_index: int = -1):
     return xs, ys, data4d
 
 
+def _probe_center(probe) -> Tuple[float, float]:
+    """Real-space peak of the UNSHIFTED base probe. probe_array's
+    ifftshift puts the peak at index n - n//2 = (n+1)//2, which differs
+    from n//2 exactly on odd grids (same geometry as the PRISM window
+    centering, engine/smatrix._window_starts)."""
+    nx, ny = len(probe.xs), len(probe.ys)
+    return (float(probe.xs[(nx + 1) // 2]), float(probe.ys[(ny + 1) // 2]))
+
+
 def _uniform_step(axis, name: str) -> float:
     axis = np.asarray(axis, dtype=np.float64)
     if len(axis) < 2:
@@ -144,8 +153,7 @@ def ssb_reconstruct(data4d, scan_xs, scan_ys, kxs, kys,
         mrad = probe.mrad if mrad is None else mrad
         eV = probe.eV if eV is None else eV
         if probe_center is None:
-            probe_center = (float(probe.xs[len(probe.xs) // 2]),
-                            float(probe.ys[len(probe.ys) // 2]))
+            probe_center = _probe_center(probe)
     if mrad is None or eV is None:
         raise ValueError("pass mrad and eV (or a probe)")
     if probe_center is None:
@@ -232,8 +240,7 @@ def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
     is untrustworthy). The DC (mean) phase is unrecoverable and set to 0.
     """
     if probe is not None and probe_center is None:
-        probe_center = (float(probe.xs[len(probe.xs) // 2]),
-                        float(probe.ys[len(probe.ys) // 2]))
+        probe_center = _probe_center(probe)
     if probe_center is None:
         probe_center = (0.0, 0.0)
 

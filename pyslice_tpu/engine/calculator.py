@@ -74,6 +74,10 @@ class MultisliceCalculator:
             "grid_shape": (self.nx, self.ny, self.nz),
             "backend": f"jax-{self.precision.name}",
         }
+        if getattr(self, "bandwidth_limit", None) is not None:
+            # Added only when set: the None default keys identically to
+            # pre-feature caches; any other value invalidates them.
+            params["bandwidth_limit"] = self.bandwidth_limit
         param_str = str(sorted(params.items()))
         return hashlib.md5(param_str.encode()).hexdigest()[:12]
 
@@ -96,7 +100,8 @@ class MultisliceCalculator:
               frame_block: Optional[int] = None,
               device_output: bool = False,
               aberrations=None,
-              mesh=None):
+              mesh=None,
+              bandwidth_limit: Optional[float] = None):
         """Reference-compatible setup (calculators.py:96-161).
 
         ``mesh``: optional jax Mesh with ('frame', 'probe') axes
@@ -116,6 +121,14 @@ class MultisliceCalculator:
         that relied on the reference's unused frames-meaning gets an HBM
         bound instead of a no-op, never different physics. Frames per
         dispatch are controlled separately by ``frame_block``.
+
+        ``bandwidth_limit``: optional antialiasing band limit as a
+        fraction of the tightest-axis Nyquist (2/3 is the standard
+        multislice choice — Kirkland's temsim). Zero extra per-step cost
+        (folded into the Fresnel multiplier on every kernel path); off by
+        default for reference parity. With it on, the propagator is no
+        longer exactly unitary: intensity scattered beyond the band is
+        removed rather than aliased back in.
         """
         self.trajectory = trajectory
         self.aperture = aperture
@@ -187,9 +200,11 @@ class MultisliceCalculator:
                          trajectory.atom_types, kind="kirkland",
                          slice_axis=slice_axis,
                          cell2d=grid.cell2d if oblique else None)
+        self.bandwidth_limit = bandwidth_limit
         self.spec = SimSpec.create(grid, plan, voltage_eV,
                                    record_layers=self.record_layers,
-                                   precision=self.precision)
+                                   precision=self.precision,
+                                   bandwidth_limit=bandwidth_limit)
 
         if mesh is not None:
             # early, clear divisibility errors (run_sharded re-checks)

@@ -91,10 +91,8 @@ def defocus_series(delta: float, n: int = 7,
 
 
 def _scan_axes(probe_positions):
-    positions = np.asarray(probe_positions, dtype=np.float64)
-    xs = np.array(sorted(set(positions[:, 0].tolist())))
-    ys = np.array(sorted(set(positions[:, 1].tolist())))
-    return positions, xs, ys
+    from ..analysis.detectors import _scan_axes as impl
+    return impl(probe_positions)
 
 
 def chromatic_stem(trajectory,
@@ -118,7 +116,8 @@ def chromatic_stem(trajectory,
                    fast_grid: bool = False,
                    distribution: str = "gaussian",
                    use_smatrix: Optional[bool] = None,
-                   prism_f: int = 1
+                   prism_f: int = 1,
+                   bandwidth_limit: Optional[float] = None
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partially coherent frozen-phonon HAADF in ONE call: the chromatic
     defocus series (Gauss-Hermite over delta = Cc dE/E, centered on
@@ -153,21 +152,34 @@ def chromatic_stem(trajectory,
     plan = make_plan(grid.xs, grid.ys, grid.zs, configs.positions,
                      configs.atom_types,
                      cell2d=grid.cell2d if oblique else None)
-    spec = SimSpec.create(grid, plan, voltage_eV)
+    spec = SimSpec.create(grid, plan, voltage_eV,
+                          bandwidth_limit=bandwidth_limit)
     positions, xs, ys = _scan_axes(probe_positions)
+
+    # Decide the S-matrix dispatch BEFORE building probes: the S-matrix
+    # path synthesizes from coefficients and never reads the probe array,
+    # and a large scan's probe batch alone can exceed HBM (4,096 probes at
+    # 1024^2 is ~34 GB) — exactly the regime the dispatch exists for.
+    from .smatrix import smatrix_auto
+    if use_smatrix is None:
+        use_smatrix = smatrix_auto(len(positions), aperture, spec.ksq2d,
+                                   grid.nx, grid.ny, prism_f)
 
     image = None
     for node, w in zip(nodes, weights):
-        base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
-                     cell2d=grid.cell2d if oblique else None,
-                     ksq=grid.ksq2d() if oblique else None)
-        if node:
-            base.defocus(float(node))
-        if aberrations is not None:
-            # geometric aberrations (Cs, astigmatism, ...) on top of the
-            # chromatic node's defocus
-            base.aberrate(aberrations)
-        probes = create_batched_probes(base, positions).array
+        if use_smatrix:
+            probes = None
+        else:
+            base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
+                         cell2d=grid.cell2d if oblique else None,
+                         ksq=grid.ksq2d() if oblique else None)
+            if node:
+                base.defocus(float(node))
+            if aberrations is not None:
+                # geometric aberrations (Cs, astigmatism, ...) on top of
+                # the chromatic node's defocus
+                base.aberrate(aberrations)
+            probes = create_batched_probes(base, positions).array
         # mrad + per-node defocus arm the S-matrix auto-dispatch for large
         # scans (the defocus imprints exactly on the k-diagonal basis).
         stream = StreamingHAADF(spec, probes, positions,

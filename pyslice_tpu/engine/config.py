@@ -31,6 +31,8 @@ class SimulationConfig:
     slice_thickness: float = 0.5            # Angstrom
     sampling: float = 0.1                   # Angstrom / px
     slice_axis: int = 2
+    bandwidth_limit: Optional[float] = None  # antialias band (fraction of
+    #   Nyquist; 2/3 standard). None = reference parity (no limit)
     # --- probes ---------------------------------------------------------------
     probe_positions: Optional[List[Tuple[float, float]]] = None
     probe_grid: Optional[Tuple[float, float, float, float, int, int]] = None

@@ -170,8 +170,15 @@ def _tilt_series(beam_semiangle: float, n_tilts: int, lam: float
     """(tilts (m, 2) in 1/Angstrom, weights (m,)) for a Gaussian
     illumination-convergence distribution with 1/e half-angle
     ``beam_semiangle`` (mrad), tensor Gauss-Hermite sampling."""
-    if beam_semiangle <= 0 or n_tilts <= 1:
+    if beam_semiangle <= 0:
         return np.zeros((1, 2)), np.ones(1)
+    if n_tilts <= 1:
+        raise ValueError(
+            f"beam_semiangle={beam_semiangle} mrad requests partial "
+            f"spatial coherence but n_tilts={n_tilts} collapses the "
+            "illumination cone to a single axial plane wave — the result "
+            "would be the fully coherent image. Use n_tilts >= 2 (5-9 is "
+            "typical), or beam_semiangle=0 for a coherent simulation.")
     x, w = np.polynomial.hermite.hermgauss(int(n_tilts))
     theta = (beam_semiangle * 1e-3) * x          # radians
     w = w / np.sqrt(np.pi)
@@ -199,7 +206,8 @@ def hrtem_image(trajectory: Trajectory,
                 sampling: float = 0.1,
                 slice_thickness: float = 0.5,
                 fast_grid: bool = False,
-                distribution: str = "gaussian"
+                distribution: str = "gaussian",
+                bandwidth_limit: Optional[float] = None
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partially coherent HRTEM image in one call.
 
@@ -249,7 +257,8 @@ def hrtem_image(trajectory: Trajectory,
     plan = make_plan(grid.xs, grid.ys, grid.zs, configs.positions,
                      configs.atom_types,
                      cell2d=grid.cell2d if oblique else None)
-    spec = SimSpec.create(grid, plan, voltage_eV)
+    spec = SimSpec.create(grid, plan, voltage_eV,
+                          bandwidth_limit=bandwidth_limit)
     prec = spec.precision
 
     tilts, tilt_w = _tilt_series(beam_semiangle, n_tilts, lam)

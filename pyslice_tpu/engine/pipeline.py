@@ -40,16 +40,25 @@ class SimSpec:
     record_layers: Optional[Tuple[int, ...]]  # None -> exit wave only
     precision: Precision
     ksq2d: Optional[np.ndarray] = None   # oblique |k|^2 grid (fftfreq order)
+    kmax2: Optional[float] = None        # antialiasing band limit, 1/A^2
 
     @classmethod
     def create(cls, grid: Grid, plan: RasterizerPlan, eV: float,
-               record_layers=None, precision=None) -> "SimSpec":
+               record_layers=None, precision=None,
+               bandwidth_limit: Optional[float] = None) -> "SimSpec":
+        """``bandwidth_limit``: optional antialiasing band limit as a
+        fraction of the tightest-axis Nyquist (2/3 is the standard
+        choice); folded into every kernel's Fresnel multiplier at zero
+        per-step cost. None (default) = reference parity (no limit)."""
+        from ..physics.propagate import bandwidth_kmax2
         prec = get_precision(precision)
         rl = tuple(int(x) for x in record_layers) if record_layers is not None else None
         ksq2d = grid.ksq2d() if getattr(grid, "is_oblique", False) else None
         return cls(grid=grid, plan=plan, eV=float(eV), lam=_wavelength(eV),
                    dz=grid.dz, record_layers=rl, precision=prec,
-                   ksq2d=ksq2d)
+                   ksq2d=ksq2d,
+                   kmax2=bandwidth_kmax2(grid.kxs(), grid.kys(),
+                                         bandwidth_limit, ksq2d))
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -96,13 +105,14 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
             jnp.asarray(probes, dtype=spec.precision.complex), v,
             spec.plan.kxs, spec.plan.kys,
             sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz,
-            ksq=spec.ksq2d)
+            ksq=spec.ksq2d, kmax2=spec.kmax2)
         return k[..., None]                   # (probes, nx, ny, 1)
 
     psi = multislice(probes, v, spec.plan.kxs, spec.plan.kys, eV=spec.eV,
                      lam=spec.lam, dz=spec.dz,
                      record_layers=spec.record_layers,
-                     precision=spec.precision, ksq=spec.ksq2d)
+                     precision=spec.precision, ksq=spec.ksq2d,
+                     kmax2=spec.kmax2)
     if spec.record_layers is None:
         psi = psi[None]                       # (1, n_probes, nx, ny)
     k = jnp.fft.fftshift(matfft.fft2(psi), axes=(-2, -1))

@@ -144,7 +144,8 @@ def smatrix_auto(n_probes: int, mrad: float, ksq2d, nx: int, ny: int,
 
 def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
                     *, xs, ys, dz: float, precision: Optional[Precision] = None,
-                    beam_chunk: int = 64, ksq=None, mesh=None) -> SMatrix:
+                    beam_chunk: int = 64, ksq=None, mesh=None,
+                    kmax2: Optional[float] = None) -> SMatrix:
     """Propagate the beam basis through one frame's potential.
 
     positions: (n_atoms, 3) frame positions (rasterized with ``plan``).
@@ -194,7 +195,7 @@ def compute_smatrix(positions, plan: RasterizerPlan, beams: BeamSet,
         waves = _plane_waves(kb[0].astype(prec.real), kb[1].astype(prec.real),
                              xs_r, ys_r, prec.complex)
         out = multislice(waves, v_in, kxs, kys, eV=beams.eV, dz=dz,
-                        precision=prec, ksq=ksq)
+                        precision=prec, ksq=ksq, kmax2=kmax2)
         if f == 1:
             out = jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
         return out
@@ -430,13 +431,7 @@ def smatrix_virtual_image(sm: SMatrix, probe_positions, weights,
     vals = smatrix_reduce(sm, probe_positions, weights, intensity=intensity,
                           precision=precision, probe_chunk=probe_chunk,
                           aberrations=aberrations, defocus=defocus)
-    positions = np.asarray(probe_positions, np.float64).reshape(-1, 2)
-    xs = np.array(sorted(set(positions[:, 0].tolist())))
-    ys = np.array(sorted(set(positions[:, 1].tolist())))
-    gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
-    d2 = (np.sum(pts ** 2, axis=1)[:, None]
-          - 2.0 * pts @ positions.T
-          + np.sum(positions ** 2, axis=1)[None, :])
-    nearest = np.argmin(d2, axis=1)
+    from ..analysis.detectors import _scan_grid
+    xs, ys, nearest = _scan_grid(
+        np.asarray(probe_positions, np.float64).reshape(-1, 2))
     return vals[nearest].reshape(len(xs), len(ys)), xs, ys

@@ -496,7 +496,11 @@ class StreamingTACAW:
                       self.n_frames, self.timestep,
                       tuple(int(b) for b in self.bins), probes_digest,
                       mesh_shape, tuple(s.start for s in self._chunk_slices),
-                      self._frame_extent, jax.process_index()))
+                      self._frame_extent))
+        # NOTE: process identity is deliberately NOT in the key — the
+        # manifest file is already per-process (manifest.p<i>.json) and the
+        # probes digest covers this process's shard set; including it would
+        # also invalidate every pre-existing single-host checkpoint.
         return hashlib.md5(params.encode()).hexdigest()[:12]
 
     def _shard_arrays(self):
@@ -797,7 +801,8 @@ class StreamingHAADF:
         sm = compute_smatrix(positions, self.spec.plan, self._beams,
                              xs=g.xs, ys=g.ys, dz=self.spec.dz,
                              precision=self.spec.precision,
-                             beam_chunk=self._beam_chunk, mesh=self.mesh)
+                             beam_chunk=self._beam_chunk, mesh=self.mesh,
+                             kmax2=self.spec.kmax2)
         vals = smatrix_reduce(sm, self.probe_positions, self._sm_weights,
                               intensity=self.intensity,
                               precision=self.spec.precision,
@@ -840,8 +845,7 @@ class StreamingHAADF:
                        if self.probes is not None else "smatrix-only"),
                       _digest_addressable(self._mask),
                       _digest_addressable(self.probe_positions),
-                      mesh_shape, self._frame_extent, sm_cfg,
-                      jax.process_index()))
+                      mesh_shape, self._frame_extent, sm_cfg))
         return hashlib.md5(params.encode()).hexdigest()[:12]
 
     def save_checkpoint(self, directory) -> None:

@@ -45,7 +45,8 @@ def thermal_configs(trajectory: Trajectory, n_configs: int, sigma: float,
 
 
 def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
-           probe_positions, fast_grid, configs, defocus=0.0):
+           probe_positions, fast_grid, configs, defocus=0.0,
+           bandwidth_limit=None):
     grid = grid_from_trajectory(trajectory, sampling=sampling,
                                 slice_thickness=slice_thickness,
                                 fast_grid=fast_grid)
@@ -53,7 +54,8 @@ def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
     plan = make_plan(grid.xs, grid.ys, grid.zs, configs.positions,
                      configs.atom_types,
                      cell2d=grid.cell2d if oblique else None)
-    spec = SimSpec.create(grid, plan, voltage_eV)
+    spec = SimSpec.create(grid, plan, voltage_eV,
+                          bandwidth_limit=bandwidth_limit)
     base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
                  cell2d=grid.cell2d if oblique else None,
                  ksq=grid.ksq2d() if oblique else None)
@@ -80,7 +82,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
                         distribution: str = "gaussian",
                         use_smatrix: Optional[bool] = None,
                         prism_f: int = 1,
-                        probe_chunk: Optional[int] = None
+                        probe_chunk: Optional[int] = None,
+                        bandwidth_limit: Optional[float] = None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Frozen-phonon HAADF image in one call.
 
@@ -99,7 +102,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
                               distribution)
     grid, spec, probes, probe_positions = _setup(
         trajectory, aperture, voltage_eV, sampling, slice_thickness,
-        probe_positions, fast_grid, configs)
+        probe_positions, fast_grid, configs,
+        bandwidth_limit=bandwidth_limit)
     stream = StreamingHAADF(spec, probes, probe_positions,
                             collection_angle=collection_angle,
                             intensity=intensity, mrad=aperture,
@@ -108,9 +112,8 @@ def frozen_phonon_haadf(trajectory: Trajectory,
     for c in range(n_configs):
         stream.add_frame(configs.positions[c])
     image = stream.image()
-    positions = np.asarray(probe_positions, dtype=np.float64)
-    xs = np.array(sorted(set(positions[:, 0].tolist())))
-    ys = np.array(sorted(set(positions[:, 1].tolist())))
+    from ..analysis.detectors import _scan_axes
+    _, xs, ys = _scan_axes(probe_positions)
     return image, xs, ys
 
 
@@ -125,7 +128,9 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
                               probe_positions: Optional[Sequence] = None,
                               fast_grid: bool = False,
                               distribution: str = "gaussian",
-                              defocus: float = 0.0) -> np.ndarray:
+                              defocus: float = 0.0,
+                              bandwidth_limit: Optional[float] = None
+                              ) -> np.ndarray:
     """Thermally averaged diffraction pattern (mean |psi_k|^2 over configs
     and probes), (nx, ny) fftshifted — the frozen-phonon CBED/SAED result.
     The average is incoherent (mean of intensities per configuration), the
@@ -136,7 +141,8 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
                               distribution)
     grid, spec, probes, probe_positions = _setup(
         trajectory, aperture, voltage_eV, sampling, slice_thickness,
-        probe_positions, fast_grid, configs, defocus=defocus)
+        probe_positions, fast_grid, configs, defocus=defocus,
+        bandwidth_limit=bandwidth_limit)
     import jax
     import jax.numpy as jnp
     from .pipeline import frame_exit_waves

@@ -242,6 +242,27 @@ def unwrap_continuity(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarr
     return out
 
 
+def stitch_continuity(prev_last: np.ndarray, positions: np.ndarray,
+                      box_matrix: np.ndarray) -> np.ndarray:
+    """Shift a whole frame block by one constant per-atom lattice vector so
+    its FIRST frame is minimum-image continuous with ``prev_last``.
+
+    Used when concatenating multi-file trajectories: each file is unwrapped
+    independently (continuity unwrap re-bases on the file's own first frame),
+    so an atom that crossed a periodic boundary inside an earlier file would
+    otherwise teleport by a box length at the file seam. For files whose
+    unwrap came from absolute image flags the seam delta is already small and
+    the shift is exactly zero (no-op).
+    """
+    box_matrix = np.asarray(box_matrix, dtype=np.float64)
+    if box_matrix.ndim == 1:
+        box_matrix = np.diag(box_matrix)
+    delta = positions[0] - prev_last                     # (n_atoms, 3)
+    frac = delta @ np.linalg.inv(box_matrix).T
+    shift = -np.round(frac) @ box_matrix.T
+    return positions + shift[None, :, :]
+
+
 # --- binary dumps ------------------------------------------------------------
 #
 # LAMMPS writes a binary dump when the filename ends in ".bin" (the format

@@ -134,8 +134,14 @@ class TrajectoryLoader:
         if name.endswith((".lammpstrj", ".dump", ".xyz")):
             name = Path(name).stem      # foo.lammpstrj.gz -> foo
         if len(self.filepaths) > 1:
-            # multi-file ingest: one combined cache keyed by first+count
-            name = f"{name}.x{len(self.filepaths)}"
+            # Multi-file ingest: one combined cache keyed by the FULL ordered
+            # file set (first-name+count alone would serve f1+f2's cache for
+            # a later f1+f3 load).
+            import hashlib
+            digest = hashlib.md5("\n".join(
+                str(p.resolve()) for p in self.filepaths).encode()
+            ).hexdigest()[:10]
+            name = f"{name}.x{len(self.filepaths)}.{digest}"
         parent = self.filepath.parent
         # plain concatenation, NOT with_suffix: the name may carry dots
         # (the .xN multi-file marker) that with_suffix would eat
@@ -218,7 +224,15 @@ class TrajectoryLoader:
                         raise ValueError(
                             f"{self.filepaths[k - 1]}: atom types differ "
                             "from the first file's — not one trajectory")
-                pos = np.concatenate([p[1] for p in parsed], axis=0)
+                # Stitch PBC continuity at each file seam: every file was
+                # unwrapped independently (re-based on its own first frame),
+                # so an atom that crossed a boundary inside an earlier file
+                # would teleport by a box length at the seam without this.
+                blocks = [parsed[0][1]]
+                for t2, p2, v2, b2 in parsed[1:]:
+                    blocks.append(lammps_io.stitch_continuity(
+                        blocks[-1][-1], p2, np.asarray(box)))
+                pos = np.concatenate(blocks, axis=0)
                 vel = np.concatenate([p[2] for p in parsed], axis=0)
             if self.use_cache:
                 # Cache RAW types: a later load with a different atom_mapping

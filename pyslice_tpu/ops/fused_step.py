@@ -524,9 +524,35 @@ def _block_rows(nx: int, ny: int) -> int:
     return bx
 
 
+def record_layers_chain(fn, psi, potential_szy, kxs, kys, sigma, lam, dz,
+                        ksq, record_layers, kmax2=None):
+    """Depth recording via segment chaining, shared by all fused kernels.
+
+    Splits the slice stack at each recorded layer and runs ``fn`` per
+    segment; every resumed segment is prepended a zero potential slice
+    (t = exp(i*sigma*0) = 1) so its first step performs exactly the
+    pending Fresnel propagation. Returns (n_layers, n_probes, nx, ny)
+    of post-transmission snapshots."""
+    layers = tuple(int(l) for l in record_layers)
+    zero = jnp.zeros_like(potential_szy[:1])
+    snaps = []
+    cur = psi
+    z = 0
+    for li, layer in enumerate(layers):
+        seg = potential_szy[z:layer + 1]
+        if li > 0:
+            seg = jnp.concatenate([zero, seg], axis=0)
+        cur = fn(cur, seg, kxs, kys, sigma=sigma, lam=lam, dz=dz, ksq=ksq,
+                 kmax2=kmax2)
+        snaps.append(cur)
+        z = layer + 1
+    return jnp.stack(snaps, axis=0)
+
+
 def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
                      lam: float, dz: float,
-                     record_layers=None, ksq=None) -> jnp.ndarray:
+                     record_layers=None, ksq=None,
+                     kmax2=None) -> jnp.ndarray:
     """Fused-Pallas equivalent of physics.propagate.multislice.
 
     psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
@@ -538,21 +564,9 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     (n_layers, n_probes, nx, ny) when recording.
     """
     if record_layers is not None:
-        layers = tuple(int(l) for l in record_layers)
-        nz = potential_szy.shape[0]
-        zero = jnp.zeros_like(potential_szy[:1])
-        snaps = []
-        cur = psi
-        z = 0
-        for li, layer in enumerate(layers):
-            seg = potential_szy[z:layer + 1]
-            if li > 0:
-                seg = jnp.concatenate([zero, seg], axis=0)
-            cur = fused_multislice(cur, seg, kxs, kys, sigma=sigma,
-                                   lam=lam, dz=dz, ksq=ksq)
-            snaps.append(cur)
-            z = layer + 1
-        return jnp.stack(snaps, axis=0)
+        return record_layers_chain(fused_multislice, psi, potential_szy,
+                                   kxs, kys, sigma, lam, dz, ksq,
+                                   record_layers, kmax2=kmax2)
     n_probes, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size(nx) and supported_size(ny)):
@@ -566,7 +580,8 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     # Fresnel multiplier's axes accordingly (static index gathers — works
     # under jit with traced k axes) and transpose for kernel B's y-major
     # tiles. ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
-    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
+                                        kmax2)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)
@@ -616,23 +631,30 @@ def transmission_planes(sigma, potential_szy):
     return jnp.cos(phase), jnp.sin(phase)
 
 
-def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None):
+def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None, kmax2=None):
     """Digit-permuted, transposed Fresnel multiplier planes (ny, nx) —
     the (ky~, kx~) layout every fused kernel's B/propagation stage consumes.
-    ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2."""
+    ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2. ``kmax2``
+    (antialiasing band limit, 1/A^2) zeroes the multiplier outside
+    |k|^2 <= kmax2 — the mask rides the same precomputed planes, free."""
     if ksq is not None:
         k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
             :, jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * k2
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[jnp.asarray(digit_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[jnp.asarray(digit_perm(ny))]
-        pp = (-np.pi * lam * dz) * (kxp[:, None] ** 2 + kyp[None, :] ** 2)
-    return jnp.cos(pp).T, jnp.sin(pp).T
+        k2 = kxp[:, None] ** 2 + kyp[None, :] ** 2
+    pp = (-np.pi * lam * dz) * k2
+    cosp, sinp = jnp.cos(pp), jnp.sin(pp)
+    if kmax2 is not None:
+        m = (k2 <= kmax2).astype(jnp.float32)
+        cosp, sinp = cosp * m, sinp * m
+    return cosp.T, sinp.T
 
 
 def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
-                            lam: float, dz: float, ksq=None) -> jnp.ndarray:
+                            lam: float, dz: float, ksq=None,
+                            kmax2=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice(...))) with the final transforms fused
     into the kernel chain: the last transmit runs as an A_mid (its FFT_y is
     the conversion's y transform), kernel C adds the x transform, and one
@@ -647,7 +669,8 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
     im = jnp.imag(psi).astype(jnp.float32)
     tp = _chain_t_planes(sigma, potential_szy)
 
-    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
+                                        kmax2)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)

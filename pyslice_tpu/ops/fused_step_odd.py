@@ -295,27 +295,17 @@ def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
 
 
 def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
-                         lam: float, dz: float, ksq=None,
+                         lam: float, dz: float, ksq=None, kmax2=None,
                          record_layers=None) -> jnp.ndarray:
     """Fused-Pallas multislice for composite odd grids; same contract as
     ops.fused_step.fused_multislice (incl. depth recording via segment
     chaining: each resumed segment is prepended a zero potential slice so
     its first step performs exactly the pending Fresnel propagation)."""
     if record_layers is not None:
-        layers = tuple(int(l) for l in record_layers)
-        zero = jnp.zeros_like(potential_szy[:1])
-        snaps = []
-        cur = psi
-        z = 0
-        for li, layer in enumerate(layers):
-            seg = potential_szy[z:layer + 1]
-            if li > 0:
-                seg = jnp.concatenate([zero, seg], axis=0)
-            cur = fused_multislice_odd(cur, seg, kxs, kys, sigma=sigma,
-                                       lam=lam, dz=dz, ksq=ksq)
-            snaps.append(cur)
-            z = layer + 1
-        return jnp.stack(snaps, axis=0)
+        from .fused_step import record_layers_chain
+        return record_layers_chain(fused_multislice_odd, psi,
+                                   potential_szy, kxs, kys, sigma, lam,
+                                   dz, ksq, record_layers, kmax2=kmax2)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size_odd(nx) and supported_size_odd(ny)):
@@ -342,15 +332,19 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
         k2t = jnp.asarray(ksq, jnp.float32).T[
             jnp.asarray(matfft.scramble_perm(ny))][
             :, jnp.asarray(matfft.scramble_perm(nx))]
-        pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(ny))]
-        pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
-    p_re = jnp.cos(pp).reshape(dy, my, dx, mx)
-    p_im = jnp.sin(pp).reshape(dy, my, dx, mx)
+        k2t = kyp[:, None] ** 2 + kxp[None, :] ** 2
+    pp = (-np.pi * lam * dz) * k2t
+    cosp, sinp = jnp.cos(pp), jnp.sin(pp)
+    if kmax2 is not None:
+        m = (k2t <= kmax2).astype(jnp.float32)
+        cosp, sinp = cosp * m, sinp * m
+    p_re = cosp.reshape(dy, my, dx, mx)
+    p_im = sinp.reshape(dy, my, dx, mx)
 
     if nz == 1:
         re, im = _call_a(re, im, t_re[0], t_im[0], "only", ax_y, dims,

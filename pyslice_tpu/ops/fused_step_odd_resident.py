@@ -380,7 +380,7 @@ def _call(re, im, t_planes, p_re, p_im, dims, kspace: bool):
     )(*t_planes, re, im, p_re, p_im, *consts_x, *consts_y)
 
 
-def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq):
+def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq, kmax2=None):
     """Host-side packing: stripe-split layouts + scrambled Fresnel."""
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
@@ -409,56 +409,46 @@ def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq):
         k2t = jnp.asarray(ksq, jnp.float32).T[
             jnp.asarray(matfft.scramble_perm(ny))][
             :, jnp.asarray(matfft.scramble_perm(nx))]
-        pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(ny))]
-        pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
+        k2t = kyp[:, None] ** 2 + kxp[None, :] ** 2
+    pp = (-np.pi * lam * dz) * k2t
+    cosp, sinp = jnp.cos(pp), jnp.sin(pp)
+    if kmax2 is not None:
+        m = (k2t <= kmax2).astype(jnp.float32)
+        cosp, sinp = cosp * m, sinp * m
     # (ny, nx) scrambled -> (dy, dx, my, mx) tile layout
-    ppt = jnp.transpose(pp.reshape(dy, my, dx, mx), (0, 2, 1, 3))
-    return dims, re, im, t_planes, jnp.cos(ppt), jnp.sin(ppt)
-
-
-def _record_layers_chain(fn, psi, potential_szy, kxs, kys, sigma, lam, dz,
-                         ksq, record_layers):
-    layers = tuple(int(l) for l in record_layers)
-    zero = jnp.zeros_like(potential_szy[:1])
-    snaps = []
-    cur = psi
-    z = 0
-    for li, layer in enumerate(layers):
-        seg = potential_szy[z:layer + 1]
-        if li > 0:
-            seg = jnp.concatenate([zero, seg], axis=0)
-        cur = fn(cur, seg, kxs, kys, sigma=sigma, lam=lam, dz=dz, ksq=ksq)
-        snaps.append(cur)
-        z = layer + 1
-    return jnp.stack(snaps, axis=0)
+    return (dims, re, im, t_planes,
+            jnp.transpose(cosp.reshape(dy, my, dx, mx), (0, 2, 1, 3)),
+            jnp.transpose(sinp.reshape(dy, my, dx, mx), (0, 2, 1, 3)))
 
 
 def fused_multislice_odd_resident(psi, potential_szy, kxs, kys, *,
                                   sigma: float, lam: float, dz: float,
-                                  ksq=None, record_layers=None
+                                  ksq=None, kmax2=None, record_layers=None
                                   ) -> jnp.ndarray:
     """Single-dispatch equivalent of fused_step_odd.fused_multislice_odd
     (same contract, incl. depth recording via segment chaining)."""
     if record_layers is not None:
-        return _record_layers_chain(fused_multislice_odd_resident, psi,
-                                    potential_szy, kxs, kys, sigma, lam,
-                                    dz, ksq, record_layers)
+        from .fused_step import record_layers_chain
+        return record_layers_chain(fused_multislice_odd_resident, psi,
+                                   potential_szy, kxs, kys, sigma, lam,
+                                   dz, ksq, record_layers, kmax2=kmax2)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if nz < 2:
         from .fused_step_odd import fused_multislice_odd
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
-                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq)
+                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq,
+                                    kmax2=kmax2)
     if not resident_odd_supported(nx, ny, nz, R):
         raise ValueError(
             f"unsupported grid {nx}x{ny} for odd resident path")
     dims, re, im, tp, p_re, p_im = _prep(psi, potential_szy, kxs, kys,
-                                         sigma, lam, dz, ksq)
+                                         sigma, lam, dz, ksq, kmax2)
     re2, im2 = _call(re, im, tp, p_re, p_im, dims, kspace=False)
     # (R, dy, dx, mx, my) -> natural (R, nx, ny)
     out = jax.lax.complex(re2, im2)
@@ -482,7 +472,7 @@ def unscramble_shift_indices(n: int) -> np.ndarray:
 
 def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
                                          sigma: float, lam: float,
-                                         dz: float, ksq=None
+                                         dz: float, ksq=None, kmax2=None
                                          ) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice_odd_resident(...))) with the
     conversion transforms fused into the same single dispatch; one static
@@ -492,7 +482,8 @@ def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
     if nz < 2:
         from .fused_step_odd import fused_multislice_odd
         out = fused_multislice_odd(psi, potential_szy, kxs, kys,
-                                   sigma=sigma, lam=lam, dz=dz, ksq=ksq)
+                                   sigma=sigma, lam=lam, dz=dz, ksq=ksq,
+                                   kmax2=kmax2)
         return jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
     if not resident_odd_supported(nx, ny, nz, R):
         raise ValueError(
@@ -502,10 +493,10 @@ def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
         # size; keep the single-dispatch slice loop, convert with XLA
         out = fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
                                             sigma=sigma, lam=lam, dz=dz,
-                                            ksq=ksq)
+                                            ksq=ksq, kmax2=kmax2)
         return jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
     dims, re, im, tp, p_re, p_im = _prep(psi, potential_szy, kxs, kys,
-                                         sigma, lam, dz, ksq)
+                                         sigma, lam, dz, ksq, kmax2)
     cr, ci = _call(re, im, tp, p_re, p_im, dims, kspace=True)
     R_, dx, dy, my, mx = cr.shape
     # (R, dx, dy, my, mx) = [p, kx1, ky1, ky2, kx2] -> scrambled (kx, ky)

@@ -274,7 +274,7 @@ def _t_planes(n_probes, sigma, potential_szy):
 
 def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
                               lam: float, dz: float, record_layers=None,
-                              ksq=None) -> jnp.ndarray:
+                              ksq=None, kmax2=None) -> jnp.ndarray:
     """VMEM-resident equivalent of fused_step.fused_multislice.
 
     psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
@@ -283,34 +283,25 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
     (segment chaining with a zero resume slice — see fused_step).
     """
     if record_layers is not None:
-        layers = tuple(int(l) for l in record_layers)
-        zero = jnp.zeros_like(potential_szy[:1])
-        snaps = []
-        cur = psi
-        z = 0
-        for li, layer in enumerate(layers):
-            seg = potential_szy[z:layer + 1]
-            if li > 0:
-                seg = jnp.concatenate([zero, seg], axis=0)
-            cur = fused_multislice_resident(cur, seg, kxs, kys, sigma=sigma,
-                                            lam=lam, dz=dz, ksq=ksq)
-            snaps.append(cur)
-            z = layer + 1
-        return jnp.stack(snaps, axis=0)
+        from .fused_step import record_layers_chain
+        return record_layers_chain(fused_multislice_resident, psi,
+                                   potential_szy, kxs, kys, sigma, lam,
+                                   dz, ksq, record_layers, kmax2=kmax2)
 
     n_probes, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if nz < 2:
         from .fused_step import fused_multislice
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
-                                lam=lam, dz=dz, ksq=ksq)
+                                lam=lam, dz=dz, ksq=ksq, kmax2=kmax2)
     if not resident_supported(nx, ny, nz):
         raise ValueError(f"unsupported grid {nx}x{ny} for resident path")
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
     t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
-    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
+                                        kmax2)
     re2, im2 = _call_resident(re, im, t_planes, p_re_t, p_im_t,
                               kspace=False)
     return jax.lax.complex(re2, im2)
@@ -318,7 +309,7 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
 
 def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
                                      sigma: float, lam: float, dz: float,
-                                     ksq=None) -> jnp.ndarray:
+                                     ksq=None, kmax2=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice_resident(...))) with the conversion
     transforms fused into the same kernel (the kspace last-slice branch);
     one static gather unpermutes both digit orders and applies fftshift."""
@@ -327,14 +318,16 @@ def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
     if nz < 2:
         from .fused_step import fused_multislice_kspace
         return fused_multislice_kspace(psi, potential_szy, kxs, kys,
-                                       sigma=sigma, lam=lam, dz=dz, ksq=ksq)
+                                       sigma=sigma, lam=lam, dz=dz,
+                                       ksq=ksq, kmax2=kmax2)
     if not resident_supported(nx, ny, nz):
         raise ValueError(f"unsupported grid {nx}x{ny} for resident path")
 
     re = jnp.real(psi).astype(jnp.float32)
     im = jnp.imag(psi).astype(jnp.float32)
     t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
-    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq)
+    p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
+                                        kmax2)
     cr, ci = _call_resident(re, im, t_planes, p_re_t, p_im_t,
                             kspace=True)
     iy = jnp.asarray(unpermute_shift_indices(ny))

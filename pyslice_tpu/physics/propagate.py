@@ -126,6 +126,32 @@ def _scrambled_axes(psi_shape) -> Tuple[bool, bool]:
     return ok(nx), ok(ny)
 
 
+def bandwidth_kmax2(kxs, kys, bandwidth_limit: Optional[float],
+                    ksq=None) -> Optional[float]:
+    """Squared k cutoff for antialiasing bandwidth limiting.
+
+    ``bandwidth_limit`` is a fraction of the tightest axis Nyquist
+    frequency (Kirkland's temsim uses 2/3: the multislice product
+    t*psi doubles bandwidth each slice, and 2/3 is the largest circular
+    band whose self-convolution aliases entirely outside itself). For
+    oblique cells the per-axis Nyquist comes from the metric (``ksq`` at
+    the axis midpoints). Returns kmax^2 in 1/Angstrom^2, or None.
+    """
+    if bandwidth_limit is None:
+        return None
+    if not 0.0 < bandwidth_limit <= 1.0:
+        raise ValueError(
+            f"bandwidth_limit must be in (0, 1], got {bandwidth_limit}")
+    if ksq is not None:
+        k2 = np.asarray(ksq)
+        nyq_x = float(np.sqrt(k2[k2.shape[0] // 2, 0]))
+        nyq_y = float(np.sqrt(k2[0, k2.shape[1] // 2]))
+    else:
+        nyq_x = float(np.max(np.abs(np.asarray(kxs))))
+        nyq_y = float(np.max(np.abs(np.asarray(kys))))
+    return (float(bandwidth_limit) * min(nyq_x, nyq_y)) ** 2
+
+
 def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
     """t = exp(i sigma V) (multislice.py:281-286). |t| == 1 exactly."""
     prec = get_precision(precision)
@@ -138,15 +164,27 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                record_layers: Optional[Tuple[int, ...]] = None,
                precision: Optional[Precision] = None,
                fused: Optional[bool] = None,
-               ksq: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               ksq: Optional[jnp.ndarray] = None,
+               bandwidth_limit: Optional[float] = None,
+               kmax2: Optional[float] = None) -> jnp.ndarray:
     """Public entry: resolves the fused-path decision OUTSIDE the jit
     boundary so it participates in the compilation cache key (the
     ops.config flag alone would not invalidate cached traces).
 
     ``ksq``: optional (nx, ny) |k|^2 array for OBLIQUE in-plane cells
     (carries the 2 m n b1.b2 cross term); None = separable kxs^2 + kys^2.
+
+    ``bandwidth_limit``: optional antialiasing band limit as a fraction of
+    the tightest-axis Nyquist (2/3 is the standard choice — Kirkland's
+    temsim). Folded into the Fresnel multiplier on every kernel path, so
+    it costs nothing per step. Off (None) by default for reference parity;
+    note |P| < 1 outside the band, so norm is intentionally NOT conserved.
     """
     prec = get_precision(precision)
+    if kmax2 is None:
+        kmax2 = bandwidth_kmax2(kxs, kys, bandwidth_limit, ksq)
+    elif bandwidth_limit is not None:
+        raise ValueError("pass bandwidth_limit OR kmax2, not both")
     shape = jnp.shape(psi)
     nz = jnp.shape(potential_szy)[0]
     def pick_fused():
@@ -189,20 +227,21 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     return _multislice_jit(psi, potential_szy, kxs, kys, ksq, eV=eV,
                            lam=lam, dz=dz, record_layers=record_layers,
                            precision=prec, kernel=kernel,
-                           scrambled=scrambled,
+                           scrambled=scrambled, kmax2=kmax2,
                            ops_key=ops_config.ops_key())
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
                                     "precision", "kernel", "scrambled",
-                                    "ops_key"))
+                                    "kmax2", "ops_key"))
 def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
                     precision: Optional[Precision] = None,
                     kernel: str = "xla",
                     scrambled: Tuple[bool, bool] = (False, False),
+                    kmax2: Optional[float] = None,
                     ops_key=None) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
 
@@ -244,14 +283,14 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         return fused_multislice_resident(psi, potential_szy, kxs, kys,
                                          sigma=sigma, lam=lam, dz=dz,
                                          record_layers=record_layers,
-                                         ksq=ksq)
+                                         ksq=ksq, kmax2=kmax2)
     if kernel == "aligned":
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers,
-                                ksq=ksq)
+                                ksq=ksq, kmax2=kmax2)
     if kernel == "odd_resident":
         # Single-dispatch VMEM-resident digit-split path for composite odd
         # grids (fused_step_odd_resident) — the reference-natural
@@ -260,13 +299,14 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
             fused_multislice_odd_resident)
         return fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
                                              sigma=sigma, lam=lam, dz=dz,
-                                             ksq=ksq,
+                                             ksq=ksq, kmax2=kmax2,
                                              record_layers=record_layers)
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
                                     sigma=sigma, lam=lam, dz=dz, ksq=ksq,
+                                    kmax2=kmax2,
                                     record_layers=record_layers)
     # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
     # propagator are pre-permuted to the transform's digit-scrambled output
@@ -284,7 +324,13 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
     else:
         kxs_p = kxs[jnp.asarray(matfft.scramble_perm(psi.shape[-2]))] if scr_x else kxs
         kys_p = kys[jnp.asarray(matfft.scramble_perm(psi.shape[-1]))] if scr_y else kys
+        k2 = (jnp.asarray(kxs_p, prec.real)[:, None] ** 2
+              + jnp.asarray(kys_p, prec.real)[None, :] ** 2)
         P = fresnel_kernel(kxs_p, kys_p, lam, dz, prec)
+    if kmax2 is not None:
+        # Antialiasing band limit folded into the per-step propagator
+        # (zero-cost: one precomputed multiplier plane either way).
+        P = P * (k2 <= kmax2).astype(prec.real)
 
     def loop_fft2(p):
         p = matfft.fft_scrambled(p, -1) if scr_y else matfft.fft(p, axis=-1)

@@ -105,15 +105,20 @@ def oracle_potential(xs, ys, zs, positions, atom_types, kind="kirkland",
     return pot / (dx ** 2 * dy ** 2)
 
 
-def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV):
+def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV, kmax2=None):
     """Multislice loop: transmit each slice, Fresnel-propagate between
-    slices (skipped after the last). psi: (..., nx, ny)."""
+    slices (skipped after the last). psi: (..., nx, ny). ``kmax2``:
+    optional antialiasing band limit — zero the propagator outside
+    |k|^2 <= kmax2 (Kirkland temsim convention)."""
     lam = wavelength(eV)
     sigma = interaction_parameter(eV)
     dz = (zs[1] - zs[0]) if len(zs) > 1 else 0.5
     kxs = np.fft.fftfreq(len(xs), d=xs[1] - xs[0])
     kys = np.fft.fftfreq(len(ys), d=ys[1] - ys[0])
-    P = np.exp(-1j * np.pi * lam * dz * (kxs[:, None] ** 2 + kys[None, :] ** 2))
+    k2 = kxs[:, None] ** 2 + kys[None, :] ** 2
+    P = np.exp(-1j * np.pi * lam * dz * k2)
+    if kmax2 is not None:
+        P = P * (k2 <= kmax2)
 
     psi = np.asarray(psi, dtype=np.complex128).copy()
     n_slices = potential_xyz.shape[2]

@@ -118,8 +118,10 @@ class TestTiltSeries:
         t, w = _tilt_series(0.0, 5, LAM)
         np.testing.assert_array_equal(t, [[0.0, 0.0]])
         np.testing.assert_array_equal(w, [1.0])
-        t, w = _tilt_series(1.0, 1, LAM)
-        assert t.shape == (1, 2)
+        # Requesting partial spatial coherence with a degenerate tilt
+        # sampling must fail loudly, not silently return the coherent image.
+        with pytest.raises(ValueError, match="n_tilts"):
+            _tilt_series(1.0, 1, LAM)
 
     def test_weights_and_symmetry(self):
         t, w = _tilt_series(2.0, 5, LAM)

@@ -399,6 +399,51 @@ class TestIngestSurfaces:
         got = TrajectoryLoader(files, timestep=0.01, use_cache=False).load()
         np.testing.assert_allclose(got.positions, traj.positions, atol=1e-5)
 
+    def test_multifile_boundary_unwrap_seam(self, tmp_path):
+        """An atom crossing a periodic boundary INSIDE an earlier file must
+        not teleport by a box length at the file seam: each file's
+        continuity unwrap re-bases on its own first frame, so the loader
+        stitches a per-atom lattice shift at every seam."""
+        L = 10.0
+        box = np.diag([L, L, 6.0])
+        x_true = np.array([7.0, 8.2, 9.4, 10.6, 11.8, 13.0])
+        pos = np.zeros((6, 1, 3))
+        pos[:, 0, 0] = x_true % L          # wrapped coordinates on disk
+        pos[:, 0, 2] = 3.0
+        vel = np.zeros_like(pos)
+        types = np.array([1])
+        lammps_io.write_lammps_dump(tmp_path / "w.lammpstrj", types, pos,
+                                    vel, box)
+        single = TrajectoryLoader(tmp_path / "w.lammpstrj", timestep=0.01,
+                                  use_cache=False).load()
+        np.testing.assert_allclose(single.positions[:, 0, 0], x_true,
+                                   atol=1e-5)
+        lammps_io.write_lammps_dump(tmp_path / "s1.lammpstrj", types,
+                                    pos[:3], vel[:3], box)
+        lammps_io.write_lammps_dump(tmp_path / "s2.lammpstrj", types,
+                                    pos[3:], vel[3:], box)
+        split = TrajectoryLoader([tmp_path / "s1.lammpstrj",
+                                  tmp_path / "s2.lammpstrj"],
+                                 timestep=0.01, use_cache=False).load()
+        np.testing.assert_allclose(split.positions[:, 0, 0], x_true,
+                                   atol=1e-5)
+
+    def test_multifile_cache_distinct_sets(self, traj, tmp_path):
+        """Same first file + same file count but a DIFFERENT second file
+        must not serve the previous set's cache."""
+        for k in range(3):
+            lammps_io.write_lammps_dump(
+                tmp_path / f"set{k}.lammpstrj", traj.atom_types,
+                traj.positions[k:k + 2] + k,        # distinct contents
+                traj.velocities[k:k + 2], traj.box_matrix)
+        a = TrajectoryLoader([tmp_path / "set0.lammpstrj",
+                              tmp_path / "set1.lammpstrj"],
+                             timestep=0.01).load()
+        b = TrajectoryLoader([tmp_path / "set0.lammpstrj",
+                              tmp_path / "set2.lammpstrj"],
+                             timestep=0.01).load()
+        assert not np.allclose(a.positions[2:], b.positions[2:])
+
     def test_multifile_mismatched_atoms_rejected(self, traj, tmp_path):
         p1 = tmp_path / "a.lammpstrj"
         p2 = tmp_path / "b.lammpstrj"
@@ -525,6 +570,6 @@ class TestIngestSurfaces:
                 traj.velocities[2 * k:2 * k + 2], traj.box_matrix)
         pat = str(tmp_path / "c*.lammpstrj")
         first = TrajectoryLoader(pat, timestep=0.01).load()
-        assert (tmp_path / "c0.x2.positions.npy").exists()
+        assert list(tmp_path.glob("c0.x2.*.positions.npy"))
         again = TrajectoryLoader(pat, timestep=0.01).load()
         np.testing.assert_allclose(again.positions, first.positions)

@@ -287,6 +287,95 @@ class TestPropagate:
             assert oracle.residual(out[i, 0], want) < 1e-18
 
 
+class TestBandwidthLimit:
+    """Antialiasing band limit (beyond-reference; Kirkland temsim's 2/3
+    convention): the Fresnel multiplier is zeroed outside the band on
+    every kernel path, at zero per-step cost."""
+
+    def test_vs_masked_oracle(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.propagate import bandwidth_kmax2
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        kmax2 = bandwidth_kmax2(kxs, kys, 2.0 / 3.0)
+        nyq = min(np.max(np.abs(kxs)), np.max(np.abs(kys)))
+        assert kmax2 == pytest.approx(((2.0 / 3.0) * nyq) ** 2)
+
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        probe = Probe(g.xs, g.ys, 15, 100e3, precision=DOUBLE)
+        got = to_numpy(multislice(probe.array[None], pot.array_szy, kxs,
+                                  kys, eV=100e3, dz=g.dz, precision=DOUBLE,
+                                  bandwidth_limit=2.0 / 3.0))[0]
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        want = oracle.oracle_propagate(
+            oracle.oracle_probe(g.xs, g.ys, 15, 100e3), want_pot,
+            g.xs, g.ys, g.zs, 100e3, kmax2=kmax2)
+        assert oracle.residual(got, want) < 1e-18
+        # and it actually does something: differs from the unlimited run
+        full = oracle.oracle_propagate(
+            oracle.oracle_probe(g.xs, g.ys, 15, 100e3), want_pot,
+            g.xs, g.ys, g.zs, 100e3)
+        assert oracle.residual(got, full) > 1e-12
+
+    def test_record_layers_with_band_limit(self, setup):
+        traj, g = setup
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        probe = Probe(g.xs, g.ys, 5, 100e3, precision=DOUBLE)
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        from pyslice_tpu.physics.propagate import bandwidth_kmax2
+        kmax2 = bandwidth_kmax2(kxs, kys, 0.5)
+        layers = (1, g.nz - 1)
+        out = to_numpy(multislice(probe.array[None], pot.array_szy, kxs,
+                                  kys, eV=100e3, dz=g.dz,
+                                  record_layers=layers, precision=DOUBLE,
+                                  bandwidth_limit=0.5))
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        base = oracle.oracle_probe(g.xs, g.ys, 5, 100e3)
+        for i, layer in enumerate(layers):
+            want = oracle.oracle_propagate(base, want_pot[:, :, :layer + 1],
+                                           g.xs, g.ys, g.zs, 100e3,
+                                           kmax2=kmax2)
+            assert oracle.residual(out[i, 0], want) < 1e-18
+
+    def test_validation(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.propagate import bandwidth_kmax2
+        with pytest.raises(ValueError, match="bandwidth_limit"):
+            bandwidth_kmax2([0.0], [0.0], 1.5)
+        with pytest.raises(ValueError, match="not both"):
+            multislice(np.zeros((1, 4, 4), np.complex128),
+                       np.zeros((2, 4, 4)), np.zeros(4), np.zeros(4),
+                       eV=100e3, dz=0.5, bandwidth_limit=0.5, kmax2=1.0)
+
+    def test_calculator_surface(self, setup):
+        """setup(bandwidth_limit=...) reaches the spec and changes the
+        physics; the frame-cache key separates the two runs."""
+        traj, g = setup
+        from pyslice_tpu.engine.calculator import MultisliceCalculator
+        calc1 = MultisliceCalculator(precision=DOUBLE)
+        calc1.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                    slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                    use_cache=False)
+        calc2 = MultisliceCalculator(precision=DOUBLE)
+        calc2.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                    slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                    use_cache=False, bandwidth_limit=2.0 / 3.0)
+        assert calc1.spec.kmax2 is None and calc2.spec.kmax2 is not None
+        assert calc1._generate_cache_key() != calc2._generate_cache_key()
+        wf1 = calc1.run(progress=False)
+        wf2 = calc2.run(progress=False)
+        d1 = np.asarray(wf1.wavefunction_data)
+        d2 = np.asarray(wf2.wavefunction_data)
+        assert not np.allclose(d1, d2)
+
+
 class TestDifferentiability:
     """JAX transformations compose through the compute path — a capability
     the torch-loop reference cannot offer (useful for probe/defocus

@@ -263,3 +263,20 @@ def test_scan_grid_data_roundtrip(problem):
     np.testing.assert_allclose(xs, p["scan_xs"], atol=1e-9)
     np.testing.assert_allclose(
         data4d, p["inten"].reshape(p["n_s"], p["n_s"], NX, NY), rtol=2e-5)
+
+
+def test_probe_center_matches_peak_on_odd_grid():
+    """The unshifted base probe peaks at index (n+1)//2, not n//2, on odd
+    grids (the same off-by-one as the PRISM window centering); the default
+    probe_center used by ssb/icom_reconstruct must track the actual peak."""
+    from pyslice_tpu.analysis.ptychography import _probe_center
+
+    nx, ny = 63, 64                      # odd x, even y
+    xs = np.arange(nx) * 0.2
+    ys = np.arange(ny) * 0.2
+    probe = Probe(xs, ys, 25.0, 100e3)
+    arr = np.abs(np.asarray(probe.array))
+    px, py = np.unravel_index(np.argmax(arr), arr.shape)
+    assert (px, py) == ((nx + 1) // 2, (ny + 1) // 2)
+    cx, cy = _probe_center(probe)
+    assert cx == pytest.approx(xs[px]) and cy == pytest.approx(ys[py])

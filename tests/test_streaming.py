@@ -157,6 +157,48 @@ def test_streaming_checkpoint_resume(setup, tmp_path):
                                rtol=1e-12, atol=1e-14)
 
 
+def test_streaming_legacy_checkpoint_layout_restores(setup, tmp_path):
+    """A round-2 checkpoint (manifest.json + single-file <name>.npy, no
+    per-process/per-shard naming) must still restore: the key deliberately
+    excludes process identity, and the legacy file fallbacks are live."""
+    import json
+    import re
+
+    traj, g, spec = setup
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, pg).array
+
+    def new_stream():
+        return StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                              frequencies=[20.0, 0.0], probe_chunk=3)
+
+    st1 = new_stream()
+    for f in (0, 1, 2):
+        st1.add_frame(f, traj.positions[f])
+    d = tmp_path / "legacy"
+    st1.save_checkpoint(d)
+
+    # Convert to the round-2 layout: single-host, single-shard files.
+    (d / "manifest.p0.json").rename(d / "manifest.json")
+    for p in sorted(d.glob("*.s*.npy")):
+        p.rename(d / re.sub(r"\.s[0-9_]+\.npy$", ".npy", p.name))
+    assert not list(d.glob("manifest.p*.json"))
+
+    st2 = new_stream()
+    seen = st2.restore(d)
+    assert seen == {0, 1, 2}
+    for f in range(traj.n_frames):
+        if f not in seen:
+            st2.add_frame(f, traj.positions[f])
+
+    st0 = new_stream()
+    for f in range(traj.n_frames):
+        st0.add_frame(f, traj.positions[f])
+    np.testing.assert_array_equal(np.asarray(st2.intensity()),
+                                  np.asarray(st0.intensity()))
+
+
 def test_streaming_duplicate_frame_rejected(setup):
     traj, g, spec = setup
     base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)

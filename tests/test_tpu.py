@@ -31,7 +31,7 @@ def _residual(a, b):
     return float(((f - d) ** 2).sum() / (f ** 2).sum())
 
 
-def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0):
+def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0, bandwidth_limit=None):
     """(fused 'auto' output, XLA 'off' output) for one synthetic frame."""
     from pyslice_tpu.core.grids import Grid
     from pyslice_tpu.engine.pipeline import SimSpec, frame_exit_waves
@@ -59,7 +59,8 @@ def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0):
     try:
         for mode in ("auto", "off"):
             ops_config.fused_multislice = mode
-            spec = SimSpec.create(grid, plan, 100e3)   # fresh per mode
+            spec = SimSpec.create(grid, plan, 100e3,   # fresh per mode
+                                  bandwidth_limit=bandwidth_limit)
             outs[mode] = to_numpy(frame_exit_waves(
                 jnp.asarray(pos[0], jnp.float32), probes, spec))
     finally:
@@ -85,6 +86,20 @@ def test_fused_odd_parity_on_hardware():
     fused, xla = _frame_pair(387, 387, n_probes=2, nz=4)
     assert np.all(np.isfinite(fused))
     assert _residual(xla, fused) < 1e-6
+
+
+@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+def test_bandwidth_limit_fused_parity_on_hardware(nx):
+    """The antialiasing band limit folded into the Pallas kernels'
+    Fresnel planes vs the XLA path's masked propagator, on hardware, and
+    it must actually differ from the unlimited run."""
+    _require_tpu()
+    fused, xla = _frame_pair(nx, nx, n_probes=2, nz=4,
+                             bandwidth_limit=2.0 / 3.0)
+    assert np.all(np.isfinite(fused))
+    assert _residual(xla, fused) < 1e-6
+    full, _ = _frame_pair(nx, nx, n_probes=2, nz=4)
+    assert _residual(full, fused) > 1e-8
 
 
 @pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
