@@ -78,6 +78,8 @@ class MultisliceCalculator:
             # Added only when set: the None default keys identically to
             # pre-feature caches; any other value invalidates them.
             params["bandwidth_limit"] = self.bandwidth_limit
+        if getattr(self, "tilt", None) is not None:
+            params["tilt"] = self.tilt
         param_str = str(sorted(params.items()))
         return hashlib.md5(param_str.encode()).hexdigest()[:12]
 
@@ -101,7 +103,8 @@ class MultisliceCalculator:
               device_output: bool = False,
               aberrations=None,
               mesh=None,
-              bandwidth_limit: Optional[float] = None):
+              bandwidth_limit: Optional[float] = None,
+              tilt: Optional[Tuple[float, float]] = None):
         """Reference-compatible setup (calculators.py:96-161).
 
         ``mesh``: optional jax Mesh with ('frame', 'probe') axes
@@ -129,6 +132,11 @@ class MultisliceCalculator:
         default for reference parity. With it on, the propagator is no
         longer exactly unitary: intensity scattered beyond the band is
         removed rather than aliased back in.
+
+        ``tilt``: optional (theta_x, theta_y) beam tilt in mrad —
+        tilted-propagator multislice (the beam crosses the cell
+        obliquely; equivalent to tilting the specimen by -theta, exact
+        to first order). Orthogonal cells only; also zero per-step cost.
         """
         self.trajectory = trajectory
         self.aperture = aperture
@@ -201,10 +209,13 @@ class MultisliceCalculator:
                          slice_axis=slice_axis,
                          cell2d=grid.cell2d if oblique else None)
         self.bandwidth_limit = bandwidth_limit
+        self.tilt = tuple(float(t) for t in tilt) if tilt is not None \
+            else None
         self.spec = SimSpec.create(grid, plan, voltage_eV,
                                    record_layers=self.record_layers,
                                    precision=self.precision,
-                                   bandwidth_limit=bandwidth_limit)
+                                   bandwidth_limit=bandwidth_limit,
+                                   tilt=tilt)
 
         if mesh is not None:
             # early, clear divisibility errors (run_sharded re-checks)

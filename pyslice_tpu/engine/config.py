@@ -33,6 +33,7 @@ class SimulationConfig:
     slice_axis: int = 2
     bandwidth_limit: Optional[float] = None  # antialias band (fraction of
     #   Nyquist; 2/3 standard). None = reference parity (no limit)
+    tilt: Optional[Tuple[float, float]] = None  # beam tilt (mrad, mrad)
     # --- probes ---------------------------------------------------------------
     probe_positions: Optional[List[Tuple[float, float]]] = None
     probe_grid: Optional[Tuple[float, float, float, float, int, int]] = None
@@ -80,6 +81,8 @@ class SimulationConfig:
             d["probe_positions"] = [tuple(p) for p in d["probe_positions"]]
         if d.get("probe_grid"):
             d["probe_grid"] = tuple(d["probe_grid"])
+        if d.get("tilt"):
+            d["tilt"] = tuple(d["tilt"])
         return cls(**d)
 
     @classmethod

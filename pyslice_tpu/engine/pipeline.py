@@ -41,24 +41,34 @@ class SimSpec:
     precision: Precision
     ksq2d: Optional[np.ndarray] = None   # oblique |k|^2 grid (fftfreq order)
     kmax2: Optional[float] = None        # antialiasing band limit, 1/A^2
+    tantilt: Optional[Tuple[float, float]] = None  # beam tilt tangents
 
     @classmethod
     def create(cls, grid: Grid, plan: RasterizerPlan, eV: float,
                record_layers=None, precision=None,
-               bandwidth_limit: Optional[float] = None) -> "SimSpec":
+               bandwidth_limit: Optional[float] = None,
+               tilt: Optional[Tuple[float, float]] = None) -> "SimSpec":
         """``bandwidth_limit``: optional antialiasing band limit as a
         fraction of the tightest-axis Nyquist (2/3 is the standard
         choice); folded into every kernel's Fresnel multiplier at zero
-        per-step cost. None (default) = reference parity (no limit)."""
-        from ..physics.propagate import bandwidth_kmax2
+        per-step cost. None (default) = reference parity (no limit).
+
+        ``tilt``: optional (theta_x, theta_y) beam tilt in mrad —
+        tilted-propagator multislice (physics.propagate.tilt_tangents);
+        orthogonal cells only. Also free per step (same planes)."""
+        from ..physics.propagate import bandwidth_kmax2, tilt_tangents
         prec = get_precision(precision)
         rl = tuple(int(x) for x in record_layers) if record_layers is not None else None
         ksq2d = grid.ksq2d() if getattr(grid, "is_oblique", False) else None
+        tantilt = tilt_tangents(tilt)
+        if tantilt is not None and ksq2d is not None:
+            raise ValueError("beam tilt needs an orthogonal cell")
         return cls(grid=grid, plan=plan, eV=float(eV), lam=_wavelength(eV),
                    dz=grid.dz, record_layers=rl, precision=prec,
                    ksq2d=ksq2d,
                    kmax2=bandwidth_kmax2(grid.kxs(), grid.kys(),
-                                         bandwidth_limit, ksq2d))
+                                         bandwidth_limit, ksq2d),
+                   tantilt=tantilt)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -105,14 +115,14 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
             jnp.asarray(probes, dtype=spec.precision.complex), v,
             spec.plan.kxs, spec.plan.kys,
             sigma=interaction_parameter(spec.eV), lam=spec.lam, dz=spec.dz,
-            ksq=spec.ksq2d, kmax2=spec.kmax2)
+            ksq=spec.ksq2d, kmax2=spec.kmax2, tantilt=spec.tantilt)
         return k[..., None]                   # (probes, nx, ny, 1)
 
     psi = multislice(probes, v, spec.plan.kxs, spec.plan.kys, eV=spec.eV,
                      lam=spec.lam, dz=spec.dz,
                      record_layers=spec.record_layers,
                      precision=spec.precision, ksq=spec.ksq2d,
-                     kmax2=spec.kmax2)
+                     kmax2=spec.kmax2, tantilt=spec.tantilt)
     if spec.record_layers is None:
         psi = psi[None]                       # (1, n_probes, nx, ny)
     k = jnp.fft.fftshift(matfft.fft2(psi), axes=(-2, -1))

@@ -525,7 +525,7 @@ def _block_rows(nx: int, ny: int) -> int:
 
 
 def record_layers_chain(fn, psi, potential_szy, kxs, kys, sigma, lam, dz,
-                        ksq, record_layers, kmax2=None):
+                        ksq, record_layers, kmax2=None, tantilt=None):
     """Depth recording via segment chaining, shared by all fused kernels.
 
     Splits the slice stack at each recorded layer and runs ``fn`` per
@@ -543,7 +543,7 @@ def record_layers_chain(fn, psi, potential_szy, kxs, kys, sigma, lam, dz,
         if li > 0:
             seg = jnp.concatenate([zero, seg], axis=0)
         cur = fn(cur, seg, kxs, kys, sigma=sigma, lam=lam, dz=dz, ksq=ksq,
-                 kmax2=kmax2)
+                 kmax2=kmax2, tantilt=tantilt)
         snaps.append(cur)
         z = layer + 1
     return jnp.stack(snaps, axis=0)
@@ -552,7 +552,7 @@ def record_layers_chain(fn, psi, potential_szy, kxs, kys, sigma, lam, dz,
 def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
                      lam: float, dz: float,
                      record_layers=None, ksq=None,
-                     kmax2=None) -> jnp.ndarray:
+                     kmax2=None, tantilt=None) -> jnp.ndarray:
     """Fused-Pallas equivalent of physics.propagate.multislice.
 
     psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
@@ -566,7 +566,8 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     if record_layers is not None:
         return record_layers_chain(fused_multislice, psi, potential_szy,
                                    kxs, kys, sigma, lam, dz, ksq,
-                                   record_layers, kmax2=kmax2)
+                                   record_layers, kmax2=kmax2,
+                                   tantilt=tantilt)
     n_probes, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size(nx) and supported_size(ny)):
@@ -631,20 +632,29 @@ def transmission_planes(sigma, potential_szy):
     return jnp.cos(phase), jnp.sin(phase)
 
 
-def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None, kmax2=None):
+def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None, kmax2=None,
+                       tantilt=None):
     """Digit-permuted, transposed Fresnel multiplier planes (ny, nx) —
     the (ky~, kx~) layout every fused kernel's B/propagation stage consumes.
     ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2. ``kmax2``
     (antialiasing band limit, 1/A^2) zeroes the multiplier outside
-    |k|^2 <= kmax2 — the mask rides the same precomputed planes, free."""
+    |k|^2 <= kmax2; ``tantilt`` (tan theta_x, tan theta_y) adds the
+    tilted-propagator phase — both ride the same precomputed planes,
+    free per step."""
     if ksq is not None:
+        if tantilt is not None:
+            raise ValueError("beam tilt needs an orthogonal cell")
         k2 = jnp.asarray(ksq, jnp.float32)[jnp.asarray(digit_perm(nx))][
             :, jnp.asarray(digit_perm(ny))]
+        pp = (-np.pi * lam * dz) * k2
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[jnp.asarray(digit_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[jnp.asarray(digit_perm(ny))]
         k2 = kxp[:, None] ** 2 + kyp[None, :] ** 2
-    pp = (-np.pi * lam * dz) * k2
+        pp = (-np.pi * lam * dz) * k2
+        if tantilt is not None:
+            pp = pp + (2.0 * np.pi * dz) * (kxp[:, None] * tantilt[0]
+                                            + kyp[None, :] * tantilt[1])
     cosp, sinp = jnp.cos(pp), jnp.sin(pp)
     if kmax2 is not None:
         m = (k2 <= kmax2).astype(jnp.float32)
@@ -654,7 +664,7 @@ def fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq=None, kmax2=None):
 
 def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
                             lam: float, dz: float, ksq=None,
-                            kmax2=None) -> jnp.ndarray:
+                            kmax2=None, tantilt=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice(...))) with the final transforms fused
     into the kernel chain: the last transmit runs as an A_mid (its FFT_y is
     the conversion's y transform), kernel C adds the x transform, and one
@@ -670,7 +680,7 @@ def fused_multislice_kspace(psi, potential_szy, kxs, kys, *, sigma: float,
     tp = _chain_t_planes(sigma, potential_szy)
 
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
-                                        kmax2)
+                                        kmax2, tantilt)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)

@@ -296,7 +296,7 @@ def _call_b(re, im, p_re, p_im, ax_x, dims, dotmode, consts_x):
 
 def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
                          lam: float, dz: float, ksq=None, kmax2=None,
-                         record_layers=None) -> jnp.ndarray:
+                         tantilt=None, record_layers=None) -> jnp.ndarray:
     """Fused-Pallas multislice for composite odd grids; same contract as
     ops.fused_step.fused_multislice (incl. depth recording via segment
     chaining: each resumed segment is prepended a zero potential slice so
@@ -305,7 +305,8 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
         from .fused_step import record_layers_chain
         return record_layers_chain(fused_multislice_odd, psi,
                                    potential_szy, kxs, kys, sigma, lam,
-                                   dz, ksq, record_layers, kmax2=kmax2)
+                                   dz, ksq, record_layers, kmax2=kmax2,
+                                   tantilt=tantilt)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if not (supported_size_odd(nx) and supported_size_odd(ny)):
@@ -329,16 +330,22 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
     # tile [ky1, :, kx1, :] multiplies kernel B's (my, mx) tiles directly.
     # ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
     if ksq is not None:
+        if tantilt is not None:
+            raise ValueError("beam tilt needs an orthogonal cell")
         k2t = jnp.asarray(ksq, jnp.float32).T[
             jnp.asarray(matfft.scramble_perm(ny))][
             :, jnp.asarray(matfft.scramble_perm(nx))]
+        pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(ny))]
         k2t = kyp[:, None] ** 2 + kxp[None, :] ** 2
-    pp = (-np.pi * lam * dz) * k2t
+        pp = (-np.pi * lam * dz) * k2t
+        if tantilt is not None:
+            pp = pp + (2.0 * np.pi * dz) * (kyp[:, None] * tantilt[1]
+                                            + kxp[None, :] * tantilt[0])
     cosp, sinp = jnp.cos(pp), jnp.sin(pp)
     if kmax2 is not None:
         m = (k2t <= kmax2).astype(jnp.float32)

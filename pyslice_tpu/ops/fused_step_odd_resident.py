@@ -380,7 +380,8 @@ def _call(re, im, t_planes, p_re, p_im, dims, kspace: bool):
     )(*t_planes, re, im, p_re, p_im, *consts_x, *consts_y)
 
 
-def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq, kmax2=None):
+def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq, kmax2=None,
+          tantilt=None):
     """Host-side packing: stripe-split layouts + scrambled Fresnel."""
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
@@ -406,16 +407,22 @@ def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq, kmax2=None):
         t_planes = (split(sv, nz),)
 
     if ksq is not None:
+        if tantilt is not None:
+            raise ValueError("beam tilt needs an orthogonal cell")
         k2t = jnp.asarray(ksq, jnp.float32).T[
             jnp.asarray(matfft.scramble_perm(ny))][
             :, jnp.asarray(matfft.scramble_perm(nx))]
+        pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(nx))]
         kyp = jnp.asarray(kys, jnp.float32)[
             jnp.asarray(matfft.scramble_perm(ny))]
         k2t = kyp[:, None] ** 2 + kxp[None, :] ** 2
-    pp = (-np.pi * lam * dz) * k2t
+        pp = (-np.pi * lam * dz) * k2t
+        if tantilt is not None:
+            pp = pp + (2.0 * np.pi * dz) * (kyp[:, None] * tantilt[1]
+                                            + kxp[None, :] * tantilt[0])
     cosp, sinp = jnp.cos(pp), jnp.sin(pp)
     if kmax2 is not None:
         m = (k2t <= kmax2).astype(jnp.float32)
@@ -428,7 +435,8 @@ def _prep(psi, potential_szy, kxs, kys, sigma, lam, dz, ksq, kmax2=None):
 
 def fused_multislice_odd_resident(psi, potential_szy, kxs, kys, *,
                                   sigma: float, lam: float, dz: float,
-                                  ksq=None, kmax2=None, record_layers=None
+                                  ksq=None, kmax2=None, tantilt=None,
+                                  record_layers=None
                                   ) -> jnp.ndarray:
     """Single-dispatch equivalent of fused_step_odd.fused_multislice_odd
     (same contract, incl. depth recording via segment chaining)."""
@@ -436,19 +444,21 @@ def fused_multislice_odd_resident(psi, potential_szy, kxs, kys, *,
         from .fused_step import record_layers_chain
         return record_layers_chain(fused_multislice_odd_resident, psi,
                                    potential_szy, kxs, kys, sigma, lam,
-                                   dz, ksq, record_layers, kmax2=kmax2)
+                                   dz, ksq, record_layers, kmax2=kmax2,
+                                   tantilt=tantilt)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if nz < 2:
         from .fused_step_odd import fused_multislice_odd
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
                                     sigma=sigma, lam=lam, dz=dz, ksq=ksq,
-                                    kmax2=kmax2)
+                                    kmax2=kmax2, tantilt=tantilt)
     if not resident_odd_supported(nx, ny, nz, R):
         raise ValueError(
             f"unsupported grid {nx}x{ny} for odd resident path")
     dims, re, im, tp, p_re, p_im = _prep(psi, potential_szy, kxs, kys,
-                                         sigma, lam, dz, ksq, kmax2)
+                                         sigma, lam, dz, ksq, kmax2,
+                                         tantilt)
     re2, im2 = _call(re, im, tp, p_re, p_im, dims, kspace=False)
     # (R, dy, dx, mx, my) -> natural (R, nx, ny)
     out = jax.lax.complex(re2, im2)
@@ -472,7 +482,8 @@ def unscramble_shift_indices(n: int) -> np.ndarray:
 
 def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
                                          sigma: float, lam: float,
-                                         dz: float, ksq=None, kmax2=None
+                                         dz: float, ksq=None, kmax2=None,
+                                         tantilt=None
                                          ) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice_odd_resident(...))) with the
     conversion transforms fused into the same single dispatch; one static
@@ -483,7 +494,7 @@ def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
         from .fused_step_odd import fused_multislice_odd
         out = fused_multislice_odd(psi, potential_szy, kxs, kys,
                                    sigma=sigma, lam=lam, dz=dz, ksq=ksq,
-                                   kmax2=kmax2)
+                                   kmax2=kmax2, tantilt=tantilt)
         return jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
     if not resident_odd_supported(nx, ny, nz, R):
         raise ValueError(
@@ -493,10 +504,12 @@ def fused_multislice_kspace_odd_resident(psi, potential_szy, kxs, kys, *,
         # size; keep the single-dispatch slice loop, convert with XLA
         out = fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
                                             sigma=sigma, lam=lam, dz=dz,
-                                            ksq=ksq, kmax2=kmax2)
+                                            ksq=ksq, kmax2=kmax2,
+                                            tantilt=tantilt)
         return jnp.fft.fftshift(matfft.fft2(out), axes=(-2, -1))
     dims, re, im, tp, p_re, p_im = _prep(psi, potential_szy, kxs, kys,
-                                         sigma, lam, dz, ksq, kmax2)
+                                         sigma, lam, dz, ksq, kmax2,
+                                         tantilt)
     cr, ci = _call(re, im, tp, p_re, p_im, dims, kspace=True)
     R_, dx, dy, my, mx = cr.shape
     # (R, dx, dy, my, mx) = [p, kx1, ky1, ky2, kx2] -> scrambled (kx, ky)

@@ -274,7 +274,8 @@ def _t_planes(n_probes, sigma, potential_szy):
 
 def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
                               lam: float, dz: float, record_layers=None,
-                              ksq=None, kmax2=None) -> jnp.ndarray:
+                              ksq=None, kmax2=None,
+                              tantilt=None) -> jnp.ndarray:
     """VMEM-resident equivalent of fused_step.fused_multislice.
 
     psi: (n_probes, nx, ny) complex64; potential_szy: (nz, nx, ny) float32.
@@ -286,14 +287,16 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
         from .fused_step import record_layers_chain
         return record_layers_chain(fused_multislice_resident, psi,
                                    potential_szy, kxs, kys, sigma, lam,
-                                   dz, ksq, record_layers, kmax2=kmax2)
+                                   dz, ksq, record_layers, kmax2=kmax2,
+                                   tantilt=tantilt)
 
     n_probes, nx, ny = psi.shape
     nz = potential_szy.shape[0]
     if nz < 2:
         from .fused_step import fused_multislice
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
-                                lam=lam, dz=dz, ksq=ksq, kmax2=kmax2)
+                                lam=lam, dz=dz, ksq=ksq, kmax2=kmax2,
+                                tantilt=tantilt)
     if not resident_supported(nx, ny, nz):
         raise ValueError(f"unsupported grid {nx}x{ny} for resident path")
 
@@ -301,7 +304,7 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
     im = jnp.imag(psi).astype(jnp.float32)
     t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
-                                        kmax2)
+                                        kmax2, tantilt)
     re2, im2 = _call_resident(re, im, t_planes, p_re_t, p_im_t,
                               kspace=False)
     return jax.lax.complex(re2, im2)
@@ -309,7 +312,8 @@ def fused_multislice_resident(psi, potential_szy, kxs, kys, *, sigma: float,
 
 def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
                                      sigma: float, lam: float, dz: float,
-                                     ksq=None, kmax2=None) -> jnp.ndarray:
+                                     ksq=None, kmax2=None,
+                                     tantilt=None) -> jnp.ndarray:
     """fftshift(fft2(fused_multislice_resident(...))) with the conversion
     transforms fused into the same kernel (the kspace last-slice branch);
     one static gather unpermutes both digit orders and applies fftshift."""
@@ -319,7 +323,8 @@ def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
         from .fused_step import fused_multislice_kspace
         return fused_multislice_kspace(psi, potential_szy, kxs, kys,
                                        sigma=sigma, lam=lam, dz=dz,
-                                       ksq=ksq, kmax2=kmax2)
+                                       ksq=ksq, kmax2=kmax2,
+                                       tantilt=tantilt)
     if not resident_supported(nx, ny, nz):
         raise ValueError(f"unsupported grid {nx}x{ny} for resident path")
 
@@ -327,7 +332,7 @@ def fused_multislice_kspace_resident(psi, potential_szy, kxs, kys, *,
     im = jnp.imag(psi).astype(jnp.float32)
     t_planes = _t_planes(psi.shape[0], sigma, potential_szy)
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
-                                        kmax2)
+                                        kmax2, tantilt)
     cr, ci = _call_resident(re, im, t_planes, p_re_t, p_im_t,
                             kspace=True)
     iy = jnp.asarray(unpermute_shift_indices(ny))

@@ -152,6 +152,25 @@ def bandwidth_kmax2(kxs, kys, bandwidth_limit: Optional[float],
     return (float(bandwidth_limit) * min(nyq_x, nyq_y)) ** 2
 
 
+def tilt_tangents(tilt_mrad) -> Optional[Tuple[float, float]]:
+    """(tan theta_x, tan theta_y) for a beam tilt given in mrad.
+
+    Small-tilt tilted-propagator multislice (Kirkland ch. 6): each Fresnel
+    step gains the pure phase exp(2 pi i dz (kx tan tx + ky tan ty)),
+    advecting the wave laterally by dz*tan(theta) per slice — the beam
+    travels obliquely through an unrotated potential (equivalently, the
+    specimen is tilted by -theta relative to the optic axis, exact to
+    first order in theta; valid for tilts up to a few tens of mrad where
+    the k^2 correction of the exact tilted propagator is negligible).
+    """
+    if tilt_mrad is None:
+        return None
+    tx, ty = (float(t) for t in tilt_mrad)
+    if tx == 0.0 and ty == 0.0:
+        return None
+    return (float(np.tan(tx * 1e-3)), float(np.tan(ty * 1e-3)))
+
+
 def transmission(potential_slice, sigma, precision=None) -> jnp.ndarray:
     """t = exp(i sigma V) (multislice.py:281-286). |t| == 1 exactly."""
     prec = get_precision(precision)
@@ -166,7 +185,9 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                fused: Optional[bool] = None,
                ksq: Optional[jnp.ndarray] = None,
                bandwidth_limit: Optional[float] = None,
-               kmax2: Optional[float] = None) -> jnp.ndarray:
+               kmax2: Optional[float] = None,
+               tilt: Optional[Tuple[float, float]] = None,
+               tantilt: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
     """Public entry: resolves the fused-path decision OUTSIDE the jit
     boundary so it participates in the compilation cache key (the
     ops.config flag alone would not invalidate cached traces).
@@ -179,12 +200,25 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
     temsim). Folded into the Fresnel multiplier on every kernel path, so
     it costs nothing per step. Off (None) by default for reference parity;
     note |P| < 1 outside the band, so norm is intentionally NOT conserved.
+
+    ``tilt``: optional (theta_x, theta_y) beam tilt in mrad —
+    tilted-propagator multislice (see ``tilt_tangents``); needs an
+    orthogonal cell (the tilt phase is separable in physical kx/ky).
     """
     prec = get_precision(precision)
     if kmax2 is None:
         kmax2 = bandwidth_kmax2(kxs, kys, bandwidth_limit, ksq)
     elif bandwidth_limit is not None:
         raise ValueError("pass bandwidth_limit OR kmax2, not both")
+    if tantilt is None:
+        tantilt = tilt_tangents(tilt)
+    elif tilt is not None:
+        raise ValueError("pass tilt (mrad) OR tantilt (tangents), not both")
+    if tantilt is not None and ksq is not None:
+        raise ValueError(
+            "beam tilt needs an orthogonal cell (the tilt phase is "
+            "separable in physical kx/ky; oblique metrics carry no "
+            "per-axis k components)")
     shape = jnp.shape(psi)
     nz = jnp.shape(potential_szy)[0]
     def pick_fused():
@@ -228,13 +262,14 @@ def multislice(psi, potential_szy, kxs, kys, *, eV: float,
                            lam=lam, dz=dz, record_layers=record_layers,
                            precision=prec, kernel=kernel,
                            scrambled=scrambled, kmax2=kmax2,
+                           tantilt=tantilt,
                            ops_key=ops_config.ops_key())
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eV", "lam", "dz", "record_layers",
                                     "precision", "kernel", "scrambled",
-                                    "kmax2", "ops_key"))
+                                    "kmax2", "tantilt", "ops_key"))
 def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                     lam: Optional[float] = None, dz: float,
                     record_layers: Optional[Tuple[int, ...]] = None,
@@ -242,6 +277,7 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
                     kernel: str = "xla",
                     scrambled: Tuple[bool, bool] = (False, False),
                     kmax2: Optional[float] = None,
+                    tantilt: Optional[Tuple[float, float]] = None,
                     ops_key=None) -> jnp.ndarray:
     """Propagate probe batch ``psi`` through a slice-major potential.
 
@@ -283,14 +319,15 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         return fused_multislice_resident(psi, potential_szy, kxs, kys,
                                          sigma=sigma, lam=lam, dz=dz,
                                          record_layers=record_layers,
-                                         ksq=ksq, kmax2=kmax2)
+                                         ksq=ksq, kmax2=kmax2,
+                                         tantilt=tantilt)
     if kernel == "aligned":
         # Fused Pallas path: 2 HBM passes per slice instead of ~6 (see
         # ops.fused_step) — ~3.2x on v5e at 1024^2 x 16 probes.
         from ..ops.fused_step import fused_multislice
         return fused_multislice(psi, potential_szy, kxs, kys, sigma=sigma,
                                 lam=lam, dz=dz, record_layers=record_layers,
-                                ksq=ksq, kmax2=kmax2)
+                                ksq=ksq, kmax2=kmax2, tantilt=tantilt)
     if kernel == "odd_resident":
         # Single-dispatch VMEM-resident digit-split path for composite odd
         # grids (fused_step_odd_resident) — the reference-natural
@@ -300,13 +337,14 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         return fused_multislice_odd_resident(psi, potential_szy, kxs, kys,
                                              sigma=sigma, lam=lam, dz=dz,
                                              ksq=ksq, kmax2=kmax2,
+                                             tantilt=tantilt,
                                              record_layers=record_layers)
     if kernel == "odd":
         # Digit-split Pallas path for composite odd grids (fused_step_odd).
         from ..ops.fused_step_odd import fused_multislice_odd
         return fused_multislice_odd(psi, potential_szy, kxs, kys,
                                     sigma=sigma, lam=lam, dz=dz, ksq=ksq,
-                                    kmax2=kmax2,
+                                    kmax2=kmax2, tantilt=tantilt,
                                     record_layers=record_layers)
     # Scrambled-order FFT pairs (per axis): the k axes feeding the Fresnel
     # propagator are pre-permuted to the transform's digit-scrambled output
@@ -327,6 +365,13 @@ def _multislice_jit(psi, potential_szy, kxs, kys, ksq=None, *, eV: float,
         k2 = (jnp.asarray(kxs_p, prec.real)[:, None] ** 2
               + jnp.asarray(kys_p, prec.real)[None, :] ** 2)
         P = fresnel_kernel(kxs_p, kys_p, lam, dz, prec)
+    if tantilt is not None:
+        # tilted propagator (pure phase): the wave advects laterally by
+        # dz*tan(theta) each step — ksq is None here (checked at entry).
+        tph = (2.0 * np.pi * dz) * (
+            jnp.asarray(kxs_p, prec.real)[:, None] * tantilt[0]
+            + jnp.asarray(kys_p, prec.real)[None, :] * tantilt[1])
+        P = P * jax.lax.complex(jnp.cos(tph), jnp.sin(tph))
     if kmax2 is not None:
         # Antialiasing band limit folded into the per-step propagator
         # (zero-cost: one precomputed multiplier plane either way).

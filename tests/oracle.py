@@ -105,11 +105,13 @@ def oracle_potential(xs, ys, zs, positions, atom_types, kind="kirkland",
     return pot / (dx ** 2 * dy ** 2)
 
 
-def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV, kmax2=None):
+def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV, kmax2=None,
+                     tantilt=None):
     """Multislice loop: transmit each slice, Fresnel-propagate between
     slices (skipped after the last). psi: (..., nx, ny). ``kmax2``:
     optional antialiasing band limit — zero the propagator outside
-    |k|^2 <= kmax2 (Kirkland temsim convention)."""
+    |k|^2 <= kmax2 (Kirkland temsim convention). ``tantilt``: optional
+    (tan tx, tan ty) tilted-propagator phase."""
     lam = wavelength(eV)
     sigma = interaction_parameter(eV)
     dz = (zs[1] - zs[0]) if len(zs) > 1 else 0.5
@@ -117,6 +119,9 @@ def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV, kmax2=None):
     kys = np.fft.fftfreq(len(ys), d=ys[1] - ys[0])
     k2 = kxs[:, None] ** 2 + kys[None, :] ** 2
     P = np.exp(-1j * np.pi * lam * dz * k2)
+    if tantilt is not None:
+        P = P * np.exp(2j * np.pi * dz * (kxs[:, None] * tantilt[0]
+                                          + kys[None, :] * tantilt[1]))
     if kmax2 is not None:
         P = P * (k2 <= kmax2)
 

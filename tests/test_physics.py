@@ -376,6 +376,102 @@ class TestBandwidthLimit:
         assert not np.allclose(d1, d2)
 
 
+class TestBeamTilt:
+    """Tilted-propagator multislice (beyond-reference; Kirkland ch. 6
+    small-tilt form): each Fresnel step gains exp(2 pi i dz (kx tan tx +
+    ky tan ty)), advecting the wave by dz*tan(theta) per step."""
+
+    def test_vs_tilted_oracle(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.propagate import tilt_tangents
+        tilt = (12.0, -5.0)
+        tt = tilt_tangents(tilt)
+        pot = Potential(g.xs, g.ys, g.zs, traj.positions[0],
+                        traj.atom_types, precision=DOUBLE)
+        probe = Probe(g.xs, g.ys, 15, 100e3, precision=DOUBLE)
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        got = to_numpy(multislice(probe.array[None], pot.array_szy, kxs,
+                                  kys, eV=100e3, dz=g.dz, precision=DOUBLE,
+                                  tilt=tilt))[0]
+        want_pot = oracle.oracle_potential(g.xs, g.ys, g.zs,
+                                           traj.positions[0],
+                                           traj.atom_types)
+        want = oracle.oracle_propagate(
+            oracle.oracle_probe(g.xs, g.ys, 15, 100e3), want_pot,
+            g.xs, g.ys, g.zs, 100e3, tantilt=tt)
+        assert oracle.residual(got, want) < 1e-18
+        full = oracle.oracle_propagate(
+            oracle.oracle_probe(g.xs, g.ys, 15, 100e3), want_pot,
+            g.xs, g.ys, g.zs, 100e3)
+        assert oracle.residual(got, full) > 1e-12
+
+    def test_vacuum_advection_is_exact_roll(self, setup):
+        """Through VACUUM the tilted run equals the untilted run
+        circularly shifted by (nz-1) * dz * tan(theta) — the tilt phase
+        is exactly a per-step shift operator, and shifts commute with
+        the Fresnel kernel."""
+        _, g = setup
+        nz = 5
+        vac = np.zeros((nz, g.nx, g.ny))
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        probe = Probe(g.xs, g.ys, 20, 100e3, precision=DOUBLE)
+        # one pixel of shift per step: tan(theta_x) = dx / dz
+        tt = (g.dx / g.dz, 0.0)
+        base = to_numpy(multislice(probe.array[None], vac, kxs, kys,
+                                   eV=100e3, dz=g.dz, precision=DOUBLE))[0]
+        tilted = to_numpy(multislice(probe.array[None], vac, kxs, kys,
+                                     eV=100e3, dz=g.dz, precision=DOUBLE,
+                                     tantilt=tt))[0]
+        # exp(+2 pi i kx s) under ifft's e^{+2 pi i k x} evaluates psi at
+        # x + s: content moves toward -x by one pixel per step.
+        want = np.roll(base, -(nz - 1), axis=0)
+        assert oracle.residual(tilted, want) < 1e-20
+
+    def test_plane_wave_tilt_invariant(self, setup):
+        """A plane wave (k=0 only) picks up zero tilt phase."""
+        _, g = setup
+        vac = np.zeros((3, g.nx, g.ny))
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        pw = np.ones((1, g.nx, g.ny), np.complex128)
+        out = to_numpy(multislice(pw, vac, kxs, kys, eV=100e3, dz=g.dz,
+                                  precision=DOUBLE, tilt=(20.0, 7.0)))[0]
+        assert oracle.residual(out, pw[0]) < 1e-28
+
+    def test_validation(self, setup):
+        traj, g = setup
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        ksq = kxs[:, None] ** 2 + kys[None, :] ** 2
+        with pytest.raises(ValueError, match="orthogonal"):
+            multislice(np.zeros((1, g.nx, g.ny), np.complex128),
+                       np.zeros((2, g.nx, g.ny)), kxs, kys, eV=100e3,
+                       dz=0.5, tilt=(5.0, 0.0), ksq=ksq)
+        with pytest.raises(ValueError, match="not both"):
+            multislice(np.zeros((1, g.nx, g.ny), np.complex128),
+                       np.zeros((2, g.nx, g.ny)), kxs, kys, eV=100e3,
+                       dz=0.5, tilt=(5.0, 0.0), tantilt=(0.005, 0.0))
+
+    def test_calculator_surface(self, setup):
+        traj, g = setup
+        from pyslice_tpu.engine.calculator import MultisliceCalculator
+        calc = MultisliceCalculator(precision=DOUBLE)
+        calc.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                   slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                   use_cache=False, tilt=(8.0, 0.0))
+        assert calc.spec.tantilt is not None
+        calc0 = MultisliceCalculator(precision=DOUBLE)
+        calc0.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                    slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                    use_cache=False)
+        assert calc._generate_cache_key() != calc0._generate_cache_key()
+        d1 = np.asarray(calc.run(progress=False).wavefunction_data)
+        d0 = np.asarray(calc0.run(progress=False).wavefunction_data)
+        assert not np.allclose(d1, d0)
+
+
 class TestDifferentiability:
     """JAX transformations compose through the compute path — a capability
     the torch-loop reference cannot offer (useful for probe/defocus

@@ -31,7 +31,8 @@ def _residual(a, b):
     return float(((f - d) ** 2).sum() / (f ** 2).sum())
 
 
-def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0, bandwidth_limit=None):
+def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0, bandwidth_limit=None,
+                tilt=None):
     """(fused 'auto' output, XLA 'off' output) for one synthetic frame."""
     from pyslice_tpu.core.grids import Grid
     from pyslice_tpu.engine.pipeline import SimSpec, frame_exit_waves
@@ -60,7 +61,8 @@ def _frame_pair(nx, ny, n_probes=4, nz=5, seed=0, bandwidth_limit=None):
         for mode in ("auto", "off"):
             ops_config.fused_multislice = mode
             spec = SimSpec.create(grid, plan, 100e3,   # fresh per mode
-                                  bandwidth_limit=bandwidth_limit)
+                                  bandwidth_limit=bandwidth_limit,
+                                  tilt=tilt)
             outs[mode] = to_numpy(frame_exit_waves(
                 jnp.asarray(pos[0], jnp.float32), probes, spec))
     finally:
@@ -100,6 +102,18 @@ def test_bandwidth_limit_fused_parity_on_hardware(nx):
     assert _residual(xla, fused) < 1e-6
     full, _ = _frame_pair(nx, nx, n_probes=2, nz=4)
     assert _residual(full, fused) > 1e-8
+
+
+@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+def test_beam_tilt_fused_parity_on_hardware(nx):
+    """The tilted-propagator phase folded into the Pallas kernels'
+    Fresnel planes vs the XLA path, on hardware."""
+    _require_tpu()
+    fused, xla = _frame_pair(nx, nx, n_probes=2, nz=4, tilt=(9.0, -4.0))
+    assert np.all(np.isfinite(fused))
+    assert _residual(xla, fused) < 1e-6
+    straight, _ = _frame_pair(nx, nx, n_probes=2, nz=4)
+    assert _residual(straight, fused) > 1e-8
 
 
 @pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
