@@ -55,6 +55,7 @@ from .analysis.ptychography import (epie_reconstruct, icom_reconstruct,
 from .analysis.ewr import iwfr_reconstruct
 from .engine.ctem import (focal_series, hrtem_image, image_from_exit_wave,
                           objective_transfer)
+from .engine.ped import precession_diffraction, precession_tilts
 
 
 def getZfromElementName(element: str) -> int:

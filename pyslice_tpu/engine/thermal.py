@@ -46,7 +46,7 @@ def thermal_configs(trajectory: Trajectory, n_configs: int, sigma: float,
 
 def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
            probe_positions, fast_grid, configs, defocus=0.0,
-           bandwidth_limit=None):
+           bandwidth_limit=None, tilt=None):
     grid = grid_from_trajectory(trajectory, sampling=sampling,
                                 slice_thickness=slice_thickness,
                                 fast_grid=fast_grid)
@@ -55,7 +55,7 @@ def _setup(trajectory, aperture, voltage_eV, sampling, slice_thickness,
                      configs.atom_types,
                      cell2d=grid.cell2d if oblique else None)
     spec = SimSpec.create(grid, plan, voltage_eV,
-                          bandwidth_limit=bandwidth_limit)
+                          bandwidth_limit=bandwidth_limit, tilt=tilt)
     base = Probe(grid.xs, grid.ys, aperture, voltage_eV,
                  cell2d=grid.cell2d if oblique else None,
                  ksq=grid.ksq2d() if oblique else None)
@@ -129,7 +129,9 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
                               fast_grid: bool = False,
                               distribution: str = "gaussian",
                               defocus: float = 0.0,
-                              bandwidth_limit: Optional[float] = None
+                              bandwidth_limit: Optional[float] = None,
+                              tilt: Optional[Tuple[float, float]] = None,
+                              configs: Optional[Trajectory] = None
                               ) -> np.ndarray:
     """Thermally averaged diffraction pattern (mean |psi_k|^2 over configs
     and probes), (nx, ny) fftshifted — the frozen-phonon CBED/SAED result.
@@ -137,12 +139,14 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
     physically correct frozen-phonon combination; configurations stream
     one at a time with an O(nx*ny) accumulator.
     """
-    configs = thermal_configs(trajectory, n_configs, sigma, seed,
-                              distribution)
+    if configs is None:
+        configs = thermal_configs(trajectory, n_configs, sigma, seed,
+                                  distribution)
+    n_configs = configs.n_frames
     grid, spec, probes, probe_positions = _setup(
         trajectory, aperture, voltage_eV, sampling, slice_thickness,
         probe_positions, fast_grid, configs, defocus=defocus,
-        bandwidth_limit=bandwidth_limit)
+        bandwidth_limit=bandwidth_limit, tilt=tilt)
     import jax
     import jax.numpy as jnp
     from .pipeline import frame_exit_waves

@@ -50,6 +50,40 @@ def hbn_monolayer(nx: int = 2, ny: int = 2, lz: float = 6.784,
                       timestep=timestep)
 
 
+def hbn_stack(n_layers: int = 3, nx: int = 2, ny: int = 2,
+              timestep: float = 0.005) -> Trajectory:
+    """AA'-stacked multilayer hBN: ``n_layers`` monolayers at the bulk
+    interlayer spacing c/2 = 3.392 A, B and N exchanged on alternate
+    layers. Multi-slice occupancy makes propagation genuinely dynamical
+    (needed by tests of tilt/precession, which are pure k-space phases
+    and provably cannot change a single-slice diffraction intensity)."""
+    a = HBN_A
+    by = np.sqrt(3.0) * a
+    dzl = HBN_C / 2.0
+    lz = (n_layers + 1) * dzl
+    base = np.array([
+        [0.0, 0.0, 0.0],
+        [a / 2, by / 6, 0.0],
+        [a / 2, by / 2, 0.0],
+        [0.0, by / 2 + by / 6, 0.0],
+    ])
+    cell_b = np.array([5, 7, 5, 7], dtype=np.int32)   # B N B N
+    cell_n = np.array([7, 5, 7, 5], dtype=np.int32)   # N B N B (AA')
+    cells, types = [], []
+    for layer in range(n_layers):
+        z = dzl / 2.0 + layer * dzl
+        for i in range(nx):
+            for j in range(ny):
+                off = np.array([i * a, j * by, z])
+                cells.append(base + off)
+                types.append(cell_b if layer % 2 == 0 else cell_n)
+    pos = np.concatenate(cells)[None]
+    box = np.diag([nx * a, ny * by, lz])
+    return Trajectory(atom_types=np.concatenate(types), positions=pos,
+                      velocities=np.zeros_like(pos), box_matrix=box,
+                      timestep=timestep)
+
+
 def hbn_thermal(n_frames: int = 8, sigma: float = 0.05, nx: int = 2,
                 ny: int = 2, seed: int = 0, timestep: float = 0.005) -> Trajectory:
     """Monolayer + synthetic thermal frames (deterministic)."""
