@@ -84,7 +84,8 @@ def cmd_run(args) -> int:
                record_layers=cfg.record_layers, use_cache=cfg.use_cache,
                cache_root=cfg.cache_root, fast_grid=cfg.fast_grid,
                aberrations=cfg.aberrations,
-               bandwidth_limit=cfg.bandwidth_limit, tilt=cfg.tilt)
+               bandwidth_limit=cfg.bandwidth_limit, tilt=cfg.tilt,
+               debye_waller=cfg.debye_waller)
     print(f"Grid {calc.nx}x{calc.ny}x{calc.nz}, {calc.n_probes} probes")
     t0 = time.time()
     wf = calc.run()

@@ -80,6 +80,9 @@ class MultisliceCalculator:
             params["bandwidth_limit"] = self.bandwidth_limit
         if getattr(self, "tilt", None) is not None:
             params["tilt"] = self.tilt
+        if getattr(self, "debye_waller", None):
+            params["debye_waller"] = sorted(
+                (str(k), float(v)) for k, v in self.debye_waller.items())
         param_str = str(sorted(params.items()))
         return hashlib.md5(param_str.encode()).hexdigest()[:12]
 
@@ -104,7 +107,8 @@ class MultisliceCalculator:
               aberrations=None,
               mesh=None,
               bandwidth_limit: Optional[float] = None,
-              tilt: Optional[Tuple[float, float]] = None):
+              tilt: Optional[Tuple[float, float]] = None,
+              debye_waller=None):
         """Reference-compatible setup (calculators.py:96-161).
 
         ``mesh``: optional jax Mesh with ('frame', 'probe') axes
@@ -137,6 +141,11 @@ class MultisliceCalculator:
         tilted-propagator multislice (the beam crosses the cell
         obliquely; equivalent to tilting the specimen by -theta, exact
         to first order). Orthogonal cells only; also zero per-step cost.
+
+        ``debye_waller``: optional {Z or element name: B} Debye-Waller
+        factors (B in A^2) — per-element exp(-B |g|^2/4) damping of the
+        form factors, the static thermal model. Do not combine with MD /
+        frozen-phonon displacements (double-counts thermal motion).
         """
         self.trajectory = trajectory
         self.aperture = aperture
@@ -204,10 +213,12 @@ class MultisliceCalculator:
             # normalized above).
             self.base_probe.aberrate(self.aberrations)
 
+        self.debye_waller = dict(debye_waller) if debye_waller else None
         plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
                          trajectory.atom_types, kind="kirkland",
                          slice_axis=slice_axis,
-                         cell2d=grid.cell2d if oblique else None)
+                         cell2d=grid.cell2d if oblique else None,
+                         debye_waller=debye_waller)
         self.bandwidth_limit = bandwidth_limit
         self.tilt = tuple(float(t) for t in tilt) if tilt is not None \
             else None

@@ -34,6 +34,7 @@ class SimulationConfig:
     bandwidth_limit: Optional[float] = None  # antialias band (fraction of
     #   Nyquist; 2/3 standard). None = reference parity (no limit)
     tilt: Optional[Tuple[float, float]] = None  # beam tilt (mrad, mrad)
+    debye_waller: Optional[Dict[str, float]] = None  # {element: B (A^2)}
     # --- probes ---------------------------------------------------------------
     probe_positions: Optional[List[Tuple[float, float]]] = None
     probe_grid: Optional[Tuple[float, float, float, float, int, int]] = None

@@ -107,6 +107,10 @@ class RasterizerPlan:
     frac2d: np.ndarray = None     # (2, 2) or None (orthogonal)
     qsq2d: np.ndarray = None      # (nx, ny) or None (separable)
     px_area: float = None         # defaults to dx*dy
+    # Optional per-type Debye-Waller B factors (A^2): the static thermal
+    # model f_T(g) = f(g) exp(-B |g|^2 / 4) (B = 8 pi^2 <u^2>), the cheap
+    # alternative to frozen phonons (which this framework also has).
+    dwf_b: np.ndarray = None      # (n_types,) or None
 
     @property
     def n_types(self) -> int:
@@ -132,7 +136,8 @@ def _normalize_types(atom_types) -> Tuple[np.ndarray, np.ndarray]:
 
 def make_plan(xs, ys, zs, positions_all_frames, atom_types,
               kind: str = "kirkland", slice_axis: int = 2,
-              pad_fraction: float = 0.0, cell2d=None) -> RasterizerPlan:
+              pad_fraction: float = 0.0, cell2d=None,
+              debye_waller=None) -> RasterizerPlan:
     """Build the static rasterization plan.
 
     Args:
@@ -145,6 +150,11 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
             cells (slice_axis must be 2); atoms are painted in fractional
             coordinates against integer frequencies and the form factors /
             normalization use the oblique metric.
+        debye_waller: optional {Z or element name: B} Debye-Waller factors
+            (B in A^2, B = 8 pi^2 <u^2>); each type's form factor is damped
+            by exp(-B |g|^2 / 4) — the static thermal-smearing model.
+            Elements not listed get B = 0. Do not combine with frozen
+            phonons / MD displacements (that double-counts thermal motion).
     """
     if cell2d is not None and slice_axis != 2:
         raise ValueError("oblique cells require slice_axis=2")
@@ -172,6 +182,24 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
 
     type_ids, unique_z = _normalize_types(atom_types)
     n_types = len(unique_z)
+    dwf_b = None
+    if debye_waller:
+        bz = {}
+        for key, b in debye_waller.items():
+            z = kirkland.element_to_z(str(key)) if isinstance(key, str) \
+                else int(key)
+            if b < 0:
+                raise ValueError(f"Debye-Waller B must be >= 0, got {b} "
+                                 f"for {key}")
+            bz[z] = float(b)
+        unknown = set(bz) - set(int(z) for z in unique_z)
+        if unknown:
+            raise ValueError(
+                f"debye_waller lists elements not in the structure: "
+                f"{sorted(unknown)} (present: "
+                f"{[int(z) for z in unique_z]})")
+        dwf_b = np.array([bz.get(int(z), 0.0) for z in unique_z],
+                         dtype=np.float64)
 
     # Occupancy over all frames: which (type, slice) buckets ever hold atoms,
     # and the max count in any bucket in any frame. Computed for BOTH float64
@@ -229,24 +257,32 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
         bucket_types=(occ_bins // nz).astype(np.int32),
         bucket_slices=(occ_bins % nz).astype(np.int32),
         a_max=int(a_max), kind=kind,
-        frac2d=frac2d, qsq2d=qsq2d, px_area=px_area,
+        frac2d=frac2d, qsq2d=qsq2d, px_area=px_area, dwf_b=dwf_b,
     )
 
 
 def form_factors(plan: RasterizerPlan, precision: Precision) -> jnp.ndarray:
     """(n_types, nx, ny) real form-factor tables on the physical k grid
-    (oblique metric when the plan carries one)."""
+    (oblique metric when the plan carries one), Debye-Waller damped when
+    the plan carries B factors."""
     qsq = (plan.qsq2d if plan.qsq2d is not None
            else plan.kxs[:, None] ** 2 + plan.kys[None, :] ** 2)
     if plan.kind == "kirkland":
-        return kirkland.form_factor(jnp.asarray(qsq, dtype=precision.real),
-                                    plan.unique_z, dtype=precision.real)
-    if plan.kind == "gauss":
+        ffs = kirkland.form_factor(jnp.asarray(qsq, dtype=precision.real),
+                                   plan.unique_z, dtype=precision.real)
+    elif plan.kind == "gauss":
         # Reference debug potential (potentials.py:279-280): exp(-qsq/2),
         # identical for every type.
         ff = jnp.exp(-jnp.asarray(qsq, dtype=precision.real) / 2.0)
-        return jnp.broadcast_to(ff, (plan.n_types,) + ff.shape)
-    raise ValueError(f"Unknown potential kind {plan.kind!r}")
+        ffs = jnp.broadcast_to(ff, (plan.n_types,) + ff.shape)
+    else:
+        raise ValueError(f"Unknown potential kind {plan.kind!r}")
+    if plan.dwf_b is not None:
+        # f_T(g) = f(g) exp(-B s^2), s = |g|/2  ->  exp(-B |g|^2 / 4)
+        b = jnp.asarray(plan.dwf_b, dtype=precision.real)
+        ffs = ffs * jnp.exp(-0.25 * b[:, None, None]
+                            * jnp.asarray(qsq, dtype=precision.real))
+    return ffs
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "precision"))
@@ -396,7 +432,8 @@ class Potential:
 
     def __init__(self, xs, ys, zs, positions, atomTypes, kind: str = "kirkland",
                  device=None, slice_axis: int = 2, precision=None,
-                 plan: Optional[RasterizerPlan] = None):
+                 plan: Optional[RasterizerPlan] = None,
+                 debye_waller=None):
         del device
         self.precision = get_precision(precision)
         self.xs = np.asarray(xs, dtype=np.float64)
@@ -414,7 +451,11 @@ class Potential:
 
         if plan is None:
             plan = make_plan(self.xs, self.ys, self.zs, positions, atomTypes,
-                             kind=kind, slice_axis=slice_axis)
+                             kind=kind, slice_axis=slice_axis,
+                             debye_waller=debye_waller)
+        elif debye_waller is not None:
+            raise ValueError("pass debye_waller to make_plan when "
+                             "supplying a prebuilt plan")
         self.plan = plan
         self.array_szy = rasterize(np.asarray(positions), plan, self.precision)
 

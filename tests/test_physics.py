@@ -517,3 +517,62 @@ class TestDifferentiability:
         assert np.all(np.isfinite(arr))
         # in-plane components must carry signal (k-space phase ramps)
         assert np.abs(arr[:, :2]).sum() > 0
+
+
+class TestDebyeWaller:
+    """Static thermal smearing: per-element exp(-B |g|^2/4) damping of
+    the form factors (beyond-reference; the frozen-phonon alternative)."""
+
+    def test_exact_damping(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.potential import make_plan, rasterize
+        B = 0.8
+        pos = traj.positions[0]
+        plain = make_plan(g.xs, g.ys, g.zs, pos, traj.atom_types)
+        dwf = make_plan(g.xs, g.ys, g.zs, pos, traj.atom_types,
+                        debye_waller={5: B, "N": B})
+        v0 = np.asarray(rasterize(pos, plain, DOUBLE))
+        v1 = np.asarray(rasterize(pos, dwf, DOUBLE))
+        kxs = np.fft.fftfreq(g.nx, g.dx)
+        kys = np.fft.fftfreq(g.ny, g.dy)
+        damp = np.exp(-0.25 * B * (kxs[:, None] ** 2 + kys[None, :] ** 2))
+        want = np.real(np.fft.ifft2(np.fft.fft2(v0, axes=(1, 2)) * damp,
+                                    axes=(1, 2)))
+        assert oracle.residual(v1, want) < 1e-24
+        # damping actually reduces peak sharpness
+        assert v1.max() < v0.max()
+
+    def test_name_and_z_keys_equivalent(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.potential import make_plan
+        a = make_plan(g.xs, g.ys, g.zs, traj.positions[0], traj.atom_types,
+                      debye_waller={"B": 0.5, "N": 1.0})
+        b = make_plan(g.xs, g.ys, g.zs, traj.positions[0], traj.atom_types,
+                      debye_waller={5: 0.5, 7: 1.0})
+        np.testing.assert_array_equal(a.dwf_b, b.dwf_b)
+
+    def test_validation(self, setup):
+        traj, g = setup
+        from pyslice_tpu.physics.potential import make_plan
+        with pytest.raises(ValueError, match=">= 0"):
+            make_plan(g.xs, g.ys, g.zs, traj.positions[0],
+                      traj.atom_types, debye_waller={5: -1.0})
+        with pytest.raises(ValueError, match="not in the structure"):
+            make_plan(g.xs, g.ys, g.zs, traj.positions[0],
+                      traj.atom_types, debye_waller={"Au": 0.5})
+
+    def test_calculator_surface(self, setup):
+        traj, g = setup
+        from pyslice_tpu.engine.calculator import MultisliceCalculator
+        calc = MultisliceCalculator(precision=DOUBLE)
+        calc.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                   slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                   use_cache=False, debye_waller={"B": 0.6, "N": 0.6})
+        calc0 = MultisliceCalculator(precision=DOUBLE)
+        calc0.setup(traj, aperture=10, voltage_eV=100e3, sampling=0.4,
+                    slice_thickness=2.0, probe_positions=[(2.0, 2.0)],
+                    use_cache=False)
+        assert calc._generate_cache_key() != calc0._generate_cache_key()
+        d1 = np.asarray(calc.run(progress=False).wavefunction_data)
+        d0 = np.asarray(calc0.run(progress=False).wavefunction_data)
+        assert not np.allclose(d1, d0)
