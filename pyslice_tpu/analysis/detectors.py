@@ -10,7 +10,9 @@ add the standard detector geometries over it:
 * ``virtual_image``   — scan-grid image for any mask (generalizes
   HAADFData.calculateADF, sharing its nearest-probe reconstruction);
 * ``center_of_mass``  — DPC center-of-mass deflection per scan point;
-* ``bin_k``           — pixelated-detector downsampling of k-space.
+* ``bin_k``           — pixelated-detector downsampling of k-space;
+* ``pacbed``          — position-averaged CBED (thickness fingerprint);
+* ``radial_profile``  — azimuthal average of a diffraction pattern.
 
 All reductions run on device when the WFData is device-resident
 (calculator ``device_output=True``) and return host arrays.
@@ -180,3 +182,50 @@ def apply_shot_noise(image, dose: float, pixel_area: float = 1.0,
     key = jax.random.PRNGKey(seed)
     counts = jax.random.poisson(key, lam).astype(jnp.float32)
     return np.asarray(counts)
+
+
+def pacbed(wf_data, layer_index: int = -1, probe_indices=None
+           ) -> np.ndarray:
+    """Position-averaged CBED: the mean diffraction intensity over scan
+    positions (and frames) — (nx, ny) fftshifted. PACBED patterns are the
+    standard fingerprint for thickness/tilt determination (LeBeau et al.,
+    Ultramicroscopy 110, 2010). ``probe_indices`` restricts the average
+    to a subset of scan positions (e.g. one unit cell)."""
+    wf = wf_data.wavefunction_data
+    xp = jnp if isinstance(wf, jax.Array) else np
+    w = wf[..., layer_index]
+    if probe_indices is not None:
+        w = w[np.asarray(probe_indices, dtype=np.int64)]
+    inten = xp.mean(xp.abs(w) ** 2, axis=(0, 1))
+    return np.asarray(inten)
+
+
+def radial_profile(pattern, kxs, kys, n_bins: int = 128,
+                   kmax: Optional[float] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Azimuthal average of a diffraction pattern.
+
+    pattern: (..., nx, ny) on the fftshifted detector grid (kxs, kys in
+    1/Angstrom, monotonic). Returns (k_centers (n_bins,), profile
+    (..., n_bins)) where profile[b] is the MEAN intensity over pixels
+    with k in bin b (empty bins give 0). ``kmax`` bounds the profiled
+    radius (default: the largest inscribed circle, min-axis Nyquist —
+    beyond it rings are incomplete and the mean biases)."""
+    pattern = np.asarray(pattern)
+    kx, ky = _k_grids(kxs, kys)
+    q = np.sqrt(kx ** 2 + ky ** 2)
+    if kmax is None:
+        kmax = min(float(np.max(np.abs(np.asarray(kxs)))),
+                   float(np.max(np.abs(np.asarray(kys)))))
+    if kmax <= 0:
+        raise ValueError(f"kmax must be positive, got {kmax}")
+    idx = np.floor(q / kmax * n_bins).astype(np.int64)
+    inside = (idx < n_bins).ravel()
+    idx = np.clip(idx.ravel(), 0, n_bins - 1)
+    counts = np.bincount(idx[inside], minlength=n_bins)
+    flat = pattern.reshape(-1, pattern.shape[-2] * pattern.shape[-1])
+    sums = np.stack([np.bincount(idx[inside], weights=row[inside],
+                                 minlength=n_bins) for row in flat])
+    prof = sums / np.maximum(counts, 1)[None, :]
+    centers = (np.arange(n_bins) + 0.5) * (kmax / n_bins)
+    return centers, prof.reshape(*pattern.shape[:-2], n_bins)

@@ -153,3 +153,40 @@ def test_apply_shot_noise():
     hi = apply_shot_noise(image, 1e8, area, seed=1)
     rel = np.abs(hi / (image * 1e8 * area) - 1.0)
     assert np.median(rel) < 1e-2
+
+
+class TestPACBEDAndRadial:
+    def test_pacbed_is_probe_frame_mean(self, haadf_wf):
+        got = detectors.pacbed(haadf_wf)
+        wf = np.asarray(haadf_wf.wavefunction_data)
+        want = np.mean(np.abs(wf[..., -1]) ** 2, axis=(0, 1))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        # subset restriction
+        got2 = detectors.pacbed(haadf_wf, probe_indices=[0, 2])
+        want2 = np.mean(np.abs(wf[[0, 2], ..., -1]) ** 2, axis=(0, 1))
+        np.testing.assert_allclose(got2, want2, rtol=1e-12)
+
+    def test_radial_profile_isotropic(self, haadf_wf):
+        """An isotropic Gaussian profiles to its own radial law."""
+        kxs = np.asarray(haadf_wf.kxs)
+        kys = np.asarray(haadf_wf.kys)
+        q2 = np.add.outer(kxs ** 2, kys ** 2)
+        pattern = np.exp(-q2 / 0.5)
+        # the fixture grid is only 21 x 35 px — keep bins populated
+        centers, prof = detectors.radial_profile(pattern, kxs, kys,
+                                                 n_bins=16)
+        want = np.exp(-centers ** 2 / 0.5)
+        # bin-center vs bin-mean discretization bounds the error
+        assert np.max(np.abs(prof - want)) < 0.05
+        assert prof.shape == (16,)
+
+    def test_radial_profile_batched_and_validation(self, haadf_wf):
+        kxs = np.asarray(haadf_wf.kxs)
+        kys = np.asarray(haadf_wf.kys)
+        pats = np.random.default_rng(0).random((2, len(kxs), len(kys)))
+        centers, prof = detectors.radial_profile(pats, kxs, kys, n_bins=16)
+        assert prof.shape == (2, 16)
+        c0, p0 = detectors.radial_profile(pats[0], kxs, kys, n_bins=16)
+        np.testing.assert_allclose(prof[0], p0)
+        with pytest.raises(ValueError, match="kmax"):
+            detectors.radial_profile(pats[0], kxs, kys, kmax=0.0)
