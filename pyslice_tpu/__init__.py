@@ -42,6 +42,7 @@ from .physics.kirkland import element_to_z, form_factor, z_to_element
 from .physics.potential import Potential, RasterizerPlan, make_plan, rasterize
 from .physics.probe import Probe, create_batched_probes, probe_grid, shift_probes
 from .physics.propagate import Propagate, multislice
+from .physics.adjoint import multislice_diff
 from .io.loader import TrajectoryLoader
 from .engine.calculator import MultisliceCalculator
 from .engine.smatrix import (BeamSet, SMatrix, build_beams, compute_smatrix,
@@ -83,7 +84,8 @@ __version__ = "0.4.0"
 __all__ = [
     "Trajectory", "TrajectoryLoader", "Grid", "grid_from_box",
     "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",
-    "Propagate", "multislice", "create_batched_probes", "probe_grid",
+    "Propagate", "multislice", "multislice_diff",
+    "create_batched_probes", "probe_grid",
     "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
     "HAADFData", "ssb_reconstruct", "icom_reconstruct", "epie_reconstruct",
     "scan_grid_data", "hrtem_image", "image_from_exit_wave",
