@@ -79,15 +79,19 @@ def recover(problem, steps=300, lr=30.0, log_every=50, log=print):
     import jax
     import jax.numpy as jnp
     import optax
-    from pyslice_tpu.physics.propagate import multislice
+    from pyslice_tpu.physics.adjoint import multislice_diff
 
     prec = problem["prec"]
     probes = problem["probes"]
     kxs, kys, dz = problem["kxs"], problem["kys"], problem["dz"]
 
     def forward(v):
-        out = multislice(probes, v, kxs, kys, eV=100e3, dz=dz,
-                         precision=prec, fused=False)
+        # multislice_diff: O(1)-memory custom VJP — the backward pass
+        # reconstructs the wavefield through the unitary chain instead of
+        # storing nz residuals, and the forward is free to use the fused
+        # Pallas kernels on TPU (physics/adjoint.py).
+        out = multislice_diff(probes, v, kxs, kys, eV=100e3, dz=dz,
+                              precision=prec)
         return jnp.abs(jnp.fft.fft2(out)) ** 2          # detector intensity
 
     v_true = problem["v_true"]
