@@ -52,7 +52,8 @@ from .analysis.wf_data import WFData
 from .analysis.tacaw import TACAWData
 from .analysis.haadf import HAADFData
 from .analysis.ptychography import (epie_reconstruct, icom_reconstruct,
-                                    scan_grid_data, ssb_reconstruct)
+                                    msp_reconstruct, scan_grid_data,
+                                    ssb_reconstruct)
 from .analysis.ewr import iwfr_reconstruct
 from .engine.ctem import (focal_series, hrtem_image, image_from_exit_wave,
                           objective_transfer)
@@ -88,6 +89,7 @@ __all__ = [
     "create_batched_probes", "probe_grid",
     "shift_probes", "MultisliceCalculator", "WFData", "TACAWData",
     "HAADFData", "ssb_reconstruct", "icom_reconstruct", "epie_reconstruct",
+    "msp_reconstruct",
     "scan_grid_data", "hrtem_image", "image_from_exit_wave",
     "objective_transfer", "focal_series", "iwfr_reconstruct",
     "wavelength", "interaction_parameter", "m_effective",
