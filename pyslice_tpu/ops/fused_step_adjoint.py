@@ -1,0 +1,232 @@
+"""Fused Pallas backward pass for the multislice adjoint.
+
+The O(1)-memory adjoint (physics/adjoint.py) runs one stacked chain
+
+    u_z = fft2(P * ifft2(t_{z+1} * u_{z+1})),   u = [conj(a), lam]
+
+backwards through the slice stack, emitting the potential cotangent
+``Vbar_z = sum_b Re(i sigma lam_z a_z)`` per slice. Conjugating turns the
+recurrence into a STANDARD multislice step on ``w = conj(u) = [a,
+conj(lam)]`` with the conjugate transmission (t -> conj(t), i.e. -sigma V)
+and the conjugate propagator (P -> conj(P), i.e. dz -> -dz):
+
+    w_z = ifft2(conj(P) * fft2(conj(t_{z+1}) * w_{z+1}))
+
+so the two-pass fused chain of ops/fused_step.py applies verbatim: kernel
+B is reused bit-for-bit with a negated propagator sin plane, the entry
+kernel A("first") with a negated transmission sin plane. The one new piece
+is the A("mid"/"last") variant below: between the IFFT_y and the next
+transmit it holds the REAL-SPACE pair (w0, w1) = (a_z, conj(lam_z)) in
+VMEM — exactly where the cotangent plane
+
+    Vbar_z = -sigma * sum_pairs Im(conj(w1) * w0)
+           = -sigma * sum_pairs (w1_re * w0_im - w1_im * w0_re)
+
+is a free VPU product — and accumulates it across the probe-pair grid
+dimension into an (nx, ny) output block (grid order (i, p): the pair axis
+is MINOR, so every revisit of a Vbar block is consecutive, the layout TPU
+Pallas requires for output accumulation).
+
+Cost per backward slice-step: 2 HBM passes over the doubled (2 n_probes)
+state — the same passes/stream structure as the forward chain — plus the
+transmission/propagator plane reads; the cotangent accumulation adds no
+HBM traffic. Compare the XLA lax.scan backward: ~6 passes and separate
+vbar reductions (measured 4-5x slower end-to-end, BENCHMARKS.md).
+
+Used by physics/adjoint.py whenever the forward fused chain would be
+eligible for the shape (TPU, float32, both axes supported_size); all other
+cases keep the XLA backward scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fused_step import (_block_rows, _call_a, _call_b, _chain_t_planes,
+                         _cmul, _const_specs, _fft_minor_perm,
+                         _ifft_minor_perm, _make_const_inputs,
+                         fresnel_permuted_t, supported_size)
+
+
+def adjoint_supported(nx: int, ny: int) -> bool:
+    return supported_size(nx) and supported_size(ny)
+
+
+def _kernel_a_bwd(sigma: float, static_consts, pre_t: bool, last: bool):
+    """Pair-packed A-kernel: IFFT_y -> cotangent accumulate -> (transmit +
+    FFT_y | store real space).
+
+    Block carries BOTH members of one (a, conj(lam)) pair; the cotangent
+    product pairs them elementwise in real space and accumulates over the
+    pair grid axis (minor) into the Vbar output block.
+    """
+    from jax.experimental import pallas as pl
+
+    def body(*args):
+        if last:
+            vr_ref, vi_ref, *rest = args
+            tr_ref = ti_ref = sv_ref = None
+        elif pre_t:
+            tr_ref, ti_ref, vr_ref, vi_ref, *rest = args
+        else:
+            sv_ref, vr_ref, vi_ref, *rest = args
+        *const_refs, or_ref, oi_ref, vb_ref = rest
+        planes = [r[:] for r in const_refs]
+
+        re0, im0 = _ifft_minor_perm(vr_ref[0], vi_ref[0], static_consts,
+                                    planes, tin=True)
+        re1, im1 = _ifft_minor_perm(vr_ref[1], vi_ref[1], static_consts,
+                                    planes, tin=True)
+
+        # Vbar_z tile: -sigma * Im(conj(w1) * w0); sigma is static, folded
+        # into the product at trace time.
+        contrib = (-sigma) * (re1 * im0 - im1 * re0)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            vb_ref[...] = contrib
+
+        @pl.when(pl.program_id(1) != 0)
+        def _acc():
+            vb_ref[...] += contrib
+
+        if last:
+            or_ref[0], oi_ref[0] = re0, im0
+            or_ref[1], oi_ref[1] = re1, im1
+            return
+        if pre_t:
+            tr, ti = tr_ref[:], ti_ref[:]
+        else:
+            phase = sv_ref[:]
+            tr, ti = jnp.cos(phase), jnp.sin(phase)
+        re0, im0 = _cmul(re0, im0, tr, ti)
+        re1, im1 = _cmul(re1, im1, tr, ti)
+        re0, im0 = _fft_minor_perm(re0, im0, static_consts, planes)
+        re1, im1 = _fft_minor_perm(re1, im1, static_consts, planes)
+        or_ref[0], oi_ref[0] = re0, im0
+        or_ref[1], oi_ref[1] = re1, im1
+
+    return body
+
+
+def _call_a_bwd(psi_re, psi_im, t_planes, sigma: float, block_rows: int,
+                last: bool):
+    """Pair-packed A-kernel dispatch. State arrives y-major (2 n_pairs,
+    ny, nx) from kernel B; returns x-major state (or real-space state for
+    ``last``) plus the accumulated (nx, ny) Vbar plane."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    two_np, ny, nx = psi_re.shape
+    n_pairs = two_np // 2
+    static_consts, const_arrays = _make_const_inputs(ny)
+    n1, n2 = static_consts[0], static_consts[1]
+    bx = min(block_rows, nx)
+    # (i, p): pair axis MINOR so Vbar block revisits are consecutive.
+    grid = (nx // bx, n_pairs)
+
+    state_spec = pl.BlockSpec((2, ny, bx), lambda i, p: (p, 0, i),
+                              memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((bx, ny), lambda i, p: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((2, bx, ny), lambda i, p: (p, i, 0),
+                            memory_space=pltpu.VMEM)
+    vb_spec = pl.BlockSpec((bx, ny), lambda i, p: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+    pre_t = (t_planes is not None) and len(t_planes) == 2
+    body = _kernel_a_bwd(sigma, static_consts, pre_t, last)
+    t_in = () if last else tuple(t_planes)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[t_spec] * len(t_in) + [state_spec, state_spec]
+                 + _const_specs(pl, pltpu, n1, n2, len(const_arrays)),
+        out_specs=[out_spec, out_spec, vb_spec],
+        out_shape=[jax.ShapeDtypeStruct((two_np, nx, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((two_np, nx, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((nx, ny), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*t_in, psi_re, psi_im, *const_arrays)
+    return out
+
+
+def _pair_block(nx: int, ny: int) -> int:
+    """Half the forward tile height (the pair block doubles VMEM)."""
+    ba = _block_rows(nx, ny)
+    return ba // 2 if ba % 2 == 0 and ba > 1 else ba
+
+
+def fused_adjoint_chain(a_exit, lam_ct, potential_szy, kxs, kys, *,
+                        sigma: float, lam: float, dz: float,
+                        ksq=None,
+                        tantilt: Optional[Tuple[float, float]] = None):
+    """Run the full backward chain on the fused kernels.
+
+    Args:
+        a_exit: (n_probes, nx, ny) complex64 exit wave (the forward primal
+            output — ``a_{nz-1}``).
+        lam_ct: (n_probes, nx, ny) complex64 exit-wave cotangent.
+        potential_szy: (nz, nx, ny) float32 FORWARD-ordered potential.
+        sigma/lam/dz/ksq/tantilt: as the forward chain.
+
+    Returns ``(lam0, vbar_chain)``: the entrance cotangent BEFORE the
+    slice-0 transmission (``lam_0``, (n_probes, nx, ny) complex64 — the
+    caller applies psibar = t_0 * lam_0) and the potential cotangent
+    planes for z = 0 .. nz-2 in slice order ((nz-1, nx, ny) float32; the
+    caller appends Vbar_{nz-1} computed from the exit pair). Requires
+    nz >= 2.
+    """
+    n_probes, nx, ny = a_exit.shape
+    nz = potential_szy.shape[0]
+    if nz < 2:
+        raise ValueError("fused_adjoint_chain needs nz >= 2")
+
+    # interleave pairs: rows (2b, 2b+1) = (a_b, conj(lam_b))
+    w = jnp.stack([a_exit, jnp.conj(lam_ct)], axis=1)
+    w = w.reshape(2 * n_probes, nx, ny)
+    re = jnp.real(w).astype(jnp.float32)
+    im = jnp.imag(w).astype(jnp.float32)
+
+    pot_rev = potential_szy[1:][::-1]          # V_{nz-1} .. V_1
+    tp = _chain_t_planes(sigma, pot_rev)
+    # conj(t): negate the sin plane (precomputed) or the phase (in-kernel)
+    tp = (tp[0], -tp[1]) if len(tp) == 2 else (-tp[0],)
+    pc_re_t, pc_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
+                                          None, tantilt)
+    pc_im_t = -pc_im_t                         # conj(P)
+
+    ba = _block_rows(nx, ny)
+    bb = _block_rows(ny, nx)
+    bp = _pair_block(nx, ny)
+
+    # entry: transmit conj(t_{nz-1}) + FFT_y (flat batch, forward kernel)
+    re, im = _call_a(re, im, tuple(t[0] for t in tp), "first", ba)
+
+    vbs_scan = None
+    if nz > 2:
+        def body(carry, t_s):
+            r, i = carry
+            r, i = _call_b(r, i, pc_re_t, pc_im_t, bb)
+            r, i, vb = _call_a_bwd(r, i, t_s, sigma, bp, last=False)
+            return (r, i), vb
+        (re, im), vbs_scan = jax.lax.scan(
+            body, (re, im), tuple(t[1:nz - 1] for t in tp))
+
+    re, im = _call_b(re, im, pc_re_t, pc_im_t, bb)
+    re, im, vb0 = _call_a_bwd(re, im, None, sigma, bp, last=True)
+
+    # chain order: scan emitted Vbar_{nz-2} .. Vbar_1; prepend Vbar_0
+    if vbs_scan is not None:
+        vbar = jnp.concatenate([vb0[None], vbs_scan[::-1]], axis=0)
+    else:
+        vbar = vb0[None]
+
+    w0 = jax.lax.complex(re, im).reshape(n_probes, 2, nx, ny)
+    lam0 = jnp.conj(w0[:, 1])
+    return lam0, vbar

@@ -135,10 +135,27 @@ def _propagator(cfg, kxs, kys, ksq, prec):
     return P
 
 
+def _bwd_fused_eligible(cfg, a, nz) -> bool:
+    """The fused Pallas backward (ops.fused_step_adjoint): same eligibility
+    shape as the forward fused chain. Trace-time decision, like every
+    kernel dispatch here."""
+    from ..ops import config as ops_config
+    from ..ops.fused_step_adjoint import adjoint_supported
+    eV, lam, dz, prec, tantilt, fused = cfg
+    if fused is False or ops_config.fused_multislice == "off":
+        return False
+    if prec.name != "single" or nz < 2 or a.ndim not in (2, 3):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return adjoint_supported(a.shape[-2], a.shape[-1])
+
+
 def _ms_diff_bwd(cfg, residuals, g):
     eV, lam, dz, prec, tantilt, fused = cfg
     exit_wave, potential_szy, kxs, kys, ksq = residuals
     sigma = interaction_parameter(eV)
+    lam_e = lam if lam is not None else _wavelength(eV)
 
     pot = jnp.asarray(potential_szy, dtype=prec.real)
     nz = pot.shape[0]
@@ -151,6 +168,21 @@ def _ms_diff_bwd(cfg, residuals, g):
         return (-sigma) * jnp.sum(jnp.imag(lam_z * a_z), axis=batch_axes)
 
     vbar_last = vbar_of(lam_ct, a)
+
+    if nz > 1 and _bwd_fused_eligible(cfg, a, nz):
+        from ..ops.fused_step_adjoint import fused_adjoint_chain
+        squeeze = a.ndim == 2
+        a3 = a[None] if squeeze else a
+        g3 = lam_ct[None] if squeeze else lam_ct
+        lam0, vbar_chain = fused_adjoint_chain(
+            a3, g3, pot, kxs, kys, sigma=sigma, lam=lam_e, dz=dz,
+            ksq=ksq, tantilt=tantilt)
+        if squeeze:
+            lam0 = lam0[0]
+        vbar = jnp.concatenate([vbar_chain, vbar_last[None]], axis=0)
+        psibar = transmission(pot[0], sigma, prec) * lam0
+        zeros = lambda x: None if x is None else jnp.zeros_like(x)
+        return psibar, vbar, zeros(kxs), zeros(kys), zeros(ksq)
 
     if nz > 1:
         P = _propagator(cfg, kxs, kys, ksq, prec)
