@@ -388,10 +388,12 @@ def epie_reconstruct(data4d, probe_positions, probe, n_iters: int = 50,
                 losses=np.asarray(losses))
 
 
-@functools.partial(jax.jit, static_argnames=("lr_v", "lr_probe", "eV",
-                                              "dz", "update_probe"))
+@functools.partial(jax.jit, static_argnames=("lr_v", "lr_probe", "lr_pos",
+                                              "eV", "dz", "update_probe",
+                                              "update_positions"))
 def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
-             eV: float, dz: float, update_probe: bool):
+             lr_pos, eV: float, dz: float, update_probe: bool,
+             update_positions: bool):
     """The whole multislice-ptychography solve as one compiled program.
 
     Carry = (V, probe, optimizer state); one lax.scan step = one Adam
@@ -417,19 +419,21 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
 
     def batch_loss(params, idx):
         a_b = jnp.take(amps, idx, axis=0)
-        pos_b = jnp.take(positions, idx, axis=0)
+        pos_b = jnp.take(params["pos"], idx, axis=0)
         psi_b = shifted(params["probe"], pos_b)
         exit_b = multislice_diff(psi_b, params["v"], kx, ky, eV=eV, dz=dz)
         mag = jnp.abs(matfft.fft2(exit_b))
         return jnp.mean((mag - a_b) ** 2)
 
-    label = {"v": "v", "probe": "probe"}
+    label = {"v": "v", "probe": "probe", "pos": "pos"}
     opt = optax.multi_transform(
         {"v": optax.adam(lr_v),
          "probe": optax.adam(lr_probe) if update_probe
+         else optax.set_to_zero(),
+         "pos": optax.adam(lr_pos) if update_positions
          else optax.set_to_zero()},
         label)
-    params = {"v": v0, "probe": probe0}
+    params = {"v": v0, "probe": probe0, "pos": positions}
     state = opt.init(params)
 
     def one_step(carry, idx):
@@ -438,19 +442,21 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
         # jax.grad of a real loss w.r.t. a COMPLEX parameter returns the
         # Wirtinger d/dz-bar conjugate: steepest descent needs conj(g)
         # (the potential is real — unaffected).
-        g = {"v": g["v"], "probe": jnp.conj(g["probe"])}
+        g = {"v": g["v"], "probe": jnp.conj(g["probe"]), "pos": g["pos"]}
         updates, state = opt.update(g, state)
         params = optax.apply_updates(params, updates)
         return (params, state), val.astype(rdtype)
 
     (params, _), losses = jax.lax.scan(one_step, (params, state), batches)
-    return params["v"], params["probe"], losses
+    return params["v"], params["probe"], params["pos"], losses
 
 
 def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
                     dz: float, steps: int = 300, batch: Optional[int] = None,
                     lr: float = 30.0, lr_probe: float = 2e-3,
-                    update_probe: bool = False, v_init=None,
+                    lr_pos: float = 0.01,
+                    update_probe: bool = False,
+                    update_positions: bool = False, v_init=None,
                     seed: int = 0) -> dict:
     """Multislice electron ptychography: recover a DEPTH-RESOLVED
     potential (and optionally the probe) from intensity-only 4D-STEM data.
@@ -476,14 +482,25 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
         lr: Adam learning rate for the potential (volt-Angstrom scale).
         lr_probe: Adam learning rate for the probe (used when
             ``update_probe``).
+        lr_pos: Adam learning rate for scan positions, Angstrom (used
+            when ``update_positions``; positions jitter is usually
+            sub-pixel, so keep this well below the pixel pitch).
         update_probe: also refine the illumination (joint recovery).
+        update_positions: also refine the scan positions — corrects the
+            sub-pixel scan jitter real instruments always have. The
+            positions enter the forward model only through the k-space
+            shift ramps exp(2 pi i k.pos), so their gradients cost
+            nothing extra.
         v_init: optional (n_slices, nx, ny) initial potential (default 0).
         seed: minibatch shuffling seed.
 
     Returns dict with ``potential`` (n_slices, nx, ny real), ``probe``
-    (nx, ny complex), ``losses`` (steps,). Ambiguities: intensity data
-    cannot fix a per-slice constant (a global phase), and depth resolution
-    is bounded by the probe's depth of focus (~lambda/alpha^2).
+    (nx, ny complex), ``positions`` ((npos, 2), refined when
+    ``update_positions`` else the input), ``losses`` (steps,).
+    Ambiguities: intensity data cannot fix a per-slice constant (a global
+    phase), per-slice ambiguity, a rigid translation splits between object
+    and positions, and depth resolution is bounded by the probe's depth of
+    focus (~lambda/alpha^2).
     """
     prec = probe.precision
     data = np.asarray(data4d)
@@ -521,11 +538,13 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             raise ValueError(f"v_init shape {v0.shape} != "
                              f"{(n_slices,) + tuple(p0.shape)}")
 
-    v, pr, losses = _msp_run(
+    v, pr, pos, losses = _msp_run(
         jnp.asarray(amps.astype(rd)), jnp.asarray(positions.astype(rd)),
         jnp.asarray(batches), v0, p0,
         jnp.asarray(probe.kxs.astype(rd)), jnp.asarray(probe.kys.astype(rd)),
-        lr_v=float(lr), lr_probe=float(lr_probe), eV=float(probe.eV),
-        dz=float(dz), update_probe=bool(update_probe))
+        lr_v=float(lr), lr_probe=float(lr_probe), lr_pos=float(lr_pos),
+        eV=float(probe.eV), dz=float(dz),
+        update_probe=bool(update_probe),
+        update_positions=bool(update_positions))
     return dict(potential=np.asarray(v), probe=to_numpy(pr),
-                losses=np.asarray(losses))
+                positions=np.asarray(pos), losses=np.asarray(losses))

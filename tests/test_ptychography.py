@@ -338,3 +338,33 @@ def test_msp_joint_probe_refinement(problem):
     truth = band_limit(p["phi_true"], p["kxs"], p["kys"], q_band)
     c = pearson(phase, truth)
     assert c > 0.8, f"joint-MSP projected-potential correlation {c:.3f}"
+
+
+def test_msp_position_refinement(problem):
+    """Scan-position correction: recover sub-pixel scan jitter. Positions
+    enter only through the shift ramps exp(2 pi i k.pos), so their
+    gradients ride the same adjoint; a rigid translation is ambiguous
+    (splits against the object), so the error metric is mean-free."""
+    p = problem
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 2)
+                    for j in range(0, p["n_s"], 2)])
+    true_pos = p["positions"][idx]
+    rng = np.random.default_rng(11)
+    bad_pos = true_pos + rng.normal(0, 0.08, true_pos.shape)  # pitch 0.15 A
+
+    rec = msp_reconstruct(p["inten"][idx], bad_pos, p["base"],
+                          n_slices=2, dz=DZ, steps=400, batch=64, lr=8.0,
+                          update_positions=True, lr_pos=0.05)
+    assert rec["losses"][-1] < rec["losses"][0] / 20
+    err0 = np.sqrt(np.mean((bad_pos - true_pos) ** 2))
+    d = rec["positions"] - true_pos
+    d -= d.mean(axis=0)
+    err1 = np.sqrt(np.mean(d ** 2))
+    assert err1 < 0.8 * err0, f"position rms {err0:.4f} -> {err1:.4f} A"
+    # frozen positions stay exactly where they started
+    rec0 = msp_reconstruct(p["inten"][idx][:16], bad_pos[:16], p["base"],
+                           n_slices=1, dz=DZ, steps=3, lr=8.0)
+    np.testing.assert_allclose(rec0["positions"],
+                               bad_pos[:16].astype(np.float32), rtol=0,
+                               atol=1e-6)
