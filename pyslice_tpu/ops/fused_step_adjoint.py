@@ -33,8 +33,12 @@ transmission/propagator plane reads; the cotangent accumulation adds no
 HBM traffic. Compare the XLA lax.scan backward: ~6 passes and separate
 vbar reductions (measured 4-5x slower end-to-end, BENCHMARKS.md).
 
-Used by physics/adjoint.py whenever the forward fused chain would be
-eligible for the shape (TPU, float32, both axes supported_size); all other
+Used by physics/adjoint.py whenever a forward fused chain would be
+eligible for the shape (TPU, float32): 128-divisible axes take the
+aligned kernels here, composite odd axes the digit-split variants below
+(``fused_adjoint_chain_odd`` — same conjugation trick on
+ops/fused_step_odd's kernels, with the pair-packed A-variant's Vbar tiles
+laid out in the natural-split (dx, mx, dy, my) stripe order); all other
 cases keep the XLA backward scan.
 """
 
@@ -226,6 +230,207 @@ def fused_adjoint_chain(a_exit, lam_ct, potential_szy, kxs, kys, *,
         vbar = jnp.concatenate([vb0[None], vbs_scan[::-1]], axis=0)
     else:
         vbar = vb0[None]
+
+    w0 = jax.lax.complex(re, im).reshape(n_probes, 2, nx, ny)
+    lam0 = jnp.conj(w0[:, 1])
+    return lam0, vbar
+
+
+# --- composite-odd-grid backward (digit-split kernels) -----------------------
+
+
+def adjoint_supported_odd(nx: int, ny: int) -> bool:
+    from .fused_step_odd import supported_size_odd
+    return supported_size_odd(nx) and supported_size_odd(ny)
+
+
+def _kernel_a_bwd_odd(sigma: float, mode: str, ax_y, dotmode, n_const):
+    """Pair-packed digit-split A-kernel: IFFT_y tiles -> cotangent
+    accumulate -> (transmit + FFT_y | natural store). Mirrors
+    fused_step_odd._kernel_a's 'mid'/'last' modes for the (a, conj(lam))
+    pair; the Vbar output accumulates over the minor pair-grid axis."""
+    from jax.experimental import pallas as pl
+    from .fused_step_odd import _cmul as _cmul_odd  # noqa: F401
+    from .fused_step_odd import _fft_tiles, _ifft_tiles
+
+    dy = ax_y[0]
+
+    def body(*args):
+        if mode == "mid":
+            trf_ref, tif_ref, vr_ref, vi_ref, *rest = args
+        else:
+            vr_ref, vi_ref, *rest = args
+        or_ref, oi_ref, vb_ref = rest[n_const:]
+        ax_local = ax_y[:2] + ([r[:] for r in rest[:n_const]],)
+
+        outs = []
+        for c in (0, 1):
+            zr = [vr_ref[c, 0, k1, :, :] for k1 in range(dy)]
+            zi = [vi_ref[c, 0, k1, :, :] for k1 in range(dy)]
+            outs.append(_ifft_tiles(zr, zi, ax_local, dotmode, tin=True))
+        (r0, i0), (r1, i1) = outs
+
+        for a in range(dy):
+            contrib = (-sigma) * (r1[a] * i0[a] - i1[a] * r0[a])
+
+            @pl.when(pl.program_id(1) == 0)
+            def _init(a=a, contrib=contrib):
+                vb_ref[0, :, a, :] = contrib
+
+            @pl.when(pl.program_id(1) != 0)
+            def _acc(a=a, contrib=contrib):
+                vb_ref[0, :, a, :] += contrib
+
+        if mode == "last":
+            for c, (tr, ti) in enumerate(((r0, i0), (r1, i1))):
+                for a in range(dy):
+                    or_ref[c, 0, :, a, :] = tr[a]
+                    oi_ref[c, 0, :, a, :] = ti[a]
+            return
+        from .fused_step import _cmul
+        for c, (tr, ti) in enumerate(((r0, i0), (r1, i1))):
+            for a in range(dy):
+                tr[a], ti[a] = _cmul(tr[a], ti[a], trf_ref[0, :, a, :],
+                                     tif_ref[0, :, a, :])
+            tr, ti = _fft_tiles(tr, ti, ax_local, dotmode, tin=False)
+            for a in range(dy):
+                or_ref[c, a, 0, :, :] = tr[a]
+                oi_ref[c, a, 0, :, :] = ti[a]
+
+    return body
+
+
+def _call_a_bwd_odd(re, im, t_planes, sigma: float, mode: str, ax_y, dims,
+                    dotmode, consts_y):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    two_np, dx, mx, dy, my = dims[0] * 2, dims[1], dims[2], dims[3], dims[4]
+    n_pairs = dims[0]
+    n_const = len(consts_y)
+    # pair axis MINOR: Vbar block revisits are consecutive
+    grid = (dx, n_pairs)
+
+    state_spec = pl.BlockSpec((2, 1, dy, my, mx),
+                              lambda i, p: (p, i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, mx, dy, my), lambda i, p: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dm, m = consts_y[0].shape
+    const_spec = pl.BlockSpec((dm, m), lambda i, p: (0, 0),
+                              memory_space=pltpu.VMEM)
+    vb_spec = pl.BlockSpec((1, mx, dy, my), lambda i, p: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if mode == "mid":
+        out_spec = pl.BlockSpec((2, dy, 1, mx, my),
+                                lambda i, p: (p, 0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (two_np, dy, dx, mx, my)
+    else:
+        out_spec = pl.BlockSpec((2, 1, mx, dy, my),
+                                lambda i, p: (p, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (two_np, dx, mx, dy, my)
+
+    body = _kernel_a_bwd_odd(sigma, mode, ax_y, dotmode, n_const)
+    t_in = () if mode == "last" else tuple(t_planes)
+    in_specs = ([v_spec] * len(t_in) + [state_spec, state_spec]
+                + [const_spec] * n_const)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec, vb_spec],
+        out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((dx, mx, dy, my), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*t_in, re, im, *consts_y)
+    return out
+
+
+def fused_adjoint_chain_odd(a_exit, lam_ct, potential_szy, kxs, kys, *,
+                            sigma: float, lam: float, dz: float,
+                            ksq=None,
+                            tantilt: Optional[Tuple[float, float]] = None):
+    """Composite-odd-grid fused backward chain; same contract as
+    ``fused_adjoint_chain``. Reuses fused_step_odd's entry kernel and
+    kernel B verbatim with negated sin planes (conj(t), conj(P))."""
+    from . import matfft
+    from .fused_step_odd import (_axis_consts, _call_a, _call_b,
+                                 transmission_planes)
+    from .fused_step import _dot_mode
+
+    n_probes, nx, ny = a_exit.shape
+    nz = potential_szy.shape[0]
+    if nz < 2:
+        raise ValueError("fused_adjoint_chain_odd needs nz >= 2")
+
+    dotmode = _dot_mode()
+    ax_x = _axis_consts(nx, dotmode)
+    ax_y = _axis_consts(ny, dotmode)
+    dx, mx = ax_x[0], ax_x[1]
+    dy, my = ax_y[0], ax_y[1]
+    dims = (n_probes, dx, mx, dy, my)
+    dims2 = (2 * n_probes, dx, mx, dy, my)
+    consts_x = [jnp.asarray(a) for a in ax_x[2]]
+    consts_y = [jnp.asarray(a) for a in ax_y[2]]
+
+    w = jnp.stack([a_exit, jnp.conj(lam_ct)], axis=1)
+    w = w.reshape(2 * n_probes, nx, ny)
+    re = jnp.real(w).astype(jnp.float32).reshape(2 * n_probes, dx, mx,
+                                                 dy, my)
+    im = jnp.imag(w).astype(jnp.float32).reshape(2 * n_probes, dx, mx,
+                                                 dy, my)
+
+    pot_rev = potential_szy[1:][::-1]
+    t_re, t_im = transmission_planes(sigma, pot_rev)
+    t_re = t_re.reshape(nz - 1, dx, mx, dy, my)
+    t_im = (-t_im).reshape(nz - 1, dx, mx, dy, my)       # conj(t)
+
+    if ksq is not None:
+        if tantilt is not None:
+            raise ValueError("beam tilt needs an orthogonal cell")
+        k2t = jnp.asarray(ksq, jnp.float32).T[
+            jnp.asarray(matfft.scramble_perm(ny))][
+            :, jnp.asarray(matfft.scramble_perm(nx))]
+        pp = (-np.pi * lam * dz) * k2t
+    else:
+        kxp = jnp.asarray(kxs, jnp.float32)[
+            jnp.asarray(matfft.scramble_perm(nx))]
+        kyp = jnp.asarray(kys, jnp.float32)[
+            jnp.asarray(matfft.scramble_perm(ny))]
+        pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
+        if tantilt is not None:
+            pp = pp + (2.0 * np.pi * dz) * (kyp[:, None] * tantilt[1]
+                                            + kxp[None, :] * tantilt[0])
+    p_re = jnp.cos(pp).reshape(dy, my, dx, mx)
+    p_im = (-jnp.sin(pp)).reshape(dy, my, dx, mx)        # conj(P)
+
+    re, im = _call_a(re, im, t_re[0], t_im[0], "first", ax_y, dims2,
+                     dotmode, consts_y)
+
+    vbs_scan = None
+    if nz > 2:
+        def bstep(carry, t_s):
+            r, i = carry
+            r, i = _call_b(r, i, p_re, p_im, ax_x, dims2, dotmode, consts_x)
+            r, i, vb = _call_a_bwd_odd(r, i, (t_s[0], t_s[1]), sigma,
+                                       "mid", ax_y, dims, dotmode, consts_y)
+            return (r, i), vb
+        (re, im), vbs_scan = jax.lax.scan(
+            bstep, (re, im), (t_re[1:], t_im[1:]))
+
+    re, im = _call_b(re, im, p_re, p_im, ax_x, dims2, dotmode, consts_x)
+    re, im, vb0 = _call_a_bwd_odd(re, im, None, sigma, "last", ax_y, dims,
+                                  dotmode, consts_y)
+
+    if vbs_scan is not None:
+        vbar = jnp.concatenate([vb0[None], vbs_scan[::-1]], axis=0)
+    else:
+        vbar = vb0[None]
+    vbar = vbar.reshape(-1, nx, ny)
 
     w0 = jax.lax.complex(re, im).reshape(n_probes, 2, nx, ny)
     lam0 = jnp.conj(w0[:, 1])

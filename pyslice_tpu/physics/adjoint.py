@@ -135,20 +135,26 @@ def _propagator(cfg, kxs, kys, ksq, prec):
     return P
 
 
-def _bwd_fused_eligible(cfg, a, nz) -> bool:
-    """The fused Pallas backward (ops.fused_step_adjoint): same eligibility
-    shape as the forward fused chain. Trace-time decision, like every
-    kernel dispatch here."""
+def _bwd_fused_kind(cfg, a, nz):
+    """Which fused Pallas backward fits (ops.fused_step_adjoint): 'aligned'
+    for 128-divisible axes, 'odd' for composite odd grids, None -> the XLA
+    scan. Trace-time decision, like every kernel dispatch here."""
     from ..ops import config as ops_config
-    from ..ops.fused_step_adjoint import adjoint_supported
+    from ..ops.fused_step_adjoint import (adjoint_supported,
+                                          adjoint_supported_odd)
     eV, lam, dz, prec, tantilt, fused = cfg
     if fused is False or ops_config.fused_multislice == "off":
-        return False
+        return None
     if prec.name != "single" or nz < 2 or a.ndim not in (2, 3):
-        return False
+        return None
     if jax.default_backend() != "tpu":
-        return False
-    return adjoint_supported(a.shape[-2], a.shape[-1])
+        return None
+    nx, ny = a.shape[-2], a.shape[-1]
+    if adjoint_supported(nx, ny):
+        return "aligned"
+    if adjoint_supported_odd(nx, ny):
+        return "odd"
+    return None
 
 
 def _ms_diff_bwd(cfg, residuals, g):
@@ -169,12 +175,16 @@ def _ms_diff_bwd(cfg, residuals, g):
 
     vbar_last = vbar_of(lam_ct, a)
 
-    if nz > 1 and _bwd_fused_eligible(cfg, a, nz):
-        from ..ops.fused_step_adjoint import fused_adjoint_chain
+    kind = _bwd_fused_kind(cfg, a, nz) if nz > 1 else None
+    if kind is not None:
+        from ..ops.fused_step_adjoint import (fused_adjoint_chain,
+                                              fused_adjoint_chain_odd)
+        chain = (fused_adjoint_chain if kind == "aligned"
+                 else fused_adjoint_chain_odd)
         squeeze = a.ndim == 2
         a3 = a[None] if squeeze else a
         g3 = lam_ct[None] if squeeze else lam_ct
-        lam0, vbar_chain = fused_adjoint_chain(
+        lam0, vbar_chain = chain(
             a3, g3, pot, kxs, kys, sigma=sigma, lam=lam_e, dz=dz,
             ksq=ksq, tantilt=tantilt)
         if squeeze:

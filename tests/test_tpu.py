@@ -284,3 +284,44 @@ def test_adjoint_fused_forward_on_hardware():
     assert _residual(g_xla, g_fused) < 1e-6
     # and the gradient is live (nonzero) — the loss is detector-weighted
     assert float(np.max(np.abs(g_xla))) > 0
+
+
+def test_adjoint_odd_backward_on_hardware():
+    """The digit-split fused backward (composite odd grid, 387^2): adjoint
+    gradient vs the XLA-scan backward on the same device."""
+    _require_tpu()
+    from pyslice_tpu.ops import config as ops_config
+    from pyslice_tpu.physics.adjoint import multislice_diff
+    from pyslice_tpu.utils.host import to_device_complex, to_numpy
+
+    nx = ny = 387
+    nz = 5
+    rng = np.random.default_rng(7)
+    psi = (rng.normal(size=(2, nx, ny))
+           + 1j * rng.normal(size=(2, nx, ny))).astype(np.complex64)
+    v = (rng.normal(size=(nz, nx, ny)) * 30).astype(np.float32)
+    kxs = np.fft.fftfreq(nx, d=0.1).astype(np.float32)
+    kys = np.fft.fftfreq(ny, d=0.1).astype(np.float32)
+    w = rng.random((nx, ny)).astype(np.float32)
+
+    psi_d = to_device_complex(psi)
+
+    def make_loss(fused):
+        def loss(pot, p):
+            out = multislice_diff(p, pot, kxs, kys, eV=100e3, dz=0.8,
+                                  fused=fused)
+            return jnp.mean(jnp.asarray(w)
+                            * jnp.abs(jnp.fft.fft2(out)) ** 2)
+        return loss
+
+    g_fused = to_numpy(
+        jax.jit(jax.grad(make_loss(None)))(jnp.asarray(v), psi_d))
+    old = ops_config.fused_multislice
+    try:
+        ops_config.fused_multislice = "off"
+        g_xla = to_numpy(
+            jax.jit(jax.grad(make_loss(False)))(jnp.asarray(v), psi_d))
+    finally:
+        ops_config.fused_multislice = old
+    assert _residual(g_xla, g_fused) < 1e-6
+    assert float(np.max(np.abs(g_xla))) > 0
