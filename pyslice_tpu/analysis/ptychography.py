@@ -390,10 +390,10 @@ def epie_reconstruct(data4d, probe_positions, probe, n_iters: int = 50,
 
 @functools.partial(jax.jit, static_argnames=("lr_v", "lr_probe", "lr_pos",
                                               "eV", "dz", "update_probe",
-                                              "update_positions"))
+                                              "update_positions", "mesh"))
 def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
              lr_pos, eV: float, dz: float, update_probe: bool,
-             update_positions: bool):
+             update_positions: bool, mesh=None):
     """The whole multislice-ptychography solve as one compiled program.
 
     Carry = (V, probe, optimizer state); one lax.scan step = one Adam
@@ -417,13 +417,35 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
         ramp = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
         return matfft.ifft2(matfft.fft2(probe)[None] * ramp)
 
-    def batch_loss(params, idx):
-        a_b = jnp.take(amps, idx, axis=0)
+    def batch_loss(params, a_b, idx):
         pos_b = jnp.take(params["pos"], idx, axis=0)
         psi_b = shifted(params["probe"], pos_b)
         exit_b = multislice_diff(psi_b, params["v"], kx, ky, eV=eV, dz=dz)
         mag = jnp.abs(matfft.fft2(exit_b))
         return jnp.mean((mag - a_b) ** 2)
+
+    if mesh is None:
+        value_grad = jax.value_and_grad(batch_loss)
+    else:
+        # Data-parallel over ALL mesh devices: the minibatch axis shards
+        # across the flattened mesh; params stay replicated and the
+        # per-device gradients pmean back (equal local batch sizes make
+        # the pmean of local-mean gradients the exact global-mean
+        # gradient). The adjoint forward/backward is embarrassingly
+        # parallel over scan positions — zero communication until the
+        # one gradient reduction per step.
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(mesh.axis_names)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(axes), P(axes)), out_specs=(P(), P()))
+        def value_grad(params, a_b, idx):
+            val, g = jax.value_and_grad(batch_loss)(params, a_b, idx)
+            val = jax.lax.pmean(val, axes)
+            g = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axes), g)
+            return val, g
 
     label = {"v": "v", "probe": "probe", "pos": "pos"}
     opt = optax.multi_transform(
@@ -438,7 +460,8 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
 
     def one_step(carry, idx):
         params, state = carry
-        val, g = jax.value_and_grad(batch_loss)(params, idx)
+        a_b = jnp.take(amps, idx, axis=0)
+        val, g = value_grad(params, a_b, idx)
         # jax.grad of a real loss w.r.t. a COMPLEX parameter returns the
         # Wirtinger d/dz-bar conjugate: steepest descent needs conj(g)
         # (the potential is real — unaffected).
@@ -457,7 +480,7 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
                     lr_pos: float = 0.01,
                     update_probe: bool = False,
                     update_positions: bool = False, v_init=None,
-                    seed: int = 0) -> dict:
+                    seed: int = 0, mesh=None) -> dict:
     """Multislice electron ptychography: recover a DEPTH-RESOLVED
     potential (and optionally the probe) from intensity-only 4D-STEM data.
 
@@ -493,6 +516,10 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             nothing extra.
         v_init: optional (n_slices, nx, ny) initial potential (default 0).
         seed: minibatch shuffling seed.
+        mesh: optional ``jax.sharding.Mesh`` (e.g. ``parallel.make_mesh()``)
+            — shards every minibatch over ALL mesh devices (data-parallel
+            positions; one gradient pmean per step). The minibatch size
+            must divide by the device count.
 
     Returns dict with ``potential`` (n_slices, nx, ny real), ``probe``
     (nx, ny complex), ``positions`` ((npos, 2), refined when
@@ -519,6 +546,10 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
     amps = np.sqrt(np.maximum(np.fft.ifftshift(data, axes=(-2, -1)), 0.0))
 
     nb = npos if batch is None else int(min(batch, npos))
+    if mesh is not None and nb % mesh.size != 0:
+        raise ValueError(
+            f"minibatch size {nb} must divide by the mesh's {mesh.size} "
+            "devices (pass batch=...)")
     rng = np.random.default_rng(seed)
     batches = np.empty((steps, nb), np.int32)
     # shuffled epochs: every position visited once per ceil(npos/nb) steps
@@ -545,6 +576,6 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
         lr_v=float(lr), lr_probe=float(lr_probe), lr_pos=float(lr_pos),
         eV=float(probe.eV), dz=float(dz),
         update_probe=bool(update_probe),
-        update_positions=bool(update_positions))
+        update_positions=bool(update_positions), mesh=mesh)
     return dict(potential=np.asarray(v), probe=to_numpy(pr),
                 positions=np.asarray(pos), losses=np.asarray(losses))

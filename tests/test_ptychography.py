@@ -368,3 +368,33 @@ def test_msp_position_refinement(problem):
     np.testing.assert_allclose(rec0["positions"],
                                bad_pos[:16].astype(np.float32), rtol=0,
                                atol=1e-6)
+
+
+def test_msp_sharded_matches_single_device(problem):
+    """msp_reconstruct(mesh=...) on the 8-device virtual mesh: the
+    data-parallel minibatch + one-pmean-per-step gradient must track the
+    single-device solve (identical math; only fp reduction order differs,
+    compounding slowly over Adam steps)."""
+    from pyslice_tpu.parallel.mesh import make_mesh
+
+    p = problem
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 2)
+                    for j in range(0, p["n_s"], 2)])
+    kw = dict(n_slices=2, dz=DZ, steps=120, batch=64, lr=8.0)
+    r1 = msp_reconstruct(p["inten"][idx], p["positions"][idx], p["base"],
+                         **kw)
+    mesh = make_mesh()
+    r8 = msp_reconstruct(p["inten"][idx], p["positions"][idx], p["base"],
+                         mesh=mesh, **kw)
+    scale = np.max(np.abs(r1["potential"])) + 1e-30
+    dev = np.max(np.abs(r1["potential"] - r8["potential"])) / scale
+    assert dev < 2e-3, f"sharded-vs-single potential rel dev {dev}"
+    dl = np.max(np.abs(r1["losses"] - r8["losses"])
+                / (np.abs(r1["losses"]) + 1e-30))
+    assert dl < 1e-3, f"loss trajectory rel dev {dl}"
+
+    with pytest.raises(ValueError, match="divide"):
+        msp_reconstruct(p["inten"][idx][:12], p["positions"][idx][:12],
+                        p["base"], n_slices=1, dz=DZ, steps=2, batch=12,
+                        mesh=mesh)
