@@ -411,17 +411,25 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
     two_pi = 2.0 * np.pi
     rdtype = v0.dtype
 
-    def shifted(probe, pos):
+    def shifted(probe_modes, pos):
+        # probe_modes: (K, nx, ny); pos: (nb, 2) -> (nb, K, nx, ny)
         ph = two_pi * (kx[:, None] * pos[:, 0, None, None]
                        + ky[None, :] * pos[:, 1, None, None])
         ramp = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-        return matfft.ifft2(matfft.fft2(probe)[None] * ramp)
+        return matfft.ifft2(matfft.fft2(probe_modes)[None]
+                            * ramp[:, None])
 
     def batch_loss(params, a_b, idx):
         pos_b = jnp.take(params["pos"], idx, axis=0)
-        psi_b = shifted(params["probe"], pos_b)
-        exit_b = multislice_diff(psi_b, params["v"], kx, ky, eV=eV, dz=dz)
-        mag = jnp.abs(matfft.fft2(exit_b))
+        psi_b = shifted(params["probe"], pos_b)       # (nb, K, nx, ny)
+        nb_l, k_modes = psi_b.shape[0], psi_b.shape[1]
+        exit_b = multislice_diff(
+            psi_b.reshape(nb_l * k_modes, *psi_b.shape[2:]),
+            params["v"], kx, ky, eV=eV, dz=dz)
+        inten = jnp.abs(matfft.fft2(exit_b)) ** 2
+        # mutually INCOHERENT modes: intensities add (mixed-state probe)
+        inten = inten.reshape(nb_l, k_modes, *inten.shape[1:]).sum(axis=1)
+        mag = jnp.sqrt(inten + 1e-24)
         return jnp.mean((mag - a_b) ** 2)
 
     if mesh is None:
@@ -480,7 +488,8 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
                     lr_pos: float = 0.01,
                     update_probe: bool = False,
                     update_positions: bool = False, v_init=None,
-                    seed: int = 0, mesh=None) -> dict:
+                    seed: int = 0, mesh=None, n_modes: int = 1,
+                    probe_modes=None) -> dict:
     """Multislice electron ptychography: recover a DEPTH-RESOLVED
     potential (and optionally the probe) from intensity-only 4D-STEM data.
 
@@ -520,9 +529,18 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             — shards every minibatch over ALL mesh devices (data-parallel
             positions; one gradient pmean per step). The minibatch size
             must divide by the device count.
+        n_modes: MIXED-STATE probe: number of mutually incoherent probe
+            modes (partial spatial coherence — Thibault & Menzel, Nature
+            494 (2013) 68). Mode 0 starts at ``probe``; extra modes start
+            as weak Hermite-like sidebands of it (10% amplitude, x/y
+            gradient envelopes) and are refined when ``update_probe``.
+            Intensities of the modes ADD on the detector.
+        probe_modes: optional explicit (K, nx, ny) complex initial modes
+            (overrides ``n_modes``/the probe-derived initialization).
 
     Returns dict with ``potential`` (n_slices, nx, ny real), ``probe``
-    (nx, ny complex), ``positions`` ((npos, 2), refined when
+    (nx, ny complex — the dominant mode), ``probe_modes`` ((K, nx, ny)
+    complex), ``positions`` ((npos, 2), refined when
     ``update_positions`` else the input), ``losses`` (steps,).
     Ambiguities: intensity data cannot fix a per-slice constant (a global
     phase), per-slice ambiguity, a rigid translation splits between object
@@ -543,6 +561,27 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
     if p0.ndim != 2:
         raise ValueError("probe must be a single (nx, ny) Probe, "
                          "not a batch")
+    if probe_modes is not None:
+        modes0 = to_device_complex(np.asarray(probe_modes), prec.complex)
+        if modes0.ndim != 3 or modes0.shape[1:] != tuple(p0.shape):
+            raise ValueError(
+                f"probe_modes must be (K, {p0.shape[0]}, {p0.shape[1]})")
+    elif n_modes > 1:
+        # Hermite-like sidebands: mode 0 = the probe; mode j = probe
+        # times a centered x/y gradient envelope at 10% amplitude —
+        # linearly independent seeds for the mixed-state refinement.
+        xs_c = np.asarray(probe.xs) - np.mean(probe.xs)
+        ys_c = np.asarray(probe.ys) - np.mean(probe.ys)
+        envs = []
+        for j in range(1, n_modes):
+            axis = (xs_c[:, None] if j % 2 else ys_c[None, :])
+            axis = axis / (np.abs(axis).max() + 1e-30)
+            env = 0.1 * axis ** ((j + 1) // 2) * np.ones(p0.shape)
+            envs.append(jnp.asarray(env.astype(np.dtype(prec.real))))
+        modes0 = jnp.concatenate([p0[None]]
+                                 + [p0[None] * e for e in envs], axis=0)
+    else:
+        modes0 = jnp.asarray(p0)[None]
     amps = np.sqrt(np.maximum(np.fft.ifftshift(data, axes=(-2, -1)), 0.0))
 
     nb = npos if batch is None else int(min(batch, npos))
@@ -571,11 +610,12 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
 
     v, pr, pos, losses = _msp_run(
         jnp.asarray(amps.astype(rd)), jnp.asarray(positions.astype(rd)),
-        jnp.asarray(batches), v0, p0,
+        jnp.asarray(batches), v0, modes0,
         jnp.asarray(probe.kxs.astype(rd)), jnp.asarray(probe.kys.astype(rd)),
         lr_v=float(lr), lr_probe=float(lr_probe), lr_pos=float(lr_pos),
         eV=float(probe.eV), dz=float(dz),
         update_probe=bool(update_probe),
         update_positions=bool(update_positions), mesh=mesh)
-    return dict(potential=np.asarray(v), probe=to_numpy(pr),
+    pr = to_numpy(pr)
+    return dict(potential=np.asarray(v), probe=pr[0], probe_modes=pr,
                 positions=np.asarray(pos), losses=np.asarray(losses))

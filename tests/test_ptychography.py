@@ -398,3 +398,57 @@ def test_msp_sharded_matches_single_device(problem):
         msp_reconstruct(p["inten"][idx][:12], p["positions"][idx][:12],
                         p["base"], n_slices=1, dz=DZ, steps=2, batch=12,
                         mesh=mesh)
+
+
+def test_msp_mixed_state_modes(problem):
+    """Mixed-state (incoherent multi-mode) probes: data from a 50/50
+    incoherent mix of the in-focus probe and an 80 A defocused one. A
+    2-mode model GIVEN the true modes must fit far below the best
+    single-coherent-mode floor (the K=1 model cannot represent the
+    incoherent blur), while still recovering the potential; and the
+    mode-refinement machinery must descend stably."""
+    p = problem
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 2)
+                    for j in range(0, p["n_s"], 2)])
+    positions = p["positions"][idx]
+    base, prec = p["base"], p["prec"]
+    pb = Probe(base.xs, base.ys, MRAD, EV, precision=prec)
+    pb.defocus(80.0)
+
+    v = jnp.asarray(p["v_true"], prec.real)
+    inten = 0
+    for w, pr in ((0.5, base), (0.5, pb)):
+        probes = shift_probes(pr.array, base.kxs, base.kys, positions,
+                              precision=prec)
+        ew = multislice(probes, v, base.kxs, base.kys, eV=EV, dz=DZ,
+                        precision=prec, fused=False)
+        inten = inten + w * np.asarray(
+            jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(ew),
+                                     axes=(-2, -1)))) ** 2
+
+    true_modes = np.stack([np.sqrt(0.5) * np.asarray(base.array),
+                           np.sqrt(0.5) * np.asarray(pb.array)])
+    kw = dict(n_slices=2, dz=DZ, steps=300, batch=64, lr=8.0,
+              update_probe=False)
+    r2 = msp_reconstruct(inten, positions, base, probe_modes=true_modes,
+                         **kw)
+    r1 = msp_reconstruct(inten, positions, base, **kw)
+    assert r2["losses"][-1] < r1["losses"][-1] / 2, (
+        f"2-mode floor {r2['losses'][-1]:.3e} vs "
+        f"1-mode {r1['losses'][-1]:.3e}")
+    assert r2["probe_modes"].shape == (2, NX, NY)
+
+    sigma = interaction_parameter(EV)
+    q_band = 2 * (MRAD * 1e-3) / wavelength(EV)
+    phase = band_limit(sigma * r2["potential"].sum(axis=0),
+                       p["kxs"], p["kys"], q_band)
+    truth = band_limit(p["phi_true"], p["kxs"], p["kys"], q_band)
+    assert pearson(phase, truth) > 0.85
+
+    # auto-initialized modes + refinement: stable descent, no blowup
+    r_ref = msp_reconstruct(inten, positions, base, n_slices=2, dz=DZ,
+                            steps=150, batch=64, lr=8.0, n_modes=2,
+                            update_probe=True, lr_probe=5e-4)
+    assert np.isfinite(r_ref["losses"]).all()
+    assert r_ref["losses"][-1] < r_ref["losses"][0] / 3
