@@ -390,10 +390,12 @@ def epie_reconstruct(data4d, probe_positions, probe, n_iters: int = 50,
 
 @functools.partial(jax.jit, static_argnames=("lr_v", "lr_probe", "lr_pos",
                                               "eV", "dz", "update_probe",
-                                              "update_positions", "mesh"))
+                                              "update_positions", "mesh",
+                                              "loss", "reg_tv"))
 def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
              lr_pos, eV: float, dz: float, update_probe: bool,
-             update_positions: bool, mesh=None):
+             update_positions: bool, mesh=None, loss: str = "amplitude",
+             reg_tv: float = 0.0):
     """The whole multislice-ptychography solve as one compiled program.
 
     Carry = (V, probe, optimizer state); one lax.scan step = one Adam
@@ -429,8 +431,26 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
         inten = jnp.abs(matfft.fft2(exit_b)) ** 2
         # mutually INCOHERENT modes: intensities add (mixed-state probe)
         inten = inten.reshape(nb_l, k_modes, *inten.shape[1:]).sum(axis=1)
-        mag = jnp.sqrt(inten + 1e-24)
-        return jnp.mean((mag - a_b) ** 2)
+        if loss == "poisson":
+            # Poisson NLL (up to the model-free log I! term): correct
+            # data fidelity for counting noise at finite dose. The log
+            # floor must live on the COUNT scale (a fixed tiny eps lets
+            # n/I explode on dark pixels that caught a stray count).
+            i_meas = a_b ** 2
+            floor = jax.lax.stop_gradient(1e-3 * jnp.mean(i_meas))
+            fit = jnp.mean(inten - i_meas * jnp.log(inten + floor))
+        else:
+            mag = jnp.sqrt(inten + 1e-24)
+            fit = jnp.mean((mag - a_b) ** 2)
+        if reg_tv > 0.0:
+            # isotropic smoothed total variation over each slice of V —
+            # the standard edge-preserving prior for noisy data.
+            dvx = jnp.diff(params["v"], axis=-2)
+            dvy = jnp.diff(params["v"], axis=-1)
+            tv = jnp.mean(jnp.sqrt(dvx[..., :, :-1] ** 2
+                                   + dvy[..., :-1, :] ** 2 + 1e-12))
+            fit = fit + reg_tv * tv
+        return fit
 
     if mesh is None:
         value_grad = jax.value_and_grad(batch_loss)
@@ -489,7 +509,8 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
                     update_probe: bool = False,
                     update_positions: bool = False, v_init=None,
                     seed: int = 0, mesh=None, n_modes: int = 1,
-                    probe_modes=None) -> dict:
+                    probe_modes=None, loss: str = "amplitude",
+                    reg_tv: float = 0.0) -> dict:
     """Multislice electron ptychography: recover a DEPTH-RESOLVED
     potential (and optionally the probe) from intensity-only 4D-STEM data.
 
@@ -537,6 +558,14 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             Intensities of the modes ADD on the detector.
         probe_modes: optional explicit (K, nx, ny) complex initial modes
             (overrides ``n_modes``/the probe-derived initialization).
+        loss: data fidelity — "amplitude" (detector-amplitude MSE, the
+            ePIE-style default; near-optimal variance stabilization for
+            counting noise) or "poisson" (exact Poisson negative
+            log-likelihood for low-dose counted data; pass data4d in
+            COUNTS).
+        reg_tv: weight of an isotropic (smoothed) total-variation prior
+            on each potential slice — edge-preserving smoothing for
+            noisy/low-dose data. 0 disables.
 
     Returns dict with ``potential`` (n_slices, nx, ny real), ``probe``
     (nx, ny complex — the dominant mode), ``probe_modes`` ((K, nx, ny)
@@ -557,6 +586,9 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             f"{positions.shape[0]} entries")
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    if loss not in ("amplitude", "poisson"):
+        raise ValueError(f"loss must be 'amplitude' or 'poisson', "
+                         f"got {loss!r}")
     p0 = probe.array
     if p0.ndim != 2:
         raise ValueError("probe must be a single (nx, ny) Probe, "
@@ -615,7 +647,8 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
         lr_v=float(lr), lr_probe=float(lr_probe), lr_pos=float(lr_pos),
         eV=float(probe.eV), dz=float(dz),
         update_probe=bool(update_probe),
-        update_positions=bool(update_positions), mesh=mesh)
+        update_positions=bool(update_positions), mesh=mesh,
+        loss=str(loss), reg_tv=float(reg_tv))
     pr = to_numpy(pr)
     return dict(potential=np.asarray(v), probe=pr[0], probe_modes=pr,
                 positions=np.asarray(pos), losses=np.asarray(losses))

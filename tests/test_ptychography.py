@@ -452,3 +452,46 @@ def test_msp_mixed_state_modes(problem):
                             update_probe=True, lr_probe=5e-4)
     assert np.isfinite(r_ref["losses"]).all()
     assert r_ref["losses"][-1] < r_ref["losses"][0] / 3
+
+
+def test_msp_poisson_and_tv_at_finite_dose(problem):
+    """Low-dose MSP: Poisson-counted data (1e5 e-/position), the probe
+    scaled to predict COUNTS. The Poisson NLL fidelity must recover the
+    potential, and the total-variation prior must both smooth it
+    (TV norm halved) and improve the recovery at this dose."""
+    p = problem
+    idx = np.array([i * p["n_s"] + j
+                    for i in range(0, p["n_s"], 2)
+                    for j in range(0, p["n_s"], 2)])
+    positions = p["positions"][idx]
+    n_e = 1e5
+    rng = np.random.default_rng(5)
+    counts = rng.poisson(p["inten"][idx] * n_e).astype(np.float64)
+    modes = np.sqrt(n_e) * np.asarray(p["base"].array)[None]
+
+    sigma = interaction_parameter(EV)
+    q_band = 2 * (MRAD * 1e-3) / wavelength(EV)
+    truth = band_limit(p["phi_true"], p["kxs"], p["kys"], q_band)
+
+    def tv_norm(v):
+        return float(np.mean(np.hypot(np.diff(v, axis=-2)[..., :, :-1],
+                                      np.diff(v, axis=-1)[..., :-1, :])))
+
+    def corr_of(r):
+        ph = band_limit(sigma * r["potential"].sum(axis=0),
+                        p["kxs"], p["kys"], q_band)
+        return pearson(ph, truth)
+
+    kw = dict(n_slices=2, dz=DZ, steps=300, batch=64, lr=8.0,
+              probe_modes=modes)
+    r_p = msp_reconstruct(counts, positions, p["base"], loss="poisson",
+                          **kw)
+    r_pt = msp_reconstruct(counts, positions, p["base"], loss="poisson",
+                           reg_tv=3e-2, **kw)
+    assert corr_of(r_p) > 0.5, f"poisson corr {corr_of(r_p):.3f}"
+    assert corr_of(r_pt) > 0.85, f"poisson+tv corr {corr_of(r_pt):.3f}"
+    assert tv_norm(r_pt["potential"]) < 0.6 * tv_norm(r_p["potential"])
+
+    with pytest.raises(ValueError, match="amplitude"):
+        msp_reconstruct(counts, positions, p["base"], n_slices=1, dz=DZ,
+                        steps=2, loss="l1")
