@@ -161,9 +161,15 @@ def _call_a_bwd(psi_re, psi_im, t_planes, sigma: float, block_rows: int,
 
 
 def _pair_block(nx: int, ny: int) -> int:
-    """Half the forward tile height (the pair block doubles VMEM)."""
+    """Half the forward tile height (the pair block doubles VMEM) — but
+    only where the halved tile still satisfies Mosaic's last-dim rule
+    (divisible by 128, or the full axis). Small grids keep the full tile
+    (their VMEM footprint is tiny anyway)."""
     ba = _block_rows(nx, ny)
-    return ba // 2 if ba % 2 == 0 and ba > 1 else ba
+    half = ba // 2
+    if half > 0 and (half % 128 == 0 or half == nx):
+        return half
+    return ba
 
 
 def fused_adjoint_chain(a_exit, lam_ct, potential_szy, kxs, kys, *,

@@ -18,7 +18,8 @@ if "--cpu" in sys.argv:
 
 import numpy as np  # noqa: E402
 import pyslice_tpu as pt  # noqa: E402
-from pyslice_tpu.utils.host import to_numpy  # noqa: E402
+from pyslice_tpu.utils.host import (to_device_complex,  # noqa: E402
+                                    to_numpy)
 
 
 def check(name, ok, detail=""):
@@ -184,6 +185,36 @@ def main():
         res = float(((f - d) ** 2).sum() / (f ** 2).sum())
         check("fused Pallas path == XLA path (e2e frame)", res < 1e-6,
               f"(residual {res:.2e})")
+
+    # --- differentiable multislice (O(1) adjoint) ---------------------------------
+        from pyslice_tpu.physics.adjoint import multislice_diff
+        rngj = np.random.default_rng(11)
+        nxj = nyj = 128
+        nzj = 4
+        psij = (rngj.normal(size=(2, nxj, nyj))
+                + 1j * rngj.normal(size=(2, nxj, nyj))).astype(np.complex64)
+        vj = (rngj.normal(size=(nzj, nxj, nyj)) * 30).astype(np.float32)
+        kxj = np.fft.fftfreq(nxj, 0.1).astype(np.float32)
+        kyj = np.fft.fftfreq(nyj, 0.1).astype(np.float32)
+        wj = jnp.asarray(rngj.random((nxj, nyj)).astype(np.float32))
+        psij_d = to_device_complex(psij)
+
+        def loss_j(pot, p):
+            out = multislice_diff(p, pot, kxj, kyj, eV=100e3, dz=0.8)
+            return jnp.mean(wj * jnp.abs(jnp.fft.fft2(out)) ** 2)
+
+        def norm_j(pot, p):
+            out = multislice_diff(p, pot, kxj, kyj, eV=100e3, dz=0.8)
+            return jnp.sum(jnp.abs(out) ** 2)
+
+        gj = jax.jit(jax.grad(loss_j))(jnp.asarray(vj), psij_d)
+        gn = jax.jit(jax.grad(norm_j))(jnp.asarray(vj), psij_d)
+        g_mag = float(jnp.max(jnp.abs(gj)))
+        # unitarity invariant: d/dV total intensity == 0 for ANY V
+        n_mag = float(jnp.max(jnp.abs(gn)))
+        check("adjoint gradient live + unitarity invariant",
+              g_mag > 0 and n_mag < 1e-4 * g_mag,
+              f"(|g| {g_mag:.2e}, |d norm/dV| {n_mag:.2e})")
 
     # --- cache resume -------------------------------------------------------------
     with tempfile.TemporaryDirectory() as d:

@@ -169,3 +169,14 @@ def test_f32_drift_at_depth():
     rel = (float(jnp.max(jnp.abs(g_adj - g_ad)))
            / (float(jnp.max(jnp.abs(g_ad))) + 1e-30))
     assert rel < 1e-3, f"f32 adjoint drift {rel} at nz=200"
+
+
+def test_pair_block_mosaic_rule():
+    """The pair-kernel tile must keep Mosaic's last-dim rule: divisible
+    by 128 or the full axis (regression: halving 128 -> 64 broke 128^2
+    grids in the fused backward)."""
+    from pyslice_tpu.ops.fused_step_adjoint import _pair_block
+    for n in (128, 256, 384, 512, 1024, 2048):
+        b = _pair_block(n, n)
+        assert n % b == 0
+        assert b % 128 == 0 or b == n, (n, b)
