@@ -62,6 +62,41 @@ def scan_grid_data(wf_data, layer_index: int = -1):
     return xs, ys, data4d
 
 
+def _precision_of(rdtype):
+    """Precision policy matching a real dtype (f64 -> DOUBLE else SINGLE)."""
+    from ..core.dtypes import DOUBLE, SINGLE
+    return DOUBLE if np.dtype(rdtype) == np.float64 else SINGLE
+
+
+def _detector_amplitudes(data4d) -> np.ndarray:
+    """(N, nkx, nky) fftshifted intensities -> natural-order amplitudes."""
+    return np.sqrt(np.maximum(
+        np.fft.ifftshift(np.asarray(data4d), axes=(-2, -1)), 0.0))
+
+
+def _epoch_batches(npos: int, nb: int, steps: int, seed: int) -> np.ndarray:
+    """(steps, nb) minibatch indices: shuffled epochs — every position
+    visited once per ceil(npos/nb) steps."""
+    rng = np.random.default_rng(seed)
+    batches = np.empty((steps, nb), np.int32)
+    perm, used = rng.permutation(npos), 0
+    for s in range(steps):
+        if used + nb > npos:
+            perm, used = rng.permutation(npos), 0
+        batches[s] = perm[used:used + nb]
+        used += nb
+    return batches
+
+
+def _shift_ramps(kx, ky, pos_b):
+    """exp(2 pi i k.pos) k-space shift ramps, (nb, nx, ny) — the
+    quirk-#14 sign convention shared by every solver here (matches
+    physics.probe.shift_probes)."""
+    ph = (2.0 * np.pi) * (kx[:, None] * pos_b[:, 0, None, None]
+                          + ky[None, :] * pos_b[:, 1, None, None])
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
 def _probe_center(probe) -> Tuple[float, float]:
     """Real-space peak of the UNSHIFTED base probe. probe_array's
     ifftshift puts the peak at index n - n//2 = (n+1)//2, which differs
@@ -251,9 +286,12 @@ def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
 
     kx = np.asarray(kxs, np.float64)[:, None]
     ky = np.asarray(kys, np.float64)[None, :]
+    # Zero-total frames (a low-dose scan position that caught no counts)
+    # must not NaN-poison the whole map: their deflection is defined 0.
     total = data4d.sum(axis=(-2, -1))
-    comx = (data4d * kx).sum(axis=(-2, -1)) / total
-    comy = (data4d * ky).sum(axis=(-2, -1)) / total
+    safe = np.where(total > 0, total, 1.0)
+    comx = np.where(total > 0, (data4d * kx).sum(axis=(-2, -1)) / safe, 0.0)
+    comy = np.where(total > 0, (data4d * ky).sum(axis=(-2, -1)) / safe, 0.0)
 
     qx = np.fft.fftfreq(n_sx, d=dx)[:, None]
     qy = np.fft.fftfreq(n_sy, d=dy)[None, :]
@@ -410,14 +448,12 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
 
     from ..physics.adjoint import multislice_diff
 
-    two_pi = 2.0 * np.pi
     rdtype = v0.dtype
+    prec = _precision_of(rdtype)
 
     def shifted(probe_modes, pos):
         # probe_modes: (K, nx, ny); pos: (nb, 2) -> (nb, K, nx, ny)
-        ph = two_pi * (kx[:, None] * pos[:, 0, None, None]
-                       + ky[None, :] * pos[:, 1, None, None])
-        ramp = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        ramp = _shift_ramps(kx, ky, pos)
         return matfft.ifft2(matfft.fft2(probe_modes)[None]
                             * ramp[:, None])
 
@@ -427,7 +463,7 @@ def _msp_run(amps, positions, batches, v0, probe0, kx, ky, *, lr_v, lr_probe,
         nb_l, k_modes = psi_b.shape[0], psi_b.shape[1]
         exit_b = multislice_diff(
             psi_b.reshape(nb_l * k_modes, *psi_b.shape[2:]),
-            params["v"], kx, ky, eV=eV, dz=dz)
+            params["v"], kx, ky, eV=eV, dz=dz, precision=prec)
         inten = jnp.abs(matfft.fft2(exit_b)) ** 2
         # mutually INCOHERENT modes: intensities add (mixed-state probe)
         inten = inten.reshape(nb_l, k_modes, *inten.shape[1:]).sum(axis=1)
@@ -614,22 +650,14 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
                                  + [p0[None] * e for e in envs], axis=0)
     else:
         modes0 = jnp.asarray(p0)[None]
-    amps = np.sqrt(np.maximum(np.fft.ifftshift(data, axes=(-2, -1)), 0.0))
+    amps = _detector_amplitudes(data)
 
     nb = npos if batch is None else int(min(batch, npos))
     if mesh is not None and nb % mesh.size != 0:
         raise ValueError(
             f"minibatch size {nb} must divide by the mesh's {mesh.size} "
             "devices (pass batch=...)")
-    rng = np.random.default_rng(seed)
-    batches = np.empty((steps, nb), np.int32)
-    # shuffled epochs: every position visited once per ceil(npos/nb) steps
-    perm, used = rng.permutation(npos), 0
-    for s in range(steps):
-        if used + nb > npos:
-            perm, used = rng.permutation(npos), 0
-        batches[s] = perm[used:used + nb]
-        used += nb
+    batches = _epoch_batches(npos, nb, steps, seed)
 
     rd = np.dtype(prec.real)
     if v_init is None:

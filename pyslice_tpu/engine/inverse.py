@@ -34,31 +34,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..analysis.ptychography import (_detector_amplitudes, _epoch_batches,
+                                     _precision_of, _shift_ramps)
 from ..ops import matfft
 from ..physics.adjoint import multislice_diff
 from ..physics.potential import make_plan, rasterize
-from ..utils.host import to_numpy
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "eV", "dz", "lr",
-                                              "refine_z"))
+@functools.partial(jax.jit, static_argnames=("plan", "eV", "dz", "lr"))
 def _refine_run(amps, scan_pos, batches, pos0, probe0, kx, ky, *, plan,
-                eV: float, dz: float, lr: float, refine_z: bool):
+                eV: float, dz: float, lr: float):
     import optax
 
-    two_pi = 2.0 * np.pi
     rdtype = jnp.asarray(pos0).dtype
-
-    def shifted(probe, pos_b):
-        ph = two_pi * (kx[:, None] * pos_b[:, 0, None, None]
-                       + ky[None, :] * pos_b[:, 1, None, None])
-        ramp = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-        return matfft.ifft2(matfft.fft2(probe)[None] * ramp)
+    prec = _precision_of(rdtype)
 
     def batch_loss(atom_pos, a_b, idx):
-        v = rasterize(atom_pos, plan)
-        psi_b = shifted(probe0, jnp.take(scan_pos, idx, axis=0))
-        exit_b = multislice_diff(psi_b, v, kx, ky, eV=eV, dz=dz)
+        v = rasterize(atom_pos, plan, prec)
+        ramps = _shift_ramps(kx, ky, jnp.take(scan_pos, idx, axis=0))
+        psi_b = matfft.ifft2(matfft.fft2(probe0)[None] * ramps)
+        exit_b = multislice_diff(psi_b, v, kx, ky, eV=eV, dz=dz,
+                                 precision=prec)
         mag = jnp.abs(matfft.fft2(exit_b))
         return jnp.mean((mag - a_b) ** 2)
 
@@ -69,10 +65,9 @@ def _refine_run(amps, scan_pos, batches, pos0, probe0, kx, ky, *, plan,
         pos, state = carry
         a_b = jnp.take(amps, idx, axis=0)
         val, g = jax.value_and_grad(batch_loss)(pos, a_b, idx)
-        if not refine_z:
-            # z gradients are exactly zero through the slice binning, but
-            # masking keeps Adam's moments from accumulating noise there.
-            g = g * jnp.asarray([1.0, 1.0, 0.0], dtype=g.dtype)
+        # z gradients are exactly zero through the slice binning, but
+        # masking keeps Adam's moments from accumulating noise there.
+        g = g * jnp.asarray([1.0, 1.0, 0.0], dtype=g.dtype)
         updates, state = opt.update(g, state)
         pos = optax.apply_updates(pos, updates)
         return (pos, state), val.astype(rdtype)
@@ -123,24 +118,16 @@ def refine_structure(data4d, scan_positions, probe, positions0, types,
                      pad_fraction=pad_fraction, debye_waller=debye_waller)
     dz = float(zs[1] - zs[0]) if len(np.asarray(zs)) > 1 else 1.0
 
-    amps = np.sqrt(np.maximum(np.fft.ifftshift(data, axes=(-2, -1)), 0.0))
+    amps = _detector_amplitudes(data)
     nb = npos if batch is None else int(min(batch, npos))
-    rng = np.random.default_rng(seed)
-    batches = np.empty((steps, nb), np.int32)
-    perm, used = rng.permutation(npos), 0
-    for s in range(steps):
-        if used + nb > npos:
-            perm, used = rng.permutation(npos), 0
-        batches[s] = perm[used:used + nb]
-        used += nb
+    batches = _epoch_batches(npos, nb, steps, seed)
 
     pos, losses = _refine_run(
         jnp.asarray(amps.astype(rd)), jnp.asarray(scan.astype(rd)),
         jnp.asarray(batches), jnp.asarray(pos0.astype(rd)), p0,
         jnp.asarray(probe.kxs.astype(rd)),
         jnp.asarray(probe.kys.astype(rd)),
-        plan=plan, eV=float(probe.eV), dz=dz, lr=float(lr),
-        refine_z=False)
+        plan=plan, eV=float(probe.eV), dz=dz, lr=float(lr))
     pos = np.asarray(pos, np.float64)
     disp = np.hypot(pos[:, 0] - pos0[:, 0], pos[:, 1] - pos0[:, 1])
     return dict(positions=pos, displacement=disp,

@@ -582,7 +582,7 @@ def fused_multislice(psi, potential_szy, kxs, kys, *, sigma: float,
     # under jit with traced k axes) and transpose for kernel B's y-major
     # tiles. ``ksq`` (oblique cells) replaces the separable kx^2 + ky^2.
     p_re_t, p_im_t = fresnel_permuted_t(nx, ny, kxs, kys, lam, dz, ksq,
-                                        kmax2)
+                                        kmax2, tantilt)
 
     ba = _block_rows(nx, ny)
     bb = _block_rows(ny, nx)

@@ -138,21 +138,18 @@ def _propagator(cfg, kxs, kys, ksq, prec):
 def _bwd_fused_kind(cfg, a, nz):
     """Which fused Pallas backward fits (ops.fused_step_adjoint): 'aligned'
     for 128-divisible axes, 'odd' for composite odd grids, None -> the XLA
-    scan. Trace-time decision, like every kernel dispatch here."""
-    from ..ops import config as ops_config
-    from ..ops.fused_step_adjoint import (adjoint_supported,
-                                          adjoint_supported_odd)
+    scan. Reuses the FORWARD dispatch predicates (propagate._fused_eligible
+    and friends: TPU backend, single precision, ops.config gate, per-axis
+    size rules) so forward and backward eligibility cannot drift apart.
+    Trace-time decision, like every kernel dispatch here."""
+    from .propagate import _fused_eligible, _fused_odd_eligible
     eV, lam, dz, prec, tantilt, fused = cfg
-    if fused is False or ops_config.fused_multislice == "off":
+    if fused is False or nz < 2 or a.ndim not in (2, 3):
         return None
-    if prec.name != "single" or nz < 2 or a.ndim not in (2, 3):
-        return None
-    if jax.default_backend() != "tpu":
-        return None
-    nx, ny = a.shape[-2], a.shape[-1]
-    if adjoint_supported(nx, ny):
+    shape3 = a.shape if a.ndim == 3 else (1,) + tuple(a.shape)
+    if _fused_eligible(shape3, None, prec):
         return "aligned"
-    if adjoint_supported_odd(nx, ny):
+    if _fused_odd_eligible(shape3, None, prec):
         return "odd"
     return None
 

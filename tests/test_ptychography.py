@@ -495,3 +495,17 @@ def test_msp_poisson_and_tv_at_finite_dose(problem):
     with pytest.raises(ValueError, match="amplitude"):
         msp_reconstruct(counts, positions, p["base"], n_slices=1, dz=DZ,
                         steps=2, loss="l1")
+
+
+def test_icom_zero_count_frame_no_nan(problem):
+    """REGRESSION: a scan position with zero total counts (possible at
+    finite dose) must not NaN-poison the whole iCoM map — its deflection
+    is defined as zero."""
+    p = problem
+    data4d = p["inten"].reshape(p["n_s"], p["n_s"], NX, NY).copy()
+    data4d[3, 5] = 0.0
+    rec = icom_reconstruct(data4d, p["scan_xs"], p["scan_ys"],
+                           p["kxs_shift"], p["kys_shift"], probe=p["base"])
+    assert np.all(np.isfinite(rec["phase"]))
+    assert np.all(np.isfinite(rec["com"]))
+    assert rec["com"][0, 3, 5] == 0.0 and rec["com"][1, 3, 5] == 0.0

@@ -325,3 +325,33 @@ def test_adjoint_odd_backward_on_hardware():
         ops_config.fused_multislice = old
     assert _residual(g_xla, g_fused) < 1e-6
     assert float(np.max(np.abs(g_xla))) > 0
+
+
+def test_beam_tilt_direct_exitwave_parity_on_hardware():
+    """REGRESSION: fused_multislice (the direct exit-wave entry, as
+    opposed to the pipeline's fused k-space variant) dropped tantilt when
+    building its Fresnel planes — the aligned fused forward silently ran
+    UNTILTED. Compare the plain multislice() exit wave with tilt, fused
+    vs XLA, and require it to differ from the untilted run."""
+    _require_tpu()
+    from pyslice_tpu.physics.propagate import multislice
+    from pyslice_tpu.utils.host import to_device_complex, to_numpy
+
+    nx = ny = 256
+    rng = np.random.default_rng(4)
+    psi = (rng.standard_normal((2, nx, ny))
+           + 1j * rng.standard_normal((2, nx, ny))).astype(np.complex64)
+    pot = (rng.standard_normal((4, nx, ny)) * 20).astype(np.float32)
+    kxs = np.fft.fftfreq(nx, 0.1).astype(np.float32)
+    kys = np.fft.fftfreq(ny, 0.1).astype(np.float32)
+    psi_d = to_device_complex(psi)
+    outs = {}
+    for fused in (True, False):
+        outs[fused] = to_numpy(multislice(
+            psi_d, jnp.asarray(pot), kxs, kys, eV=100e3, dz=0.5,
+            precision="single", fused=fused, tilt=(7.0, -3.0)))
+    assert _residual(outs[False], outs[True]) < 1e-6
+    straight = to_numpy(multislice(
+        psi_d, jnp.asarray(pot), kxs, kys, eV=100e3, dz=0.5,
+        precision="single", fused=True))
+    assert _residual(straight, outs[True]) > 1e-8
