@@ -46,6 +46,37 @@ def _natural_key(p: Path):
             for t in re.split(r"(\d+)", p.name)]
 
 
+def parse_any(path: Path):
+    """(types, positions, velocities, box) for one file; dispatches by
+    suffix with transparent .gz handling. Shared by the eager loader and
+    the streaming reader (io.stream)."""
+    path = Path(path)
+    suffixes = [s.lower() for s in path.suffixes]
+    gz = suffixes and suffixes[-1] == ".gz"
+    kind = (suffixes[-2] if gz and len(suffixes) > 1
+            else (suffixes[-1] if suffixes else ""))
+    if kind == ".cif":
+        types, pos, box = cif_io.parse_cif(path)
+        return types, pos, np.zeros_like(pos), box
+    if kind == ".xyz":
+        return xyz_io.parse_xyz(path)
+    # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
+    # reads raw text only — gzipped and binary dumps (LAMMPS writes
+    # binary for filenames ending .bin) go straight to the Python
+    # parser, which sniffs gzip magic bytes and binary NUL words.
+    if kind in (".bin", ".lammpsbin"):
+        return lammps_io.parse_lammps_dump_binary(path)
+    if not gz:
+        with open(path, "rb") as fh:
+            head = fh.read(256)
+        if b"\x00" not in head:
+            from .native_loader import parse_lammps_dump_native
+            native = parse_lammps_dump_native(path)
+            if native is not None:
+                return native
+    return lammps_io.parse_lammps_dump(path)
+
+
 class TrajectoryLoader:
     def __init__(self,
                  filename: Union[str, Path, Sequence[Union[str, Path]]],
@@ -177,32 +208,7 @@ class TrajectoryLoader:
     # --- load ------------------------------------------------------------------
 
     def _parse_one(self, path: Path):
-        """(types, positions, velocities, box) for one file; dispatches by
-        suffix with transparent .gz handling."""
-        suffixes = [s.lower() for s in path.suffixes]
-        gz = suffixes and suffixes[-1] == ".gz"
-        kind = (suffixes[-2] if gz and len(suffixes) > 1
-                else (suffixes[-1] if suffixes else ""))
-        if kind == ".cif":
-            types, pos, box = cif_io.parse_cif(path)
-            return types, pos, np.zeros_like(pos), box
-        if kind == ".xyz":
-            return xyz_io.parse_xyz(path)
-        # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
-        # reads raw text only — gzipped and binary dumps (LAMMPS writes
-        # binary for filenames ending .bin) go straight to the Python
-        # parser, which sniffs gzip magic bytes and binary NUL words.
-        if kind in (".bin", ".lammpsbin"):
-            return lammps_io.parse_lammps_dump_binary(path)
-        if not gz:
-            with open(path, "rb") as fh:
-                head = fh.read(256)
-            if b"\x00" not in head:
-                from .native_loader import parse_lammps_dump_native
-                native = parse_lammps_dump_native(path)
-                if native is not None:
-                    return native
-        return lammps_io.parse_lammps_dump(path)
+        return parse_any(path)
 
     def load(self) -> Trajectory:
         cached = self._load_from_cache() if self.use_cache else None

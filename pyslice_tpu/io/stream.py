@@ -1,0 +1,341 @@
+"""Streaming trajectory ingest: frame blocks without loading everything.
+
+``TrajectoryLoader`` materializes the WHOLE trajectory ((n_frames,
+n_atoms, 3) float64 — tens of GB at production scale) before anything
+runs; the streaming engines (engine/streaming.py) then consume it in
+frame blocks anyway. ``TrajectoryStream`` closes the gap on the ingest
+side: it iterates a LAMMPS dump (text / .gz / binary / multi-file
+patterns — the same surface the eager loader resolves) one frame block
+at a time with O(block) memory, and a background prefetch thread parses
+the next block while the TPU computes on the current one.
+
+Unwrap semantics match the eager loader (io/loader.py:207-236,
+io/lammps.py:_finalize_frames) exactly for the supported layouts:
+
+* frames carrying image flags unwrap absolutely (pos + i @ box.T);
+* frames without flags unwrap by frame-to-frame minimum-image
+  continuity — per streamed frame, ``stitch_continuity(prev, frame)``
+  IS the recursion ``unwrap_continuity`` applies to a stacked array;
+* at every file seam the block is stitched against the previous file's
+  last frame (the loader's multi-file rule; a no-op for flag-unwrapped
+  files).
+
+The reference inherits ingest from OVITO and holds everything in memory
+(/root/reference/src/io/loader.py:195-271); it has no streaming story.
+
+Typical wiring with the streaming engines::
+
+    stream = TrajectoryStream("dump.*.lammpstrj.gz", timestep=0.005,
+                              atom_mapping={1: "B", 2: "N"},
+                              block_frames=8)
+    st = StreamingTACAW(spec, probes, stream.count_frames(), ...)
+    for idx, pos in stream.blocks():
+        st.add_frame_block(list(idx), pos)
+"""
+
+from __future__ import annotations
+
+import gzip
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from . import lammps as lammps_io
+from .loader import TrajectoryLoader, parse_any
+
+
+def _is_gz(path: Path) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(2) == b"\x1f\x8b"
+
+
+def _is_binary_dump(path: Path) -> bool:
+    opener = gzip.open if _is_gz(path) else open
+    with opener(path, "rb") as fh:
+        return b"\x00" in fh.read(256)
+
+
+def _is_streamable_lammps(path: Path) -> bool:
+    """Text LAMMPS dumps (plain or gzipped) stream frame by frame; every
+    other format (binary dumps, xyz, cif) parses eagerly per file."""
+    suffixes = [s.lower() for s in path.suffixes]
+    kind = (suffixes[-2] if suffixes and suffixes[-1] == ".gz"
+            and len(suffixes) > 1 else (suffixes[-1] if suffixes else ""))
+    if kind in (".cif", ".xyz", ".bin", ".lammpsbin"):
+        return False
+    return not _is_binary_dump(path)
+
+
+class _LineReader:
+    def __init__(self, fh, path):
+        self.fh = fh
+        self.path = path
+        self.no = 0                      # 1-based number of the LAST line
+
+    def next(self) -> Optional[str]:
+        line = self.fh.readline()
+        if not line:
+            return None
+        self.no += 1
+        return line.rstrip("\n")
+
+    def need(self, what: str) -> str:
+        line = self.next()
+        if line is None:
+            raise ValueError(f"{self.path}: line {self.no + 1}: expected "
+                             f"{what} (unexpected EOF)")
+        return line
+
+
+def _open_text(path: Path):
+    return (gzip.open(path, "rt") if _is_gz(path)
+            else open(path, "r"))
+
+
+def iter_lammps_text_frames(path):
+    """Yield ``(pos, vel, images|None, types|None, box_matrix)`` per frame
+    of a text dump, reading incrementally (same column/unwrap semantics as
+    parse_lammps_dump; velocities zero when absent, positions WRAPPED —
+    unwrapping is the caller's policy)."""
+    path = Path(path)
+    with _open_text(path) as fh:
+        rd = _LineReader(fh, path)
+        while True:
+            line = rd.next()
+            if line is None:
+                return
+            if not line.startswith("ITEM: TIMESTEP"):
+                continue
+            rd.need("a timestep value")
+            hdr = rd.need("'ITEM: NUMBER OF ATOMS'")
+            if not hdr.startswith("ITEM: NUMBER OF ATOMS"):
+                raise ValueError(f"{path}: line {rd.no}: expected "
+                                 f"'ITEM: NUMBER OF ATOMS' (got: {hdr!r})")
+            try:
+                n_atoms = int(rd.need("an atom count"))
+            except ValueError:
+                raise ValueError(f"{path}: line {rd.no}: expected an "
+                                 "integer atom count") from None
+            bhdr = rd.need("'ITEM: BOX BOUNDS'")
+            if not bhdr.startswith("ITEM: BOX BOUNDS"):
+                raise ValueError(f"{path}: line {rd.no}: expected "
+                                 f"'ITEM: BOX BOUNDS' (got: {bhdr!r})")
+            tilted = any(t in bhdr for t in ("xy", "xz", "yz"))
+            bounds = [rd.need("box bounds") for _ in range(3)]
+            try:
+                box_matrix, origin = lammps_io._parse_box(bounds, tilted)
+            except (ValueError, IndexError):
+                raise ValueError(f"{path}: line {rd.no}: malformed BOX "
+                                 "BOUNDS values") from None
+            ahdr = rd.need("'ITEM: ATOMS'")
+            if not ahdr.startswith("ITEM: ATOMS"):
+                raise ValueError(f"{path}: line {rd.no}: expected "
+                                 f"'ITEM: ATOMS' (got: {ahdr!r})")
+            cols = ahdr.split()[2:]
+            col = {c: j for j, c in enumerate(cols)}
+            rows = [rd.need("an atom row").split() for _ in range(n_atoms)]
+            if "element" in col:
+                from ..physics.kirkland import element_to_z
+                e = col["element"]
+                for r, row in enumerate(rows):
+                    if len(row) == len(cols):
+                        try:
+                            row[e] = str(element_to_z(row[e]))
+                        except ValueError:
+                            raise ValueError(
+                                f"{path}: line {rd.no - n_atoms + r + 1}: "
+                                f"unknown element symbol "
+                                f"{row[e]!r}") from None
+            try:
+                block = np.array(rows, dtype=np.float64)
+            except ValueError:
+                widths = {len(r) for r in rows}
+                raise ValueError(
+                    f"{path}: line {rd.no - n_atoms + 1}: malformed atom "
+                    f"block (row widths {sorted(widths)}, header declares "
+                    f"{len(cols)} columns)") from None
+            if block.ndim != 2 or block.shape[1] != len(cols):
+                raise ValueError(
+                    f"{path}: line {rd.no - n_atoms + 1}: atom rows do not "
+                    f"match the {len(cols)}-column ITEM: ATOMS header")
+            pos, vel, images, types = lammps_io._frame_from_block(
+                block, col, box_matrix, origin)
+            yield pos, vel, images, types, box_matrix
+
+
+def count_lammps_text_frames(path) -> int:
+    n = 0
+    with _open_text(Path(path)) as fh:
+        for line in fh:
+            if line.startswith("ITEM: TIMESTEP"):
+                n += 1
+    return n
+
+
+class TrajectoryStream:
+    """Iterate a trajectory in frame BLOCKS with O(block) memory.
+
+    Args:
+        filename: one path, a glob pattern, or an explicit file list —
+            the same surface ``TrajectoryLoader`` resolves (natural file
+            order).
+        timestep: ps per frame (metadata only; carried for symmetry with
+            the loader).
+        atom_mapping: {dump type: Z or element name}, as the loader.
+        block_frames: frames per yielded block.
+        prefetch: number of blocks the background parser may run ahead
+            (0 disables the thread — fully synchronous).
+
+    After construction (which parses just the FIRST frame), ``atom_types``
+    (mapped), ``box_matrix``, and ``n_atoms`` are available. Frames
+    re-parse on every ``blocks()``/``frames()`` iteration; velocities are
+    not carried (the streaming engines consume positions only — use the
+    eager loader if you need them).
+    """
+
+    def __init__(self, filename, timestep: float = 0.005,
+                 atom_mapping=None, block_frames: int = 8,
+                 prefetch: int = 2):
+        self.filepaths = TrajectoryLoader._resolve_files(filename)
+        self.timestep = float(timestep)
+        self.block_frames = int(block_frames)
+        if self.block_frames < 1:
+            raise ValueError(f"block_frames must be >= 1, "
+                             f"got {block_frames}")
+        self.prefetch = int(prefetch)
+        self._mapping = TrajectoryLoader._process_atom_mapping(atom_mapping)
+
+        first = next(self._iter_raw_frames())
+        pos0, types0, box = first
+        self.n_atoms = pos0.shape[0]
+        self.box_matrix = np.asarray(box, dtype=np.float64)
+        raw_types = (np.ones(self.n_atoms, np.int32) if types0 is None
+                     else np.asarray(types0, np.int32))
+        self.atom_types = self._map_types(raw_types)
+
+    # -- internals ----------------------------------------------------------
+
+    def _map_types(self, types: np.ndarray) -> np.ndarray:
+        if self._mapping is None:
+            return types
+        mapped = types.copy()
+        for t in np.unique(types):
+            if int(t) in self._mapping:
+                mapped[types == t] = self._mapping[int(t)]
+        return mapped
+
+    def _iter_raw_frames(self):
+        """Yield (unwrapped_pos, types|None, box) across all files, with
+        the loader's unwrap/stitch semantics applied stream-wise."""
+        prev_last = None
+        for path in self.filepaths:
+            if _is_streamable_lammps(path):
+                # flag-unwrapped files get ONE constant per-atom seam
+                # shift (the loader stitches whole file blocks); it is
+                # computed at the file's first frame and reused.
+                file_shift = None
+                for pos, vel, images, types, box in \
+                        iter_lammps_text_frames(path):
+                    if images is not None:
+                        pos = pos + images @ np.asarray(box).T
+                        if file_shift is None:
+                            file_shift = (np.zeros_like(pos)
+                                          if prev_last is None else
+                                          lammps_io.stitch_continuity(
+                                              prev_last, pos[None],
+                                              np.asarray(box))[0] - pos)
+                        pos = pos + file_shift
+                    elif prev_last is not None:
+                        pos = lammps_io.stitch_continuity(
+                            prev_last, pos[None], np.asarray(box))[0]
+                    prev_last = pos
+                    yield pos, types, box
+            else:
+                types, pos_all, vel_all, box = parse_any(path)
+                # the eager parser already unwrapped within the file;
+                # stitch its first frame against the running trajectory
+                if prev_last is not None:
+                    pos_all = lammps_io.stitch_continuity(
+                        prev_last, pos_all, np.asarray(box))
+                for f in range(pos_all.shape[0]):
+                    prev_last = pos_all[f]
+                    yield pos_all[f], types, box
+
+    def _iter_blocks_sync(self):
+        idx0 = 0
+        buf = []
+        for pos, types, box in self._iter_raw_frames():
+            if pos.shape[0] != self.n_atoms:
+                raise ValueError(
+                    f"frame {idx0 + len(buf)} has {pos.shape[0]} atoms; "
+                    f"the first frame had {self.n_atoms} — not one "
+                    "trajectory")
+            buf.append(pos)
+            if len(buf) == self.block_frames:
+                yield (np.arange(idx0, idx0 + len(buf)), np.stack(buf))
+                idx0 += len(buf)
+                buf = []
+        if buf:
+            yield (np.arange(idx0, idx0 + len(buf)), np.stack(buf))
+
+    # -- public -------------------------------------------------------------
+
+    def blocks(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield ``(frame_indices (B,), positions (B, n_atoms, 3))`` —
+        prefetched on a background thread when ``prefetch > 0`` (the next
+        block parses while the caller computes on the current one)."""
+        if self.prefetch <= 0:
+            yield from self._iter_blocks_sync()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def worker():
+            try:
+                for item in self._iter_blocks_sync():
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put((_END, None))
+            except BaseException as e:  # noqa: BLE001 — reraised below
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="pyslice-stream-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item[0] is _END:
+                    return
+                if item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
+
+    def frames(self) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield ``(frame_index, positions (n_atoms, 3))``."""
+        for idx, block in self.blocks():
+            for k in range(len(idx)):
+                yield int(idx[k]), block[k]
+
+    def count_frames(self) -> int:
+        """Total frame count (a cheap header scan for text dumps; eager
+        formats parse their file once)."""
+        total = 0
+        for path in self.filepaths:
+            if _is_streamable_lammps(path):
+                total += count_lammps_text_frames(path)
+            else:
+                total += parse_any(path)[1].shape[0]
+        return total
