@@ -229,3 +229,47 @@ def radial_profile(pattern, kxs, kys, n_bins: int = 128,
     prof = sums / np.maximum(counts, 1)[None, :]
     centers = (np.arange(n_bins) + 0.5) * (kmax / n_bins)
     return centers, prof.reshape(*pattern.shape[:-2], n_bins)
+
+
+def apply_detector_mtf(pattern, *, a: float = 0.1, c: float = 0.5,
+                       order: float = 2.0, mtf=None):
+    """Detector modulation-transfer-function blur on recorded pattern(s).
+
+    Real pixelated detectors spread each electron's charge over
+    neighboring pixels; the recorded pattern is the true one convolved
+    with the pixel point-spread function — a multiplication by the MTF in
+    the pattern's Fourier domain. The default parametric form is the
+    standard soft-Lorentzian fit used for direct detectors
+    (e.g. Kirkland App. A; abTEM's detector model):
+
+        MTF(w) = (1 - a) / (1 + (w / c)**order) + a
+
+    with ``w`` the spatial frequency in units of the detector NYQUIST
+    (w = 1 at one cycle per two pixels), ``c`` the half-falloff
+    frequency, and ``a`` the high-frequency floor (charge that stays in
+    one pixel). Pass ``mtf`` (a callable w -> response, vectorized) to
+    override the form entirely.
+
+    Apply AFTER shot noise for the physical pipeline (each counted
+    electron's charge spreads): ``apply_detector_mtf(apply_shot_noise(
+    I, dose))``. Works on any (..., nkx, nky) stack; returns float64
+    numpy. Energy (the pattern sum) is conserved exactly: MTF(0) = 1.
+    """
+    pat = np.asarray(pattern, dtype=np.float64)
+    nkx, nky = pat.shape[-2:]
+    wx = np.abs(np.fft.fftfreq(nkx)) * 2.0        # 1.0 at Nyquist
+    wy = np.abs(np.fft.fftfreq(nky)) * 2.0
+    w = np.sqrt(wx[:, None] ** 2 + wy[None, :] ** 2)
+    if mtf is None:
+        if not 0.0 <= a < 1.0:
+            raise ValueError(f"MTF floor a must be in [0, 1), got {a}")
+        if c <= 0.0:
+            raise ValueError(f"MTF falloff c must be > 0, got {c}")
+        resp = (1.0 - a) / (1.0 + (w / c) ** order) + a
+    else:
+        resp = np.asarray(mtf(w), dtype=np.float64)
+        if resp.shape != w.shape:
+            raise ValueError("mtf(w) must return an array of w's shape")
+    blurred = np.fft.ifft2(np.fft.fft2(pat, axes=(-2, -1)) * resp,
+                           axes=(-2, -1)).real
+    return blurred

@@ -190,3 +190,30 @@ class TestPACBEDAndRadial:
         np.testing.assert_allclose(prof[0], p0)
         with pytest.raises(ValueError, match="kmax"):
             detectors.radial_profile(pats[0], kxs, kys, kmax=0.0)
+
+
+def test_detector_mtf():
+    """MTF blur: energy-conserving (MTF(0)=1), identity at mtf=1, reduces
+    high-frequency variance, and the parametric floor keeps a point's
+    central pixel dominant."""
+    from pyslice_tpu.analysis.detectors import apply_detector_mtf
+
+    rng = np.random.default_rng(0)
+    pat = rng.random((3, 32, 32))
+    out = apply_detector_mtf(pat, a=0.1, c=0.4)
+    # energy conserved per pattern
+    np.testing.assert_allclose(out.sum(axis=(-2, -1)),
+                               pat.sum(axis=(-2, -1)), rtol=1e-12)
+    # identity MTF is exact
+    ident = apply_detector_mtf(pat, mtf=lambda w: np.ones_like(w))
+    np.testing.assert_allclose(ident, pat, atol=1e-12)
+    # blur shrinks fluctuation
+    assert out.std() < pat.std()
+    # a point source spreads but keeps its center as the max
+    point = np.zeros((16, 16))
+    point[8, 8] = 1.0
+    sp = apply_detector_mtf(point, a=0.05, c=0.3)
+    assert sp[8, 8] == sp.max() and 0 < sp[8, 8] < 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="floor"):
+        apply_detector_mtf(point, a=1.5)
