@@ -265,6 +265,10 @@ def apply_detector_mtf(pattern, *, a: float = 0.1, c: float = 0.5,
             raise ValueError(f"MTF floor a must be in [0, 1), got {a}")
         if c <= 0.0:
             raise ValueError(f"MTF falloff c must be > 0, got {c}")
+        if order <= 0.0:
+            raise ValueError(f"MTF order must be > 0, got {order} "
+                             "(non-positive orders break MTF(0) = 1, the "
+                             "energy-conservation guarantee)")
         resp = (1.0 - a) / (1.0 + (w / c) ** order) + a
     else:
         resp = np.asarray(mtf(w), dtype=np.float64)

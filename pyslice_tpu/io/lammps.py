@@ -121,6 +121,31 @@ def _finalize_frames(path, atom_types, frames_pos, frames_vel, images_list,
     return atom_types, positions, velocities, box_matrix
 
 
+def _build_atom_block(rows, cols, col, bad):
+    """Rows-of-strings -> validated float64 block (shared by the eager and
+    streaming text parsers). ``bad(msg, row_offset)`` raises with position
+    info; element-name columns are rewritten to atomic numbers first."""
+    if "element" in col:
+        from ..physics.kirkland import element_to_z
+        e = col["element"]
+        for r, row in enumerate(rows):
+            if len(row) == len(cols):
+                try:
+                    row[e] = str(element_to_z(row[e]))
+                except ValueError:
+                    bad(f"unknown element symbol {row[e]!r}", r)
+    try:
+        block = np.array(rows, dtype=np.float64)
+    except ValueError:
+        widths = {len(r) for r in rows}
+        bad(f"malformed atom block (row widths {sorted(widths)}, header "
+            f"declares {len(cols)} columns)", 0)
+    if block.ndim != 2 or block.shape[1] != len(cols):
+        bad(f"atom rows have {block.shape[-1] if block.ndim == 2 else '?'}"
+            f" values but the ITEM: ATOMS header declares {len(cols)}", 0)
+    return block
+
+
 def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Parse a text or binary dump (sniffed: binary snapshots embed NUL
     bytes in their first words; text dumps are pure ASCII headers).
@@ -182,29 +207,11 @@ def parse_lammps_dump(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
                 f"after {n_lines - i}", n_lines)
         col = {c: j for j, c in enumerate(cols)}
         rows = [ln.split() for ln in lines[i:i + n_atoms]]
-        if "element" in col:
-            # Element-name column (dump_modify element ...): replace the
-            # symbols with their atomic numbers so the block parses
-            # uniformly; they double as the types when no numeric `type`
-            # column exists.
-            from ..physics.kirkland import element_to_z
-            e = col["element"]
-            for r, row in enumerate(rows):
-                if len(row) == len(cols):
-                    try:
-                        row[e] = str(element_to_z(row[e]))
-                    except ValueError:
-                        bad(f"unknown element symbol {row[e]!r}", i + r)
-        try:
-            block = np.array(rows, dtype=np.float64)
-        except ValueError:
-            widths = {len(r) for r in rows}
-            bad(f"malformed atom block (row widths {sorted(widths)}, header "
-                f"declares {len(cols)} columns)", i)
-        if block.ndim != 2 or block.shape[1] != len(cols):
-            bad(f"atom rows have {block.shape[-1] if block.ndim == 2 else '?'}"
-                f" values but the ITEM: ATOMS header declares {len(cols)}",
-                header_line)
+        # Element-name columns (dump_modify element ...) are rewritten to
+        # atomic numbers inside the shared block builder.
+        block = _build_atom_block(
+            rows, cols, col,
+            lambda msg, off, _i=i: bad(msg, _i + off))
         i += n_atoms
 
         pos, vel, images, types = _frame_from_block(block, col, box_matrix,

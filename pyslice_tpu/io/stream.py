@@ -20,6 +20,13 @@ io/lammps.py:_finalize_frames) exactly for the supported layouts:
   last frame (the loader's multi-file rule; a no-op for flag-unwrapped
   files).
 
+Where streaming CANNOT reproduce the loader, it refuses loudly instead
+of silently diverging: a box that changes between frames raises (NPT —
+the whole pipeline assumes one fixed cell, and the eager loader quietly
+unwraps such dumps with the LAST frame's box), and a single file mixing
+flagged and flagless frames raises (the loader's all-or-nothing per-file
+rule needs the whole file up front).
+
 The reference inherits ingest from OVITO and holds everything in memory
 (/root/reference/src/io/loader.py:195-271); it has no streaming story.
 
@@ -137,30 +144,11 @@ def iter_lammps_text_frames(path):
             cols = ahdr.split()[2:]
             col = {c: j for j, c in enumerate(cols)}
             rows = [rd.need("an atom row").split() for _ in range(n_atoms)]
-            if "element" in col:
-                from ..physics.kirkland import element_to_z
-                e = col["element"]
-                for r, row in enumerate(rows):
-                    if len(row) == len(cols):
-                        try:
-                            row[e] = str(element_to_z(row[e]))
-                        except ValueError:
-                            raise ValueError(
-                                f"{path}: line {rd.no - n_atoms + r + 1}: "
-                                f"unknown element symbol "
-                                f"{row[e]!r}") from None
-            try:
-                block = np.array(rows, dtype=np.float64)
-            except ValueError:
-                widths = {len(r) for r in rows}
-                raise ValueError(
-                    f"{path}: line {rd.no - n_atoms + 1}: malformed atom "
-                    f"block (row widths {sorted(widths)}, header declares "
-                    f"{len(cols)} columns)") from None
-            if block.ndim != 2 or block.shape[1] != len(cols):
-                raise ValueError(
-                    f"{path}: line {rd.no - n_atoms + 1}: atom rows do not "
-                    f"match the {len(cols)}-column ITEM: ATOMS header")
+
+            def bad(msg, off, _base=rd.no - n_atoms):
+                raise ValueError(f"{path}: line {_base + off + 1}: {msg}")
+
+            block = lammps_io._build_atom_block(rows, cols, col, bad)
             pos, vel, images, types = lammps_io._frame_from_block(
                 block, col, box_matrix, origin)
             yield pos, vel, images, types, box_matrix
@@ -189,11 +177,13 @@ class TrajectoryStream:
         prefetch: number of blocks the background parser may run ahead
             (0 disables the thread — fully synchronous).
 
-    After construction (which parses just the FIRST frame), ``atom_types``
-    (mapped), ``box_matrix``, and ``n_atoms`` are available. Frames
-    re-parse on every ``blocks()``/``frames()`` iteration; velocities are
-    not carried (the streaming engines consume positions only — use the
-    eager loader if you need them).
+    After construction (which reads just the FIRST frame for text dumps;
+    eager formats parse their file once into a one-file cache shared with
+    ``count_frames``/``blocks``), ``atom_types`` (mapped), ``box_matrix``,
+    and ``n_atoms`` are available. Text frames re-parse on every
+    ``blocks()``/``frames()`` iteration; velocities are not carried (the
+    streaming engines consume positions only — use the eager loader if
+    you need them).
     """
 
     def __init__(self, filename, timestep: float = 0.005,
@@ -208,7 +198,12 @@ class TrajectoryStream:
         self.prefetch = int(prefetch)
         self._mapping = TrajectoryLoader._process_atom_mapping(atom_mapping)
 
-        first = next(self._iter_raw_frames())
+        self._eager_cache = (None, None)   # (path, parse_any result)
+        try:
+            first = next(self._iter_raw_frames())
+        except StopIteration:
+            raise ValueError(
+                f"No frames found in {self.filepaths[0]}") from None
         pos0, types0, box = first
         self.n_atoms = pos0.shape[0]
         self.box_matrix = np.asarray(box, dtype=np.float64)
@@ -227,9 +222,51 @@ class TrajectoryStream:
                 mapped[types == t] = self._mapping[int(t)]
         return mapped
 
+    def _parse_eager(self, path):
+        """parse_any with a one-file cache: at most one eager file is ever
+        resident, and __init__ / count_frames / blocks() share its parse."""
+        cached_path, cached = self._eager_cache
+        if cached_path == path:
+            return cached
+        parsed = parse_any(path)
+        self._eager_cache = (path, parsed)
+        return parsed
+
+    def _check_types(self, types, path):
+        if types is None:
+            return
+        if self._first_types is None:
+            self._first_types = np.asarray(types, np.int32)
+        elif not np.array_equal(np.asarray(types, np.int32),
+                                self._first_types):
+            raise ValueError(f"{path}: atom types differ from the first "
+                             "file's — not one trajectory")
+
+    def _check_box(self, box, path):
+        box = np.asarray(box, np.float64)
+        if self._first_box is None:
+            self._first_box = box
+        elif not np.allclose(box, self._first_box, rtol=1e-9, atol=1e-9):
+            raise ValueError(
+                f"{path}: the box changed between frames (NPT-style "
+                "trajectory). The whole pipeline assumes one fixed cell "
+                "(Trajectory carries a single box_matrix), and continuity "
+                "unwrapping against a moving box is ill-defined — resample "
+                "or rescale the trajectory to a fixed cell first. (The "
+                "eager loader silently unwraps NPT dumps with the LAST "
+                "frame's box — equally wrong, less honestly.)")
+
     def _iter_raw_frames(self):
         """Yield (unwrapped_pos, types|None, box) across all files, with
-        the loader's unwrap/stitch semantics applied stream-wise."""
+        the loader's unwrap/stitch semantics applied stream-wise.
+
+        Divergences from the eager loader are LOUD, never silent: a box
+        that changes between frames raises (NPT — ill-defined here and
+        quietly mishandled there), and a file MIXING flagged and flagless
+        frames raises (the loader falls back to continuity for the whole
+        file; a stream cannot know the tail in advance)."""
+        self._first_types = getattr(self, "_first_types", None)
+        self._first_box = getattr(self, "_first_box", None)
         prev_last = None
         for path in self.filepaths:
             if _is_streamable_lammps(path):
@@ -237,8 +274,18 @@ class TrajectoryStream:
                 # shift (the loader stitches whole file blocks); it is
                 # computed at the file's first frame and reused.
                 file_shift = None
+                file_has_flags = None
                 for pos, vel, images, types, box in \
                         iter_lammps_text_frames(path):
+                    self._check_box(box, path)
+                    self._check_types(types, path)
+                    if file_has_flags is None:
+                        file_has_flags = images is not None
+                    elif file_has_flags != (images is not None):
+                        raise ValueError(
+                            f"{path}: frames mix image-flag and flagless "
+                            "atom columns — unwrap policy is per file; "
+                            "split the file or add flags everywhere")
                     if images is not None:
                         pos = pos + images @ np.asarray(box).T
                         if file_shift is None:
@@ -254,7 +301,9 @@ class TrajectoryStream:
                     prev_last = pos
                     yield pos, types, box
             else:
-                types, pos_all, vel_all, box = parse_any(path)
+                types, pos_all, vel_all, box = self._parse_eager(path)
+                self._check_box(box, path)
+                self._check_types(types, path)
                 # the eager parser already unwrapped within the file;
                 # stitch its first frame against the running trajectory
                 if prev_last is not None:
@@ -294,20 +343,23 @@ class TrajectoryStream:
         stop = threading.Event()
         _END, _ERR = object(), object()
 
+        def put_until_stopped(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in self._iter_blocks_sync():
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_until_stopped(item):
                         return
-                q.put((_END, None))
+                put_until_stopped((_END, None))
             except BaseException as e:  # noqa: BLE001 — reraised below
-                q.put((_ERR, e))
+                put_until_stopped((_ERR, e))
 
         t = threading.Thread(target=worker, daemon=True,
                              name="pyslice-stream-prefetch")
@@ -337,5 +389,5 @@ class TrajectoryStream:
             if _is_streamable_lammps(path):
                 total += count_lammps_text_frames(path)
             else:
-                total += parse_any(path)[1].shape[0]
+                total += self._parse_eager(path)[1].shape[0]
         return total

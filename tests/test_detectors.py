@@ -217,3 +217,11 @@ def test_detector_mtf():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="floor"):
         apply_detector_mtf(point, a=1.5)
+
+
+def test_detector_mtf_order_validation():
+    from pyslice_tpu.analysis.detectors import apply_detector_mtf
+    with pytest.raises(ValueError, match="order"):
+        apply_detector_mtf(np.ones((8, 8)), order=0.0)
+    with pytest.raises(ValueError, match="order"):
+        apply_detector_mtf(np.ones((8, 8)), order=-2.0)

@@ -146,3 +146,83 @@ def test_stream_feeds_streaming_tacaw(tmp_path):
     s_stream = run(stream.blocks())
     np.testing.assert_array_equal(np.asarray(s_eager),
                                   np.asarray(s_stream))
+
+
+def test_stream_guards(tmp_path):
+    """Loud failures where parity with the eager loader is impossible:
+    NPT (box changes between frames), mixed flag/flagless frames in one
+    file, multi-file type mismatch, zero-frame file; plus early consumer
+    abandonment must not deadlock the prefetch worker."""
+    types, wrapped, vel, box = _traj(n_frames=4, crossing=False)
+
+    # NPT: grow the box on the later frames
+    f = tmp_path / "npt.lammpstrj"
+    with open(f, "w") as fh:
+        for t in range(4):
+            scale = 1.0 + 0.05 * t
+            fh.write("ITEM: TIMESTEP\n%d\n" % t)
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % wrapped.shape[1])
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                fh.write("0.0 %.6f\n" % (box[d, d] * scale))
+            fh.write("ITEM: ATOMS id type x y z\n")
+            for a in range(wrapped.shape[1]):
+                fh.write("%d %d %.6f %.6f %.6f\n"
+                         % (a + 1, types[a], *wrapped[t, a]))
+    st = TrajectoryStream(str(f), block_frames=2)
+    with pytest.raises(ValueError, match="box changed"):
+        _concat_blocks(st)
+
+    # mixed flags within one file
+    f2 = tmp_path / "mixed.lammpstrj"
+    with open(f2, "w") as fh:
+        for t in range(4):
+            fh.write("ITEM: TIMESTEP\n%d\n" % t)
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % wrapped.shape[1])
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                fh.write("0.0 %.6f\n" % box[d, d])
+            if t < 2:
+                fh.write("ITEM: ATOMS id type x y z ix iy iz\n")
+                for a in range(wrapped.shape[1]):
+                    fh.write("%d %d %.6f %.6f %.6f 0 0 0\n"
+                             % (a + 1, types[a], *wrapped[t, a]))
+            else:
+                fh.write("ITEM: ATOMS id type x y z\n")
+                for a in range(wrapped.shape[1]):
+                    fh.write("%d %d %.6f %.6f %.6f\n"
+                             % (a + 1, types[a], *wrapped[t, a]))
+    with pytest.raises(ValueError, match="mix image-flag"):
+        _concat_blocks(TrajectoryStream(str(f2), block_frames=2))
+
+    # multi-file type mismatch
+    fa = tmp_path / "a.lammpstrj"
+    fb = tmp_path / "b.lammpstrj"
+    write_lammps_dump(fa, types, wrapped[:2], vel[:2], box)
+    types_b = types.copy()
+    types_b[0] = 3 - types_b[0]       # swap a species
+    write_lammps_dump(fb, types_b, wrapped[2:], vel[:2], box)
+    with pytest.raises(ValueError, match="types differ"):
+        _concat_blocks(TrajectoryStream([str(fa), str(fb)],
+                                        block_frames=2))
+
+    # zero frames
+    f3 = tmp_path / "empty.lammpstrj"
+    f3.write_text("# not a dump\n")
+    with pytest.raises(ValueError, match="No frames found"):
+        TrajectoryStream(str(f3))
+
+    # early abandonment: worker must exit (no deadlock, no leak)
+    import threading
+    f4 = tmp_path / "big.lammpstrj"
+    types4, wrapped4, vel4, box4 = _traj(n_frames=20, crossing=False)
+    write_lammps_dump(f4, types4, wrapped4, vel4, box4)
+    before = threading.active_count()
+    st4 = TrajectoryStream(str(f4), block_frames=1, prefetch=1)
+    for _ in st4.blocks():
+        break                          # abandon immediately
+    import time
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
