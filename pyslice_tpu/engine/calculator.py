@@ -252,6 +252,20 @@ class MultisliceCalculator:
             return max(1, int(self.frame_block))
         return 1
 
+    def _auto_device_block(self) -> int:
+        """Frames per dispatch for the DEVICE-RESIDENT run, where no host
+        pull happens per frame and dispatch latency dominates (the relayed
+        jit round trip here measures ~25-30 ms while the 1-probe frame
+        program itself is ~8 ms). Default: up to 8 frames per dispatch,
+        bounded so one block stays under ~512 MB of exit waves.
+        setup(frame_block=N) overrides."""
+        if self.frame_block is not None:
+            return max(1, int(self.frame_block))
+        n_layers = (len(self.record_layers)
+                    if self.record_layers is not None else 1)
+        frame_bytes = self.n_probes * self.nx * self.ny * n_layers * 8
+        return max(1, min(8, (512 << 20) // max(frame_bytes, 1)))
+
     def _frame_kspace(self, positions: np.ndarray, probes) -> np.ndarray:
         """(n_probes, nx, ny, n_layers) k-space exit waves for one frame,
         probe-chunked if batch_size is set."""
@@ -299,7 +313,7 @@ class MultisliceCalculator:
         bottleneck of the host path on slow-DMA hosts (VERDICT item 3)."""
         import jax
         import jax.numpy as jnp
-        from .pipeline import frame_exit_waves
+        from .pipeline import simulate_frames
 
         t0 = time.time()
         n_layers = (len(self.record_layers)
@@ -311,11 +325,12 @@ class MultisliceCalculator:
                                        self.probe_positions).array
 
         place = jax.jit(
-            lambda o, frame, i: jax.lax.dynamic_update_slice_in_dim(
-                o, frame[:, None], i, axis=1),
+            lambda o, frames, i: jax.lax.dynamic_update_slice_in_dim(
+                o, frames, i, axis=1),
             donate_argnums=(0,))
 
         bs = self.batch_size
+        block = self._auto_device_block()
         progress_bar = None
         if progress:
             try:
@@ -324,17 +339,19 @@ class MultisliceCalculator:
                                     desc="Processing frames", unit="frame")
             except ImportError:
                 pass
-        for i in range(self.n_frames):
-            pos = jnp.asarray(np.asarray(self.trajectory.positions[i]))
+        for i0 in range(0, self.n_frames, block):
+            nb = min(block, self.n_frames - i0)
+            pos = jnp.asarray(np.asarray(
+                self.trajectory.positions[i0:i0 + nb]))
             if bs is None or self.n_probes <= bs:
-                fk = frame_exit_waves(pos, probes, self.spec)
+                fk = simulate_frames(pos, probes, self.spec)
             else:
                 fk = jnp.concatenate(
-                    [frame_exit_waves(pos, probes[j:j + bs], self.spec)
+                    [simulate_frames(pos, probes[j:j + bs], self.spec)
                      for j in range(0, self.n_probes, bs)], axis=0)
-            out = place(out, fk, i)
+            out = place(out, fk, i0)
             if progress_bar:
-                progress_bar.update(1)
+                progress_bar.update(nb)
         if progress_bar:
             progress_bar.close()
         logger.info("Device-resident simulation dispatched in %.2fs",
