@@ -169,6 +169,37 @@ def _tacaw_accumulate_nomean(acc, positions, probes, phases,
     return acc + phases[:, None, None, None] * psi[None]
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
+                   donate_argnums=(0, 1))
+def _tacaw_accumulate_scan(acc, mean_acc, positions_block, probes,
+                           phases_block, spec: SimSpec, layer_index: int):
+    """B frames folded in ONE dispatch (lax.scan) — through the remote
+    relay a dispatch round trip costs 40-1500 ms while one 1-probe frame
+    computes in ~8 ms, so per-frame dispatching is pure overhead."""
+    def body(carry, xs):
+        acc, mean = carry
+        pos, ph = xs
+        psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
+        return (acc + ph[:, None, None, None] * psi[None],
+                mean + psi), None
+    (acc, mean_acc), _ = jax.lax.scan(
+        body, (acc, mean_acc), (positions_block, phases_block))
+    return acc, mean_acc
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
+                   donate_argnums=(0,))
+def _tacaw_accumulate_scan_nomean(acc, positions_block, probes,
+                                  phases_block, spec: SimSpec,
+                                  layer_index: int):
+    def body(acc, xs):
+        pos, ph = xs
+        psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
+        return acc + ph[:, None, None, None] * psi[None], None
+    acc, _ = jax.lax.scan(body, acc, (positions_block, phases_block))
+    return acc
+
+
 class StreamingTACAW:
     """Accumulate |Psi(omega, q)|^2 at selected frequencies, frame by frame.
 
@@ -356,13 +387,16 @@ class StreamingTACAW:
         """
         F = self._frame_extent
         frame_indices = [int(t) for t in frame_indices]
+        if F == 1:
+            # single-device: ANY block size — the whole block folds in as
+            # one jitted scan per probe chunk (one relay dispatch instead
+            # of one per frame; see _tacaw_accumulate_scan).
+            self._add_frames_scan(frame_indices, positions_block)
+            return
         if len(frame_indices) != F:
             raise ValueError(
                 f"add_frame_block needs exactly {F} frames per call "
                 f"(mesh frame extent); got {len(frame_indices)}")
-        if F == 1:
-            self.add_frame(frame_indices[0], positions_block[0])
-            return
         pos = jnp.asarray(positions_block)
         if pos.ndim != 3 or pos.shape[0] != F:
             raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
@@ -399,6 +433,40 @@ class StreamingTACAW:
         re = np.cos(phase).astype(np.dtype(prec.real))
         im = np.sin(phase).astype(np.dtype(prec.real))
         return _complex_jit(jnp.asarray(re), jnp.asarray(im))
+
+    def _add_frames_scan(self, frame_indices, positions_block) -> None:
+        B = len(frame_indices)
+        dup = self._seen.intersection(frame_indices)
+        if dup or len(set(frame_indices)) != B:
+            raise ValueError(f"frame indices fed more than once: "
+                             f"{sorted(dup) or frame_indices}")
+        pos = jnp.asarray(positions_block)
+        if pos.ndim != 3 or pos.shape[0] != B:
+            raise ValueError(
+                f"positions_block must be ({B}, n_atoms, 3), "
+                f"got {pos.shape}")
+        if B == 1:
+            self.add_frame(frame_indices[0], pos[0])
+            return
+        phase = (-2.0 * np.pi / self.n_frames) * np.outer(
+            np.asarray(frame_indices, dtype=np.float64),
+            self.bins.astype(np.float64))
+        prec = self.spec.precision
+        phases = _complex_jit(
+            jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
+            jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
+        for i, sl in enumerate(self._chunk_slices):
+            if self._track_mean:
+                self._acc_chunks[i], self._mean_chunks[i] = \
+                    _tacaw_accumulate_scan(
+                        self._acc_chunks[i], self._mean_chunks[i], pos,
+                        self.probes[sl], phases, self.spec,
+                        self.layer_index)
+            else:
+                self._acc_chunks[i] = _tacaw_accumulate_scan_nomean(
+                    self._acc_chunks[i], pos, self.probes[sl], phases,
+                    self.spec, self.layer_index)
+        self._seen.update(frame_indices)
 
     def add_frame(self, frame_index: int, positions) -> None:
         """Feed one MD frame (each index exactly once, any order).

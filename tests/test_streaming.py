@@ -367,3 +367,37 @@ def test_streaming_haadf_probe_chunking(setup):
             st.add_frame(traj.positions[f])
         imgs[chunk] = st.image()
     np.testing.assert_allclose(imgs[4], imgs[None], rtol=1e-12)
+
+
+def test_streaming_tacaw_block_feed_matches_per_frame(setup):
+    """Single-device add_frame_block (any block size — ONE scan dispatch
+    per block, the relay-latency amortization) must match per-frame
+    feeding bit-exactly, including a ragged final block and the f=0
+    mean-subtraction path."""
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(g.lx / 2, g.ly / 2)]).array
+    targets = [0.0, 7.5]
+
+    def feed(block):
+        st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                            frequencies=targets)
+        if block is None:
+            for f in range(traj.n_frames):
+                st.add_frame(f, traj.positions[f])
+        else:
+            for i0 in range(0, traj.n_frames, block):
+                idx = list(range(i0, min(i0 + block, traj.n_frames)))
+                st.add_frame_block(idx, traj.positions[np.asarray(idx)])
+        return np.asarray(st.intensity())
+
+    ref = feed(None)
+    np.testing.assert_array_equal(feed(4), ref)   # blocks of 4 + ragged 2
+    np.testing.assert_array_equal(feed(6), ref)   # one block
+
+    # duplicate detection still works through the block path
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=targets)
+    st.add_frame_block([0, 1, 2], traj.positions[:3])
+    with pytest.raises(ValueError, match="more than once"):
+        st.add_frame_block([2, 3], traj.positions[2:4])
