@@ -641,6 +641,24 @@ def _haadf_accumulate(acc, positions, probes, mask, spec: SimSpec,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "intensity"),
+                   donate_argnums=(0,))
+def _haadf_accumulate_scan(acc, positions_block, probes, mask,
+                           spec: SimSpec, layer_index: int,
+                           intensity: bool):
+    """B frames folded in ONE dispatch (relay-latency amortization —
+    same rationale as _tacaw_accumulate_scan)."""
+    def body(acc, pos):
+        psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
+        amp = jnp.abs(psi)
+        if intensity:
+            amp = amp * amp
+        return acc + jnp.sum(amp * mask[None], axis=(1, 2)), None
+    acc, _ = jax.lax.scan(body, acc, positions_block)
+    return acc
+
+
+@functools.partial(jax.jit,
                    static_argnames=("spec", "layer_index", "intensity"))
 def _haadf_chunk_values(positions, probes, mask, spec: SimSpec,
                         layer_index: int, intensity: bool):
@@ -885,8 +903,33 @@ class StreamingHAADF:
         F = self._frame_extent
         pos = jnp.asarray(positions_block)
         if F == 1:
-            self.add_frame(pos[0], None if frame_indices is None
-                           else frame_indices[0])
+            # single-device: ANY block size — one scan dispatch per block
+            # (relay-latency amortization). S-matrix and probe-chunked
+            # streams keep per-frame feeding (their inner loops already
+            # batch the heavy work).
+            if pos.ndim != 3:
+                raise ValueError(
+                    f"positions_block must be (B, n_atoms, 3), "
+                    f"got {pos.shape}")
+            B = pos.shape[0]
+            if (self.use_smatrix or B == 1
+                    or (self.probe_chunk is not None
+                        and self.probe_chunk < self.probes.shape[0])):
+                for k in range(B):
+                    self.add_frame(pos[k], None if frame_indices is None
+                                   else frame_indices[k])
+                return
+            if frame_indices is not None and len(frame_indices) != B:
+                raise ValueError(
+                    f"frame_indices has {len(frame_indices)} entries for "
+                    f"a {B}-frame block")
+            for k in range(B):
+                self._track(None if frame_indices is None
+                            else frame_indices[k])
+            self._acc = _haadf_accumulate_scan(
+                self._acc, pos, self.probes, self._mask, self.spec,
+                self.layer_index, self.intensity)
+            self._n += B
             return
         if pos.ndim != 3 or pos.shape[0] != F:
             raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")

@@ -401,3 +401,28 @@ def test_streaming_tacaw_block_feed_matches_per_frame(setup):
     st.add_frame_block([0, 1, 2], traj.positions[:3])
     with pytest.raises(ValueError, match="more than once"):
         st.add_frame_block([2, 3], traj.positions[2:4])
+
+
+def test_streaming_haadf_block_feed_matches_per_frame(setup):
+    """Single-device StreamingHAADF.add_frame_block (any size, one scan
+    dispatch) equals per-frame feeding bit-exactly, ragged block included."""
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 25, 100e3, precision=DOUBLE)
+    pg = probe_grid([1.0, g.lx - 1.0], [1.0, g.ly - 1.0], 2, 2)
+    probes = create_batched_probes(base, pg).array
+
+    def feed(block):
+        st = StreamingHAADF(spec, probes, pg, collection_angle=45,
+                            eV=100e3)
+        if block is None:
+            for f in range(traj.n_frames):
+                st.add_frame(traj.positions[f], f)
+        else:
+            for i0 in range(0, traj.n_frames, block):
+                idx = list(range(i0, min(i0 + block, traj.n_frames)))
+                st.add_frame_block(traj.positions[np.asarray(idx)], idx)
+        return np.asarray(st.image())
+
+    ref = feed(None)
+    np.testing.assert_array_equal(feed(4), ref)
+    np.testing.assert_array_equal(feed(6), ref)
