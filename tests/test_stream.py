@@ -134,8 +134,7 @@ def test_stream_feeds_streaming_tacaw(tmp_path):
         st = StreamingTACAW(spec, probes, 8, timestep=0.005,
                             frequencies=[0.0, 10.0])
         for idx, pos in frame_source:
-            for k in range(len(idx)):
-                st.add_frame(int(idx[k]), jnp.asarray(pos[k], jnp.float32))
+            st.add_frame_block(list(idx), jnp.asarray(pos, jnp.float32))
         return st.spectrum()
 
     eager_blocks = [(np.arange(4 * k, 4 * k + 4),
