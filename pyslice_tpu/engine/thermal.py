@@ -109,8 +109,10 @@ def frozen_phonon_haadf(trajectory: Trajectory,
                             intensity=intensity, mrad=aperture,
                             use_smatrix=use_smatrix, prism_f=prism_f,
                             probe_chunk=probe_chunk)
-    for c in range(n_configs):
-        stream.add_frame(configs.positions[c])
+    # blocked feeding: one scan dispatch per <=8 configs (dispatch
+    # amortization; bit-identical to per-frame feeding)
+    for c0 in range(0, n_configs, 8):
+        stream.add_frame_block(configs.positions[c0:c0 + 8])
     image = stream.image()
     from ..analysis.detectors import _scan_axes
     _, xs, ys = _scan_axes(probe_positions)
@@ -152,12 +154,15 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
     from .pipeline import frame_exit_waves
 
     @jax.jit
-    def one(acc, pos, pr):
-        psi = frame_exit_waves(pos, pr, spec)[..., -1]
-        return acc + jnp.mean(jnp.abs(psi) ** 2, axis=0)
+    def fold(acc, pos_block, pr):
+        def body(a, pos):
+            psi = frame_exit_waves(pos, pr, spec)[..., -1]
+            return a + jnp.mean(jnp.abs(psi) ** 2, axis=0), None
+        acc, _ = jax.lax.scan(body, acc, pos_block)
+        return acc
 
     acc = jax.jit(lambda: jnp.zeros((grid.nx, grid.ny),
                                     spec.precision.real))()
-    for c in range(n_configs):
-        acc = one(acc, jnp.asarray(configs.positions[c]), probes)
+    for c0 in range(0, n_configs, 8):
+        acc = fold(acc, jnp.asarray(configs.positions[c0:c0 + 8]), probes)
     return np.asarray(acc) / n_configs
