@@ -132,3 +132,176 @@ def refine_structure(data4d, scan_positions, probe, positions0, types,
     disp = np.hypot(pos[:, 0] - pos0[:, 0], pos[:, 1] - pos0[:, 1])
     return dict(positions=pos, displacement=disp,
                 losses=np.asarray(losses))
+
+
+# --- aberration-coefficient refinement ---------------------------------------
+
+# anisotropic harmonics: name -> (azimuthal order m, radial builder index)
+_ANISO_ORDER = {"A1": 2, "B2": 1, "A2": 3, "A3": 4}
+
+
+def _aberration_basis(kxs, kys, lam: float, names, k_ap: float):
+    """chi = sum_k c_k * term_k, each term matching physics.aberrations.
+    chi_phase exactly; anisotropic names expand to Cartesian (a, b) pairs
+    (X cos(m(phi-phi0)) = Xa cos(m phi) + Xb sin(m phi)). Terms are
+    normalized to unit centered RMS inside the aperture so one Adam rate
+    fits coefficients whose physical scales span ~10 orders of magnitude
+    (C1 ~ 10 A vs C5 ~ 1e8 A); ``scales`` converts back
+    (phys = fitted / scale)."""
+    kx2d = np.asarray(kxs, np.float64)[:, None] * np.ones(len(kys))[None, :]
+    ky2d = np.ones(len(kxs))[:, None] * np.asarray(kys, np.float64)[None, :]
+    q2 = kx2d ** 2 + ky2d ** 2
+    phi = np.arctan2(ky2d, kx2d)
+    l2 = lam * lam
+    radial = {
+        "C1": np.pi * lam * q2,
+        "C3": 0.5 * np.pi * lam * l2 * q2 * q2,
+        "C5": np.pi / 3.0 * lam * l2 * l2 * q2 ** 3,
+        "A1": np.pi * lam * q2,
+        "B2": (2 * np.pi / 3 * l2) * q2 ** 1.5,
+        "A2": (2 * np.pi / 3 * l2) * q2 ** 1.5,
+        "A3": 0.5 * np.pi * lam * l2 * q2 * q2,
+    }
+    ap = q2 <= k_ap ** 2
+    labels, terms, scales = [], [], []
+
+    def add(label, term):
+        t_ap = term[ap]
+        s = float(np.sqrt(np.mean((t_ap - t_ap.mean()) ** 2)))
+        if s <= 0:
+            raise ValueError(f"aberration term {label} has no variation "
+                             "inside the aperture — unidentifiable")
+        labels.append(label)
+        terms.append(term / s)
+        scales.append(s)
+
+    for name in names:
+        if name not in radial:
+            raise ValueError(f"unknown aberration {name!r}; supported: "
+                             f"{sorted(radial)}")
+        if name in _ANISO_ORDER:
+            m = _ANISO_ORDER[name]
+            add(f"{name}a", radial[name] * np.cos(m * phi))
+            add(f"{name}b", radial[name] * np.sin(m * phi))
+        else:
+            add(name, radial[name])
+    return labels, np.stack(terms), np.asarray(scales)
+
+
+@functools.partial(jax.jit, static_argnames=("eV", "dz", "lr_v", "lr_ab"))
+def _aberr_run(amps, scan_pos, batches, v0, c0, probe0, basis, kx, ky, *,
+               eV: float, dz: float, lr_v: float, lr_ab: float):
+    import optax
+
+    prec = _precision_of(v0.dtype)
+    p0k = matfft.fft2(probe0)
+
+    def batch_loss(params, a_b, idx):
+        chi = jnp.tensordot(params["c"], basis, axes=1)
+        pk = p0k * jax.lax.complex(jnp.cos(chi), -jnp.sin(chi))
+        ramps = _shift_ramps(kx, ky, jnp.take(scan_pos, idx, axis=0))
+        psi_b = matfft.ifft2(pk[None] * ramps)
+        exit_b = multislice_diff(psi_b, params["v"], kx, ky, eV=eV, dz=dz,
+                                 precision=prec)
+        mag = jnp.abs(matfft.fft2(exit_b))
+        return jnp.mean((mag - a_b) ** 2)
+
+    opt = optax.multi_transform(
+        {"v": optax.adam(lr_v), "c": optax.adam(lr_ab)},
+        {"v": "v", "c": "c"})
+    params = {"v": v0, "c": c0}
+    state = opt.init(params)
+
+    def one_step(carry, idx):
+        params, state = carry
+        a_b = jnp.take(amps, idx, axis=0)
+        val, g = jax.value_and_grad(batch_loss)(params, a_b, idx)
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        return (params, state), val.astype(v0.dtype)
+
+    (params, _), losses = jax.lax.scan(one_step, (params, state), batches)
+    return params["v"], params["c"], losses
+
+
+def refine_aberrations(data4d, scan_positions, probe,
+                       coefficients=("C1", "C3"), *, n_slices: int = 1,
+                       dz: float = 1.0, steps: int = 400,
+                       batch: Optional[int] = None, lr: float = 8.0,
+                       lr_ab: float = 0.05, v_init=None,
+                       seed: int = 0) -> dict:
+    """Fit RESIDUAL probe aberrations (relative to ``probe``) jointly with
+    the specimen potential, from intensity-only 4D-STEM data — gradient
+    descent through probe synthesis + the multislice adjoint. This is
+    instrument self-calibration: ptychographic aberration measurement
+    (e.g. the BEACON approach) without a known specimen.
+
+    Args:
+        data4d / scan_positions / probe: as msp_reconstruct (fftshifted
+            intensities; (npos, 2) Angstrom; the assumed illumination —
+            fitted aberrations are the CORRECTION on top of it).
+        coefficients: aberration names to fit, Krivanek notation matching
+            physics.aberrations: isotropic "C1"/"C3"/"C5" and anisotropic
+            "A1"/"B2"/"A2"/"A3" (each anisotropic fits a Cartesian (a, b)
+            pair; magnitude/azimuth are reported).
+        n_slices/dz/steps/batch/lr/v_init/seed: as msp_reconstruct.
+        lr_ab: Adam rate for the (RMS-normalized) aberration coordinates —
+            0.05 corresponds to roughly 5% of an aperture-filling phase
+            wave per step regardless of the coefficient's physical scale.
+
+    Returns dict with ``aberrations`` (a physics.aberrations.Aberrations
+    of the fitted residuals), ``coefficients`` ({label: Angstrom} raw
+    Cartesian values), ``potential``, ``losses``.
+    """
+    from ..core.constants import wavelength
+    from ..physics.aberrations import Aberrations
+
+    prec = probe.precision
+    rd = np.dtype(prec.real)
+    data = np.asarray(data4d)
+    npos = data.shape[0]
+    scan = np.asarray(scan_positions, np.float64)
+    if scan.shape[0] != npos:
+        raise ValueError(f"data4d has {npos} patterns but scan_positions "
+                         f"has {scan.shape[0]}")
+    p0 = probe.array
+    if p0.ndim != 2:
+        raise ValueError("probe must be a single (nx, ny) Probe")
+
+    lam = wavelength(probe.eV)
+    k_ap = (probe.mrad * 1e-3) / lam if probe.mrad else float(
+        np.max(np.abs(np.asarray(probe.kxs))))
+    labels, terms, scales = _aberration_basis(probe.kxs, probe.kys, lam,
+                                              tuple(coefficients), k_ap)
+
+    amps = _detector_amplitudes(data)
+    nb = npos if batch is None else int(min(batch, npos))
+    batches = _epoch_batches(npos, nb, steps, seed)
+    if v_init is None:
+        v0 = jnp.zeros((n_slices,) + tuple(p0.shape), dtype=rd)
+    else:
+        v0 = jnp.asarray(np.asarray(v_init), dtype=rd)
+
+    v, c, losses = _aberr_run(
+        jnp.asarray(amps.astype(rd)), jnp.asarray(scan.astype(rd)),
+        jnp.asarray(batches), v0,
+        jnp.zeros(len(labels), rd), p0,
+        jnp.asarray(terms.astype(rd)),
+        jnp.asarray(probe.kxs.astype(rd)),
+        jnp.asarray(probe.kys.astype(rd)),
+        eV=float(probe.eV), dz=float(dz), lr_v=float(lr),
+        lr_ab=float(lr_ab))
+    phys = np.asarray(c, np.float64) / scales
+    coeffs = dict(zip(labels, phys.tolist()))
+
+    ab_kw = {}
+    for name in coefficients:
+        if name in _ANISO_ORDER:
+            m = _ANISO_ORDER[name]
+            a_v, b_v = coeffs[f"{name}a"], coeffs[f"{name}b"]
+            ab_kw[name] = float(np.hypot(a_v, b_v))
+            ab_kw[f"phi_{name}"] = float(np.arctan2(b_v, a_v) / m)
+        else:
+            ab_kw[name] = float(coeffs[name])
+    return dict(aberrations=Aberrations(**ab_kw), coefficients=coeffs,
+                potential=np.asarray(v), losses=np.asarray(losses))

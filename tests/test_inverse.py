@@ -9,6 +9,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
@@ -89,3 +90,65 @@ def test_refine_structure_recovers_coordinates():
                                pos_start[:, 2].astype(np.float32),
                                rtol=0, atol=1e-7)
     assert rec["displacement"].shape == (n_at,)
+
+
+def test_refine_aberrations_recovers_coefficients():
+    """Instrument self-calibration: data simulated with an aberrated probe
+    (C1=60 A defocus, C3=1e5 A spherical, A1=25 A astigmatism at 0.5 rad),
+    fitted jointly with the (unknown) potential starting from the CLEAN
+    probe — the residual coefficients must come back, across physical
+    scales spanning 4 orders of magnitude (the RMS-normalized basis)."""
+    import jax.numpy as jnp
+
+    from pyslice_tpu.core.dtypes import get_precision
+    from pyslice_tpu.core.constants import wavelength
+    from pyslice_tpu.engine.inverse import refine_aberrations
+    from pyslice_tpu.physics.aberrations import Aberrations, apply_aberrations
+    from pyslice_tpu.physics.potential import make_plan, rasterize
+    from pyslice_tpu.physics.probe import Probe, shift_probes
+    from pyslice_tpu.physics.propagate import multislice
+
+    prec = get_precision("single")
+    NX = NY = 64
+    S, EV, MRAD, DZ = 0.15, 100e3, 20.0, 1.0
+    lx, ly = NX * S, NY * S
+    xs = np.linspace(0, lx, NX, endpoint=False)
+    ys = np.linspace(0, ly, NY, endpoint=False)
+    zs = np.array([0.0, DZ])
+    rng = np.random.default_rng(3)
+    pos = rng.random((1, 10, 3)) * np.array([lx, ly, 2 * DZ - 0.1])
+    types = rng.choice([5, 7], 10).astype(np.int32)
+    plan = make_plan(xs, ys, zs, pos, types)
+    v_true = rasterize(jnp.asarray(pos[0], prec.real), plan, prec)
+    lam = wavelength(EV)
+
+    base = Probe(xs, ys, MRAD, EV, precision=prec)
+    ab_true = Aberrations(C1=60.0, C3=1.0e5, A1=25.0, phi_A1=0.5)
+    p_true = apply_aberrations(base.array, base.kxs, base.kys, lam,
+                               ab_true, precision=prec)
+    n_s = 16
+    positions = np.array([(i * lx / n_s, j * ly / n_s)
+                          for i in range(n_s) for j in range(n_s)])
+    probes = shift_probes(p_true, base.kxs, base.kys, positions,
+                          precision=prec)
+    ew = multislice(probes, v_true, base.kxs, base.kys, eV=EV, dz=DZ,
+                    precision=prec, fused=False)
+    inten = np.asarray(jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(ew),
+                                                axes=(-2, -1)))) ** 2
+
+    rec = refine_aberrations(inten, positions, base,
+                             coefficients=("C1", "C3", "A1"),
+                             n_slices=2, dz=DZ, steps=800, batch=64,
+                             lr=8.0, lr_ab=0.05)
+    ab = rec["aberrations"]
+    assert rec["losses"][-1] < rec["losses"][0] / 20
+    assert abs(ab.C1 - 60.0) < 6.0, f"C1 {ab.C1}"
+    assert abs(ab.C3 - 1.0e5) < 1.5e4, f"C3 {ab.C3}"
+    assert abs(ab.A1 - 25.0) < 5.0, f"A1 {ab.A1}"
+    # azimuth modulo pi/m ambiguity resolved by the (a, b) fit directly
+    assert abs(((ab.phi_A1 - 0.5 + np.pi / 2) % np.pi) - np.pi / 2) < 0.15, \
+        f"phi_A1 {ab.phi_A1}"
+
+    with pytest.raises(ValueError, match="unknown aberration"):
+        refine_aberrations(inten[:4], positions[:4], base,
+                           coefficients=("C9",), steps=1)
