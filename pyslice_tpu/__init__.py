@@ -58,7 +58,8 @@ from .analysis.ewr import iwfr_reconstruct
 from .engine.ctem import (focal_series, hrtem_image, image_from_exit_wave,
                           objective_transfer)
 from .engine.ped import precession_diffraction, precession_tilts
-from .engine.inverse import refine_aberrations, refine_structure
+from .engine.inverse import (refine_aberrations, refine_structure,
+                             refine_structure_tilt_series)
 
 
 def getZfromElementName(element: str) -> int:
@@ -94,6 +95,7 @@ __all__ = [
     "scan_grid_data", "hrtem_image", "image_from_exit_wave",
     "objective_transfer", "focal_series", "iwfr_reconstruct",
     "refine_structure", "refine_aberrations",
+    "refine_structure_tilt_series",
     "wavelength", "interaction_parameter", "m_effective",
     "form_factor", "kirkland", "loadKirkland", "getZfromElementName", "element_to_z",
     "z_to_element", "Precision", "SINGLE", "DOUBLE", "get_precision",

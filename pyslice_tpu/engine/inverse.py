@@ -305,3 +305,136 @@ def refine_aberrations(data4d, scan_positions, probe,
             ab_kw[name] = float(coeffs[name])
     return dict(aberrations=Aberrations(**ab_kw), coefficients=coeffs,
                 potential=np.asarray(v), losses=np.asarray(losses))
+
+
+# --- tilt-series (tomographic) structure refinement ---------------------------
+
+
+def rotation_about_x(theta_rad: float) -> np.ndarray:
+    """Right-handed rotation about the x (tilt) axis."""
+    c, s = np.cos(theta_rad), np.sin(theta_rad)
+    return np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def refine_structure_tilt_series(datasets, scan_positions, probe,
+                                 positions0, types, zs, tilt_angles_deg, *,
+                                 steps: int = 300,
+                                 batch: Optional[int] = None,
+                                 lr: float = 5e-3, seed: int = 0,
+                                 pad_fraction: float = 0.5,
+                                 center=None) -> dict:
+    """Atomic-coordinate refinement against a TILT SERIES of 4D-STEM
+    datasets — tomographic: a single projection's slice binning makes z
+    gradients exactly zero (refine_structure's documented limitation),
+    but each tilt rotates a different combination of (y, z) into the
+    imaged plane, so a few tilts constrain ALL THREE coordinates (the
+    forward-model refinement step of atomic electron tomography).
+
+    Per tilt t the model is ``rasterize(R_t @ r) -> multislice ->
+    detector`` with the SAME atom coordinates r; Adam steps cycle
+    round-robin over tilts, each step descending one tilt's minibatch
+    misfit. Rotations are about the x axis (the usual tilt axis),
+    positive angles right-handed, applied about ``center`` (default: the
+    centroid of ``positions0``) so the structure stays inside the cell.
+
+    Args:
+        datasets: sequence of (npos_t, nkx, nky) intensity stacks, one
+            per tilt (fftshifted detector layout).
+        scan_positions: (npos_t, 2) per tilt (sequence, like datasets).
+        probe/types/zs/steps/batch/lr/seed/pad_fraction: as
+            refine_structure; each tilt gets its own static rasterization
+            plan built from the rotated starting model (keep refinement
+            displacements well under the slice thickness).
+        tilt_angles_deg: the tilt series, degrees.
+
+    Returns dict with ``positions`` ((n_atoms, 3) — all three coordinates
+    refined), ``displacement`` ((n_atoms,) 3-D |r - r0|), ``losses``
+    ((steps,) the stepped tilt's minibatch loss).
+    """
+    import optax
+
+    prec = probe.precision
+    rd = np.dtype(prec.real)
+    n_tilts = len(tilt_angles_deg)
+    if len(datasets) != n_tilts or len(scan_positions) != n_tilts:
+        raise ValueError(
+            f"need one dataset + scan set per tilt: {len(datasets)} "
+            f"datasets / {len(scan_positions)} scans / {n_tilts} tilts")
+    pos0 = np.asarray(positions0, np.float64)
+    p0 = probe.array
+    if p0.ndim != 2:
+        raise ValueError("probe must be a single (nx, ny) Probe")
+    ctr = (pos0.mean(axis=0) if center is None
+           else np.asarray(center, np.float64))
+
+    rots, plans, amps_t, scans_t, batches_t = [], [], [], [], []
+    for t, ang in enumerate(tilt_angles_deg):
+        r_mat = rotation_about_x(np.deg2rad(float(ang)))
+        rots.append(jnp.asarray((r_mat.T).astype(rd)))   # row-vector form
+        rot0 = (pos0 - ctr) @ r_mat.T + ctr
+        plans.append(make_plan(probe.xs, probe.ys, zs, rot0[None],
+                               np.asarray(types, np.int32),
+                               pad_fraction=pad_fraction))
+        data = np.asarray(datasets[t])
+        scan = np.asarray(scan_positions[t], np.float64)
+        if scan.shape[0] != data.shape[0]:
+            raise ValueError(f"tilt {t}: {data.shape[0]} patterns but "
+                             f"{scan.shape[0]} scan positions")
+        amps_t.append(jnp.asarray(_detector_amplitudes(data).astype(rd)))
+        scans_t.append(jnp.asarray(scan.astype(rd)))
+        nb = data.shape[0] if batch is None else int(min(batch,
+                                                         data.shape[0]))
+        n_steps_t = (steps + n_tilts - 1 - t) // n_tilts
+        batches_t.append(jnp.asarray(_epoch_batches(
+            data.shape[0], nb, max(n_steps_t, 1), seed + t)))
+
+    dz = float(zs[1] - zs[0]) if len(np.asarray(zs)) > 1 else 1.0
+    eV = float(probe.eV)
+    ctr_j = jnp.asarray(ctr.astype(rd))
+
+    def make_loss(t):
+        plan = plans[t]
+
+        def loss(atom_pos, a_b, idx):
+            rp = (atom_pos - ctr_j) @ rots[t] + ctr_j
+            v = rasterize(rp, plan, prec)
+            ramps = _shift_ramps(jnp.asarray(probe.kxs.astype(rd)),
+                                 jnp.asarray(probe.kys.astype(rd)),
+                                 jnp.take(scans_t[t], idx, axis=0))
+            psi_b = matfft.ifft2(matfft.fft2(p0)[None] * ramps)
+            exit_b = multislice_diff(psi_b, v,
+                                     jnp.asarray(probe.kxs.astype(rd)),
+                                     jnp.asarray(probe.kys.astype(rd)),
+                                     eV=eV, dz=dz, precision=prec)
+            mag = jnp.abs(matfft.fft2(exit_b))
+            return jnp.mean((mag - a_b) ** 2)
+        return loss
+
+    opt = optax.adam(lr)
+    pos = jnp.asarray(pos0.astype(rd))
+    state = opt.init(pos)
+
+    steppers = []
+    for t in range(n_tilts):
+        loss_t = make_loss(t)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step_t(pos, state, a_b, idx, _loss=loss_t):
+            val, g = jax.value_and_grad(_loss)(pos, a_b, idx)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(pos, updates), state, val
+        steppers.append(step_t)
+
+    losses = np.empty(steps, rd)
+    counters = [0] * n_tilts
+    for s in range(steps):
+        t = s % n_tilts
+        idx = batches_t[t][counters[t]]
+        counters[t] += 1
+        a_b = jnp.take(amps_t[t], idx, axis=0)
+        pos, state, val = steppers[t](pos, state, a_b, idx)
+        losses[s] = float(val)
+
+    pos = np.asarray(pos, np.float64)
+    disp = np.linalg.norm(pos - pos0, axis=1)
+    return dict(positions=pos, displacement=disp, losses=losses)

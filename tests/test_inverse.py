@@ -152,3 +152,73 @@ def test_refine_aberrations_recovers_coefficients():
     with pytest.raises(ValueError, match="unknown aberration"):
         refine_aberrations(inten[:4], positions[:4], base,
                            coefficients=("C9",), steps=1)
+
+
+def test_refine_structure_tilt_series_recovers_3d():
+    """Tomographic coordinate refinement: a 3-angle tilt series (+-30, 0)
+    constrains ALL THREE coordinates — full 3-D jitter (including z,
+    invisible to any single projection) must be recovered essentially
+    exactly on noiseless data."""
+    import jax.numpy as jnp
+
+    from pyslice_tpu.core.dtypes import get_precision
+    from pyslice_tpu.engine.inverse import (refine_structure_tilt_series,
+                                            rotation_about_x)
+    from pyslice_tpu.physics.potential import make_plan, rasterize
+    from pyslice_tpu.physics.probe import Probe, shift_probes
+    from pyslice_tpu.physics.propagate import multislice
+
+    prec = get_precision("single")
+    NX = NY = 48
+    S, EV, MRAD, DZ = 0.15, 100e3, 22.0, 1.0
+    lx, ly = NX * S, NY * S
+    xs = np.linspace(0, lx, NX, endpoint=False)
+    ys = np.linspace(0, ly, NY, endpoint=False)
+    zs = np.arange(4) * DZ
+    rng = np.random.default_rng(2)
+    n_at = 6
+    pos_true = np.column_stack([rng.uniform(0.3 * lx, 0.7 * lx, n_at),
+                                rng.uniform(0.35 * ly, 0.65 * ly, n_at),
+                                rng.uniform(1.2, 2.8, n_at)])
+    types = rng.choice([5, 7], n_at).astype(np.int32)
+    base = Probe(xs, ys, MRAD, EV, precision=prec)
+    tilts = [-30.0, 0.0, 30.0]
+    ctr = pos_true.mean(axis=0)
+
+    n_s = 8
+    scan = np.array([(0.25 * lx + i * lx / (2 * n_s),
+                      0.25 * ly + j * ly / (2 * n_s))
+                     for i in range(n_s) for j in range(n_s)])
+    datasets, scans = [], []
+    for ang in tilts:
+        r_mat = rotation_about_x(np.deg2rad(ang))
+        rot = (pos_true - ctr) @ r_mat.T + ctr
+        plan = make_plan(xs, ys, zs, rot[None], types, pad_fraction=0.5)
+        v = rasterize(jnp.asarray(rot, prec.real), plan, prec)
+        probes = shift_probes(base.array, base.kxs, base.kys, scan,
+                              precision=prec)
+        ew = multislice(probes, v, base.kxs, base.kys, eV=EV, dz=DZ,
+                        precision=prec, fused=False)
+        datasets.append(np.asarray(
+            jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(ew),
+                                     axes=(-2, -1)))) ** 2)
+        scans.append(scan)
+
+    jit3d = rng.normal(0, 0.05, (n_at, 3))       # includes z
+    pos_start = pos_true + jit3d
+    err0 = np.sqrt(np.mean(jit3d ** 2))
+    err0_z = np.sqrt(np.mean(jit3d[:, 2] ** 2))
+
+    rec = refine_structure_tilt_series(datasets, scans, base, pos_start,
+                                       types, zs, tilts, steps=450,
+                                       batch=32, lr=5e-3, center=ctr)
+    d = rec["positions"] - pos_true
+    err1 = np.sqrt(np.mean(d ** 2))
+    err1_z = np.sqrt(np.mean(d[:, 2] ** 2))
+    assert err1 < err0 / 10, f"3D rms {err0:.4f} -> {err1:.4f}"
+    assert err1_z < err0_z / 10, f"z rms {err0_z:.4f} -> {err1_z:.4f}"
+    assert rec["losses"][-1] < rec["losses"][0] / 100
+
+    with pytest.raises(ValueError, match="per tilt"):
+        refine_structure_tilt_series(datasets[:2], scans, base, pos_start,
+                                     types, zs, tilts, steps=3)
