@@ -41,6 +41,14 @@ from ..physics.adjoint import multislice_diff
 from ..physics.potential import make_plan, rasterize
 
 
+def _amplitude_misfit(psi_b, v, a_b, kx, ky, *, eV, dz, prec):
+    """Detector-amplitude MSE of a probe batch through the multislice
+    adjoint — the data-fidelity term every refinement here descends."""
+    exit_b = multislice_diff(psi_b, v, kx, ky, eV=eV, dz=dz,
+                             precision=prec)
+    return jnp.mean((jnp.abs(matfft.fft2(exit_b)) - a_b) ** 2)
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "eV", "dz", "lr"))
 def _refine_run(amps, scan_pos, batches, pos0, probe0, kx, ky, *, plan,
                 eV: float, dz: float, lr: float):
@@ -53,10 +61,8 @@ def _refine_run(amps, scan_pos, batches, pos0, probe0, kx, ky, *, plan,
         v = rasterize(atom_pos, plan, prec)
         ramps = _shift_ramps(kx, ky, jnp.take(scan_pos, idx, axis=0))
         psi_b = matfft.ifft2(matfft.fft2(probe0)[None] * ramps)
-        exit_b = multislice_diff(psi_b, v, kx, ky, eV=eV, dz=dz,
-                                 precision=prec)
-        mag = jnp.abs(matfft.fft2(exit_b))
-        return jnp.mean((mag - a_b) ** 2)
+        return _amplitude_misfit(psi_b, v, a_b, kx, ky, eV=eV, dz=dz,
+                                 prec=prec)
 
     opt = optax.adam(lr)
     state = opt.init(pos0)
@@ -201,10 +207,8 @@ def _aberr_run(amps, scan_pos, batches, v0, c0, probe0, basis, kx, ky, *,
         pk = p0k * jax.lax.complex(jnp.cos(chi), -jnp.sin(chi))
         ramps = _shift_ramps(kx, ky, jnp.take(scan_pos, idx, axis=0))
         psi_b = matfft.ifft2(pk[None] * ramps)
-        exit_b = multislice_diff(psi_b, params["v"], kx, ky, eV=eV, dz=dz,
-                                 precision=prec)
-        mag = jnp.abs(matfft.fft2(exit_b))
-        return jnp.mean((mag - a_b) ** 2)
+        return _amplitude_misfit(psi_b, params["v"], a_b, kx, ky, eV=eV,
+                                 dz=dz, prec=prec)
 
     opt = optax.multi_transform(
         {"v": optax.adam(lr_v), "c": optax.adam(lr_ab)},
@@ -398,16 +402,12 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
         def loss(atom_pos, a_b, idx):
             rp = (atom_pos - ctr_j) @ rots[t] + ctr_j
             v = rasterize(rp, plan, prec)
-            ramps = _shift_ramps(jnp.asarray(probe.kxs.astype(rd)),
-                                 jnp.asarray(probe.kys.astype(rd)),
-                                 jnp.take(scans_t[t], idx, axis=0))
+            kx = jnp.asarray(probe.kxs.astype(rd))
+            ky = jnp.asarray(probe.kys.astype(rd))
+            ramps = _shift_ramps(kx, ky, jnp.take(scans_t[t], idx, axis=0))
             psi_b = matfft.ifft2(matfft.fft2(p0)[None] * ramps)
-            exit_b = multislice_diff(psi_b, v,
-                                     jnp.asarray(probe.kxs.astype(rd)),
-                                     jnp.asarray(probe.kys.astype(rd)),
-                                     eV=eV, dz=dz, precision=prec)
-            mag = jnp.abs(matfft.fft2(exit_b))
-            return jnp.mean((mag - a_b) ** 2)
+            return _amplitude_misfit(psi_b, v, a_b, kx, ky, eV=eV, dz=dz,
+                                     prec=prec)
         return loss
 
     opt = optax.adam(lr)
