@@ -399,13 +399,16 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
     def make_loss(t):
         plan = plans[t]
 
-        def loss(atom_pos, a_b, idx):
+        def loss(atom_pos, a_b, idx, probe0):
+            # probe0 is an ARGUMENT, not a closure capture: jit would
+            # constant-fold a captured device complex array through a
+            # host transfer, which this runtime cannot do.
             rp = (atom_pos - ctr_j) @ rots[t] + ctr_j
             v = rasterize(rp, plan, prec)
             kx = jnp.asarray(probe.kxs.astype(rd))
             ky = jnp.asarray(probe.kys.astype(rd))
             ramps = _shift_ramps(kx, ky, jnp.take(scans_t[t], idx, axis=0))
-            psi_b = matfft.ifft2(matfft.fft2(p0)[None] * ramps)
+            psi_b = matfft.ifft2(matfft.fft2(probe0)[None] * ramps)
             return _amplitude_misfit(psi_b, v, a_b, kx, ky, eV=eV, dz=dz,
                                      prec=prec)
         return loss
@@ -419,8 +422,8 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
         loss_t = make_loss(t)
 
         @functools.partial(jax.jit, static_argnames=())
-        def step_t(pos, state, a_b, idx, _loss=loss_t):
-            val, g = jax.value_and_grad(_loss)(pos, a_b, idx)
+        def step_t(pos, state, a_b, idx, probe0, _loss=loss_t):
+            val, g = jax.value_and_grad(_loss)(pos, a_b, idx, probe0)
             updates, state = opt.update(g, state)
             return optax.apply_updates(pos, updates), state, val
         steppers.append(step_t)
@@ -432,7 +435,7 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
         idx = batches_t[t][counters[t]]
         counters[t] += 1
         a_b = jnp.take(amps_t[t], idx, axis=0)
-        pos, state, val = steppers[t](pos, state, a_b, idx)
+        pos, state, val = steppers[t](pos, state, a_b, idx, p0)
         losses[s] = float(val)
 
     pos = np.asarray(pos, np.float64)
