@@ -428,7 +428,10 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
             return optax.apply_updates(pos, updates), state, val
         steppers.append(step_t)
 
-    losses = np.empty(steps, rd)
+    # keep the async dispatch pipeline full: collect DEVICE loss scalars
+    # and pull them once at the end (a per-step float() would serialize a
+    # relay round trip into every Adam step)
+    losses = []
     counters = [0] * n_tilts
     for s in range(steps):
         t = s % n_tilts
@@ -436,7 +439,8 @@ def refine_structure_tilt_series(datasets, scan_positions, probe,
         counters[t] += 1
         a_b = jnp.take(amps_t[t], idx, axis=0)
         pos, state, val = steppers[t](pos, state, a_b, idx, p0)
-        losses[s] = float(val)
+        losses.append(val)
+    losses = np.asarray([float(v) for v in losses], rd)
 
     pos = np.asarray(pos, np.float64)
     disp = np.linalg.norm(pos - pos0, axis=1)

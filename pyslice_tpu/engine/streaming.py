@@ -400,13 +400,7 @@ class StreamingTACAW:
         pos = jnp.asarray(positions_block)
         if pos.ndim != 3 or pos.shape[0] != F:
             raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
-        phase = (-2.0 * np.pi / self.n_frames) * np.outer(
-            np.asarray(frame_indices, dtype=np.float64),
-            self.bins.astype(np.float64))
-        prec = self.spec.precision
-        phases = _complex_jit(
-            jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
-            jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
+        phases = self._phases_block(frame_indices)
         dup = self._seen.intersection(frame_indices)
         if dup or len(set(frame_indices)) != F:
             raise ValueError(f"frame indices fed more than once: "
@@ -425,6 +419,19 @@ class StreamingTACAW:
         if len(self._acc_chunks) == 1:
             return self._acc_chunks[0]
         return jnp.concatenate(self._acc_chunks, axis=1)
+
+    def _phases_block(self, frame_indices):
+        """exp(-2 pi i f t / n) factors for a block of frames, (B, n_bins)
+        complex — ONE construction shared by the sharded and scan block
+        paths (the association order is load-bearing for the
+        bit-identical-feeding guarantee)."""
+        phase = (-2.0 * np.pi / self.n_frames) * np.outer(
+            np.asarray([int(t) for t in frame_indices], dtype=np.float64),
+            self.bins.astype(np.float64))
+        prec = self.spec.precision
+        return _complex_jit(
+            jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
+            jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
 
     def _phases(self, t: int):
         # exp(-2*pi*i * f * t / n) for each selected bin f.
@@ -448,13 +455,7 @@ class StreamingTACAW:
         if B == 1:
             self.add_frame(frame_indices[0], pos[0])
             return
-        phase = (-2.0 * np.pi / self.n_frames) * np.outer(
-            np.asarray(frame_indices, dtype=np.float64),
-            self.bins.astype(np.float64))
-        prec = self.spec.precision
-        phases = _complex_jit(
-            jnp.asarray(np.cos(phase).astype(np.dtype(prec.real))),
-            jnp.asarray(np.sin(phase).astype(np.dtype(prec.real))))
+        phases = self._phases_block(frame_indices)
         for i, sl in enumerate(self._chunk_slices):
             if self._track_mean:
                 self._acc_chunks[i], self._mean_chunks[i] = \
@@ -912,6 +913,10 @@ class StreamingHAADF:
                     f"positions_block must be (B, n_atoms, 3), "
                     f"got {pos.shape}")
             B = pos.shape[0]
+            if frame_indices is not None and len(frame_indices) != B:
+                raise ValueError(
+                    f"frame_indices has {len(frame_indices)} entries for "
+                    f"a {B}-frame block")
             if (self.use_smatrix or B == 1
                     or (self.probe_chunk is not None
                         and self.probe_chunk < self.probes.shape[0])):
@@ -919,13 +924,10 @@ class StreamingHAADF:
                     self.add_frame(pos[k], None if frame_indices is None
                                    else frame_indices[k])
                 return
-            if frame_indices is not None and len(frame_indices) != B:
-                raise ValueError(
-                    f"frame_indices has {len(frame_indices)} entries for "
-                    f"a {B}-frame block")
-            for k in range(B):
-                self._track(None if frame_indices is None
-                            else frame_indices[k])
+            # atomic: validate the WHOLE block before touching any state
+            # (a per-frame loop would poison _seen for earlier indices
+            # when a later one is a duplicate)
+            self._track(frame_indices)
             self._acc = _haadf_accumulate_scan(
                 self._acc, pos, self.probes, self._mask, self.spec,
                 self.layer_index, self.intensity)

@@ -426,3 +426,24 @@ def test_streaming_haadf_block_feed_matches_per_frame(setup):
     ref = feed(None)
     np.testing.assert_array_equal(feed(4), ref)
     np.testing.assert_array_equal(feed(6), ref)
+
+
+def test_streaming_haadf_block_duplicate_is_atomic(setup):
+    """A duplicate index anywhere in a block must reject the WHOLE block
+    before any state mutates — a per-frame loop would mark earlier block
+    indices as seen without accumulating them (resume would then drop
+    their contribution permanently)."""
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 25, 100e3, precision=DOUBLE)
+    pg = probe_grid([1.0, g.lx - 1.0], [1.0, g.ly - 1.0], 2, 2)
+    probes = create_batched_probes(base, pg).array
+    st = StreamingHAADF(spec, probes, pg, collection_angle=45, eV=100e3)
+    st.add_frame_block(traj.positions[:3], [0, 1, 2])
+    with pytest.raises(ValueError, match="more than once"):
+        st.add_frame_block(traj.positions[2:5], [4, 5, 2])
+    # 4 and 5 were NOT poisoned: the block can be re-fed cleanly
+    st.add_frame_block(traj.positions[3:6], [3, 4, 5])
+    assert np.all(np.isfinite(np.asarray(st.image())))
+    # mismatched frame_indices length rejected up front on every path
+    with pytest.raises(ValueError, match="entries"):
+        st.add_frame_block(traj.positions[:3], [7, 8])
