@@ -1,0 +1,128 @@
+"""Experimental 4D-STEM ingest (HDF5 / EMD datacubes).
+
+The analysis and inverse families (`analysis.ptychography`,
+`engine.inverse`) consume ``(npos, nkx, nky)`` detector intensities plus
+``(npos, 2)`` scan coordinates — exactly what this module extracts from
+measured datacubes, so experimental data drops into the same tools the
+simulation pipeline feeds (the reference has no experimental-data story
+at all).
+
+Supported: any HDF5 file holding a 4-D dataset (scan_y, scan_x, k_y,
+k_x — the datacube convention EMD 1.0 / Berkeley / py4DSTEM files use).
+``dataset`` selects the HDF5 path explicitly; auto-discovery prefers
+groups tagged with the EMD 1.0 ``emd_group_type == 1`` attribute and
+falls back to the first 4-D dataset in the file. Reads are chunked per
+scan row, so a datacube larger than memory can be cropped/binned on the
+fly without materializing the raw array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _discover_dataset(f):
+    """First EMD-tagged 4-D dataset, else the first 4-D dataset."""
+    import h5py
+
+    emd_hit, any_hit = [], []
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset) and obj.ndim == 4:
+            parent = obj.parent
+            if int(parent.attrs.get("emd_group_type", 0)) == 1:
+                emd_hit.append(name)
+            any_hit.append(name)
+
+    f.visititems(visit)
+    if emd_hit:
+        return emd_hit[0]
+    if any_hit:
+        return any_hit[0]
+    raise ValueError(
+        f"{f.filename}: no 4-D dataset found (pass dataset='/path/to/data')")
+
+
+def scan_positions(scan_shape: Tuple[int, int], step: float,
+                   step_y: Optional[float] = None) -> np.ndarray:
+    """(n_sx * n_sy, 2) scan coordinates in Angstrom for a raster scan of
+    ``scan_shape = (n_sx, n_sy)`` with pitch ``step`` (x) / ``step_y``
+    (defaults to ``step``) — row-major x-fast-last ordering matching
+    ``load_4dstem``'s flattened position axis."""
+    n_sx, n_sy = int(scan_shape[0]), int(scan_shape[1])
+    sy = float(step if step_y is None else step_y)
+    return np.array([(i * float(step), j * sy)
+                     for i in range(n_sx) for j in range(n_sy)])
+
+
+def load_4dstem(path, dataset: Optional[str] = None,
+                scan_step: Optional[float] = None,
+                crop_k: Optional[int] = None,
+                bin_k: int = 1,
+                dtype=np.float64) -> dict:
+    """Load a 4-D STEM datacube from an HDF5/EMD file.
+
+    Args:
+        path: the .h5/.emd file.
+        dataset: explicit HDF5 dataset path (default: auto-discover; EMD
+            1.0 ``emd_group_type == 1`` groups win).
+        scan_step: optional scan pitch in Angstrom — when given, the
+            result carries ready-made ``positions`` for the
+            reconstruction tools.
+        crop_k: optional centered crop of the detector axes to
+            (crop_k, crop_k) BEFORE binning (useful when the detector is
+            much larger than the useful signal).
+        bin_k: integer detector binning factor (sums counts, preserving
+            Poisson statistics).
+        dtype: output dtype.
+
+    Returns dict with ``data`` ((npos, nkx, nky) — scan flattened
+    row-major, first scan axis slow), ``scan_shape`` ((n_sx, n_sy)),
+    ``positions`` ((npos, 2) Angstrom, only when ``scan_step`` given),
+    and ``dataset`` (the HDF5 path read). The detector layout is passed
+    through unchanged — callers treating it as the fftshifted WFData
+    convention (all reconstruction tools here) should verify the central
+    beam sits at the array center.
+    """
+    import h5py
+
+    if bin_k < 1:
+        raise ValueError(f"bin_k must be >= 1, got {bin_k}")
+    with h5py.File(path, "r") as f:
+        name = dataset or _discover_dataset(f)
+        try:
+            dset = f[name]
+        except KeyError:
+            raise ValueError(f"{path}: no dataset {name!r}") from None
+        if dset.ndim != 4:
+            raise ValueError(f"{path}:{name} is {dset.ndim}-D, expected a "
+                             "4-D datacube (scan_y, scan_x, k_y, k_x)")
+        n_sx, n_sy, nkx, nky = dset.shape
+        if crop_k is not None:
+            if not 0 < crop_k <= min(nkx, nky):
+                raise ValueError(f"crop_k {crop_k} outside the "
+                                 f"({nkx}, {nky}) detector")
+            x0, y0 = (nkx - crop_k) // 2, (nky - crop_k) // 2
+            kx_sl = slice(x0, x0 + crop_k)
+            ky_sl = slice(y0, y0 + crop_k)
+            nkx = nky = crop_k
+        else:
+            kx_sl = ky_sl = slice(None)
+        if nkx % bin_k or nky % bin_k:
+            raise ValueError(f"bin_k {bin_k} does not divide the "
+                             f"({nkx}, {nky}) detector (crop_k first)")
+        out = np.empty((n_sx * n_sy, nkx // bin_k, nky // bin_k), dtype)
+        # one scan row per read: bounded memory for out-of-core cubes
+        for i in range(n_sx):
+            row = np.asarray(dset[i, :, kx_sl, ky_sl], np.float64)
+            if bin_k > 1:
+                row = row.reshape(n_sy, nkx // bin_k, bin_k,
+                                  nky // bin_k, bin_k).sum(axis=(2, 4))
+            out[i * n_sy:(i + 1) * n_sy] = row.astype(dtype)
+
+    result = dict(data=out, scan_shape=(n_sx, n_sy), dataset=name)
+    if scan_step is not None:
+        result["positions"] = scan_positions((n_sx, n_sy), scan_step)
+    return result
