@@ -126,3 +126,51 @@ def load_4dstem(path, dataset: Optional[str] = None,
     if scan_step is not None:
         result["positions"] = scan_positions((n_sx, n_sy), scan_step)
     return result
+
+
+def center_datacube(data, return_shift: bool = False):
+    """Roll every pattern so the unscattered beam sits at the array
+    center — the first preprocessing step for measured data (descan error
+    and detector mounting offset the zero beam; the reconstruction tools
+    here assume the fftshifted layout with DC at (nkx//2, nky//2)).
+
+    The shift is ONE integer (ky, kx) offset from the center of mass of
+    the MEAN pattern (per-pattern shifts would absorb the DPC signal the
+    iCoM/SSB tools measure). Returns the rolled copy; with
+    ``return_shift`` also the (dy, dx) applied.
+    """
+    data = np.asarray(data)
+    mean = data.reshape(-1, *data.shape[-2:]).mean(axis=0)
+    total = mean.sum()
+    if total <= 0:
+        raise ValueError("cannot center an empty datacube")
+    gx = np.arange(mean.shape[0])
+    gy = np.arange(mean.shape[1])
+    cx = float((mean.sum(axis=1) * gx).sum() / total)
+    cy = float((mean.sum(axis=0) * gy).sum() / total)
+    dx = mean.shape[0] // 2 - int(round(cx))
+    dy = mean.shape[1] // 2 - int(round(cy))
+    rolled = np.roll(np.roll(data, dx, axis=-2), dy, axis=-1)
+    return (rolled, (dx, dy)) if return_shift else rolled
+
+
+def k_sampling_from_disk(pattern, mrad: float, eV: float,
+                         threshold: float = 0.5) -> float:
+    """Detector k-sampling (1/Angstrom per pixel) calibrated from the
+    bright-field disk: the disk's radius in PIXELS corresponds to the
+    known aperture half-angle, r_pix * dk = mrad*1e-3 / lambda. The disk
+    is segmented at ``threshold`` of the pattern's max (robust for a
+    centered, far-field CBED of a thin region); pass the MEAN pattern of
+    a centered datacube.
+    """
+    from ..core.constants import wavelength
+
+    pat = np.asarray(pattern, np.float64)
+    mask = pat >= threshold * pat.max()
+    area = float(mask.sum())
+    if area < 4:
+        raise ValueError("bright-field disk not found (threshold too "
+                         "high, or the pattern is not a CBED)")
+    r_pix = np.sqrt(area / np.pi)
+    k_ap = (mrad * 1e-3) / wavelength(eV)
+    return float(k_ap / r_pix)

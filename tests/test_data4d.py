@@ -112,3 +112,36 @@ def test_datacube_feeds_reconstruction(tmp_path):
                            np.fft.fftshift(base.kys), probe=base)
     assert np.all(np.isfinite(rec["phase"]))
     assert rec["phase"].std() > 0
+
+
+def test_center_and_calibrate():
+    """Preprocessing helpers: integer re-centering of an offset beam and
+    k-sampling calibration from the bright-field disk radius."""
+    from pyslice_tpu.core.constants import wavelength
+    from pyslice_tpu.io.data4d import center_datacube, k_sampling_from_disk
+
+    nk = 64
+    dk_true = 0.02          # 1/A per pixel
+    mrad, eV = 20.0, 100e3
+    k_ap = (mrad * 1e-3) / wavelength(eV)
+    r_pix = k_ap / dk_true
+    gx, gy = np.meshgrid(np.arange(nk), np.arange(nk), indexing="ij")
+    # disk deliberately off-center by (5, -3)
+    disk = (((gx - (nk // 2 + 5)) ** 2 + (gy - (nk // 2 - 3)) ** 2)
+            <= r_pix ** 2).astype(np.float64)
+    data = np.stack([disk, disk])[None]          # (1, 2, nk, nk)
+
+    centered, (dx, dy) = center_datacube(data, return_shift=True)
+    assert (dx, dy) == (-5, 3)
+    m = centered[0, 0]
+    cx = (m.sum(axis=1) * np.arange(nk)).sum() / m.sum()
+    assert abs(cx - nk // 2) < 0.6
+
+    dk = k_sampling_from_disk(centered[0, 0], mrad, eV)
+    assert abs(dk - dk_true) / dk_true < 0.05, dk
+
+    with pytest.raises(ValueError, match="empty"):
+        center_datacube(np.zeros((1, 4, 4)))
+    with pytest.raises(ValueError, match="disk"):
+        k_sampling_from_disk(np.ones((8, 8)) * 1e-12, mrad, eV,
+                             threshold=2.0)
