@@ -44,6 +44,9 @@ from .physics.probe import Probe, create_batched_probes, probe_grid, shift_probe
 from .physics.propagate import Propagate, multislice
 from .physics.adjoint import multislice_diff
 from .io.loader import TrajectoryLoader
+from .io.stream import TrajectoryStream
+from .io.data4d import (center_datacube, k_sampling_from_disk,
+                        load_4dstem, scan_positions)
 from .engine.calculator import MultisliceCalculator
 from .engine.smatrix import (BeamSet, SMatrix, build_beams, compute_smatrix,
                              smatrix_exit_kspace, smatrix_reduce)
@@ -85,7 +88,9 @@ def loadKirkland(device=None):
 __version__ = "0.4.0"
 
 __all__ = [
-    "Trajectory", "TrajectoryLoader", "Grid", "grid_from_box",
+    "Trajectory", "TrajectoryLoader", "TrajectoryStream", "load_4dstem",
+    "center_datacube", "k_sampling_from_disk", "scan_positions",
+    "Grid", "grid_from_box",
     "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",
     "Propagate", "multislice", "multislice_diff",
     "create_batched_probes", "probe_grid",
