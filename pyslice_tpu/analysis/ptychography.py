@@ -591,7 +591,12 @@ def msp_reconstruct(data4d, probe_positions, probe, n_slices: int,
             494 (2013) 68). Mode 0 starts at ``probe``; extra modes start
             as weak Hermite-like sidebands of it (10% amplitude, x/y
             gradient envelopes) and are refined when ``update_probe``.
-            Intensities of the modes ADD on the detector.
+            Intensities of the modes ADD on the detector. Note the modes
+            are NOT re-orthogonalized during descent (only their
+            incoherent sum is observable, so overlapping modes cost
+            interpretability, not fit quality); orthogonalize with
+            np.linalg.qr on the returned ``probe_modes`` if you need the
+            canonical decomposition.
         probe_modes: optional explicit (K, nx, ny) complex initial modes
             (overrides ``n_modes``/the probe-derived initialization).
         loss: data fidelity — "amplitude" (detector-amplitude MSE, the
