@@ -221,3 +221,130 @@ int dump_read(const char* path, double* positions, double* velocities,
 }
 
 }  // extern "C"
+
+// --- incremental (streaming) API ---------------------------------------------
+//
+// One frame at a time for io/stream.py's TrajectoryStream: the whole-file
+// entry points above materialize (n_frames, n_atoms, 3) arrays, which is
+// exactly what streaming ingest exists to avoid. The caller gates with
+// dump_scan (one fast pass) so every frame is known to be the supported
+// layout before iteration starts; mid-file surprises still return errors.
+//
+//   dump_open(path) -> handle (null on I/O error)
+//   dump_next_header(h, &n_atoms, &flags, box9) -> 0 ok, 1 clean EOF,
+//       >1 unsupported layout, <0 I/O error. Leaves the reader positioned
+//       at the frame's first atom row.
+//   dump_next_body(h, pos, vel, types, images_or_null) -> 0 ok, <0 error.
+//       Buffers are (n_atoms, 3) float64 / (n_atoms,) int32, id-sorted,
+//       origin-subtracted — the same conventions as dump_read.
+//   dump_close(h)
+
+namespace {
+
+struct StreamHandle {
+    Reader r;
+    Layout lay;
+    double xlo = 0, ylo = 0, zlo = 0;
+    int64_t n_atoms = 0;
+    bool header_ready = false;
+    explicit StreamHandle(const char* path) : r(path) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dump_open(const char* path) {
+    auto* h = new StreamHandle(path);
+    if (!h->r.f) {
+        delete h;
+        return nullptr;
+    }
+    return h;
+}
+
+void dump_close(void* vh) {
+    delete static_cast<StreamHandle*>(vh);
+}
+
+int dump_next_header(void* vh, int64_t* n_atoms, int32_t* flags,
+                     double* box9) {
+    auto* h = static_cast<StreamHandle*>(vh);
+    if (!h || !h->r.f) return -1;
+    std::string line;
+    while (h->r.line(line)) {
+        if (line.rfind("ITEM: TIMESTEP", 0) != 0) continue;
+        if (!h->r.line(line)) return -2;               // timestep value
+        if (!h->r.line(line) ||
+            line.rfind("ITEM: NUMBER OF ATOMS", 0) != 0) return 2;
+        if (!h->r.line(line)) return -2;
+        h->n_atoms = std::strtoll(line.c_str(), nullptr, 10);
+        if (h->n_atoms <= 0) return 2;
+        if (!h->r.line(line) ||
+            line.rfind("ITEM: BOX BOUNDS", 0) != 0) return 2;
+        if (line.find("xy") != std::string::npos) return 3;  // triclinic
+        double b[2], len[3], lo[3];
+        for (int i = 0; i < 3; ++i) {
+            if (!h->r.line(line)) return -2;
+            if (parse_doubles(line.c_str(), b, 2) < 2) return -3;
+            lo[i] = b[0];
+            len[i] = b[1] - b[0];
+        }
+        h->xlo = lo[0]; h->ylo = lo[1]; h->zlo = lo[2];
+        if (!h->r.line(line) || line.rfind("ITEM: ATOMS", 0) != 0) return 2;
+        h->lay = parse_header(line);
+        if (!h->lay.ok) return 4;
+        std::memset(box9, 0, 9 * sizeof(double));
+        box9[0] = len[0]; box9[4] = len[1]; box9[8] = len[2];
+        *n_atoms = h->n_atoms;
+        int32_t fl = 0;
+        if (h->lay.vx >= 0) fl |= FLAG_VELOCITIES;
+        if (h->lay.ix >= 0) fl |= FLAG_IMAGES;
+        *flags = fl;
+        h->header_ready = true;
+        return 0;
+    }
+    return 1;                                           // clean EOF
+}
+
+int dump_next_body(void* vh, double* positions, double* velocities,
+                   int32_t* types, double* images) {
+    auto* h = static_cast<StreamHandle*>(vh);
+    if (!h || !h->r.f || !h->header_ready) return -1;
+    h->header_ready = false;
+    std::string line;
+    double row[64];
+    const Layout& lay = h->lay;
+    for (int64_t i = 0; i < h->n_atoms; ++i) {
+        if (!h->r.line(line)) return -2;
+        int n = parse_doubles(line.c_str(), row,
+                              lay.ncols > 64 ? 64 : lay.ncols);
+        if (n < lay.ncols) return -3;
+        int64_t id = (int64_t)row[lay.id] - 1;
+        if (id < 0 || id >= h->n_atoms) return -6;
+        types[id] = (int32_t)row[lay.type];
+        double* p = positions + id * 3;
+        p[0] = row[lay.x] - h->xlo;
+        p[1] = row[lay.x + 1] - h->ylo;
+        p[2] = row[lay.x + 2] - h->zlo;
+        double* v = velocities + id * 3;
+        if (lay.vx >= 0) {
+            v[0] = row[lay.vx]; v[1] = row[lay.vx + 1];
+            v[2] = row[lay.vx + 2];
+        } else {
+            v[0] = v[1] = v[2] = 0.0;
+        }
+        if (images) {
+            double* im = images + id * 3;
+            if (lay.ix >= 0) {
+                im[0] = row[lay.ix]; im[1] = row[lay.ix + 1];
+                im[2] = row[lay.ix + 2];
+            } else {
+                im[0] = im[1] = im[2] = 0.0;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

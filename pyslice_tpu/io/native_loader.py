@@ -121,3 +121,89 @@ def parse_lammps_dump_native(path) -> Optional[
     else:
         positions = unwrap_continuity(positions, box_matrix)
     return types, positions, velocities, box_matrix
+
+
+def _bind_stream_api(lib) -> bool:
+    """Bind the incremental entry points (present in rebuilt libraries;
+    an older cached .so without them disables the streaming fast path)."""
+    if getattr(lib, "_stream_bound", False):
+        return True
+    try:
+        lib.dump_open.restype = ctypes.c_void_p
+        lib.dump_open.argtypes = [ctypes.c_char_p]
+        lib.dump_close.restype = None
+        lib.dump_close.argtypes = [ctypes.c_void_p]
+        lib.dump_next_header.restype = ctypes.c_int
+        lib.dump_next_header.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.dump_next_body.restype = ctypes.c_int
+        lib.dump_next_body.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+    except AttributeError:
+        return False
+    lib._stream_bound = True
+    return True
+
+
+def iter_frames_native(path):
+    """Generator of per-frame ``(pos, vel, images|None, types, box)`` —
+    the io.stream frame contract — via the incremental native parser, or
+    None when the fast path does not apply (library unavailable, or the
+    file's layout needs the general Python parser; gated up front by one
+    dump_scan pass so iteration never fails over mid-file)."""
+    lib = get_lib()
+    if lib is None or not _bind_stream_api(lib):
+        return None
+    n_frames = ctypes.c_int64()
+    n_atoms = ctypes.c_int64()
+    flags = ctypes.c_int32()
+    rc = lib.dump_scan(str(path).encode(), ctypes.byref(n_frames),
+                       ctypes.byref(n_atoms), ctypes.byref(flags))
+    if rc != 0:
+        if rc < 0:
+            logger.warning("native dump scan I/O error %d on %s", rc, path)
+        return None
+
+    def gen():
+        h = lib.dump_open(str(path).encode())
+        if not h:
+            raise ValueError(f"{path}: cannot open for native streaming")
+        try:
+            na = ctypes.c_int64()
+            fl = ctypes.c_int32()
+            while True:
+                box9 = np.zeros(9, np.float64)
+                rc = lib.dump_next_header(h, ctypes.byref(na),
+                                          ctypes.byref(fl), box9)
+                if rc == 1:
+                    return
+                if rc != 0:
+                    raise ValueError(
+                        f"{path}: native streaming parse failed mid-file "
+                        f"(code {rc}) despite a clean pre-scan")
+                a = na.value
+                pos = np.empty((a, 3), np.float64)
+                vel = np.empty((a, 3), np.float64)
+                types = np.zeros(a, np.int32)
+                images = np.zeros((a, 3), np.float64)
+                rc = lib.dump_next_body(h, pos, vel, types, images)
+                if rc != 0:
+                    raise ValueError(
+                        f"{path}: native streaming parse failed "
+                        f"(code {rc})")
+                has_img = bool(fl.value & _FLAG_IMAGES)
+                yield (pos, vel, images if has_img else None, types,
+                       box9.reshape(3, 3))
+        finally:
+            lib.dump_close(h)
+
+    return gen()

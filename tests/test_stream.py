@@ -42,7 +42,13 @@ def _concat_blocks(stream):
 
 
 @pytest.mark.parametrize("prefetch", [0, 2])
-def test_stream_matches_loader_text(tmp_path, prefetch):
+@pytest.mark.parametrize("native", [True, False])
+def test_stream_matches_loader_text(tmp_path, prefetch, native,
+                                    monkeypatch):
+    if not native:
+        # force the pure-Python frame iterator (the general-case path)
+        from pyslice_tpu.io import native_loader
+        monkeypatch.setattr(native_loader, "get_lib", lambda: None)
     types, wrapped, vel, box = _traj()
     f = tmp_path / "dump.lammpstrj"
     write_lammps_dump(f, types, wrapped, vel, box)
