@@ -207,3 +207,19 @@ def iter_frames_native(path):
             lib.dump_close(h)
 
     return gen()
+
+
+def scan_dump_native(path):
+    """(n_frames, n_atoms, flags) via one native pass, or None when the
+    library is unavailable or the layout needs the Python parser."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_frames = ctypes.c_int64()
+    n_atoms = ctypes.c_int64()
+    flags = ctypes.c_int32()
+    rc = lib.dump_scan(str(path).encode(), ctypes.byref(n_frames),
+                       ctypes.byref(n_atoms), ctypes.byref(flags))
+    if rc != 0:
+        return None
+    return n_frames.value, n_atoms.value, flags.value

@@ -397,7 +397,12 @@ class TrajectoryStream:
         total = 0
         for path in self.filepaths:
             if _is_streamable_lammps(path):
-                total += count_lammps_text_frames(path)
+                scanned = None
+                if not _is_gz(path):
+                    from .native_loader import scan_dump_native
+                    scanned = scan_dump_native(path)
+                total += (scanned[0] if scanned is not None
+                          else count_lammps_text_frames(path))
             else:
                 total += self._parse_eager(path)[1].shape[0]
         return total
