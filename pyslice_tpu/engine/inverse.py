@@ -46,7 +46,13 @@ def _amplitude_misfit(psi_b, v, a_b, kx, ky, *, eV, dz, prec):
     adjoint — the data-fidelity term every refinement here descends."""
     exit_b = multislice_diff(psi_b, v, kx, ky, eV=eV, dz=dz,
                              precision=prec)
-    return jnp.mean((jnp.abs(matfft.fft2(exit_b)) - a_b) ** 2)
+    # Epsilon guard (same as _msp_run's amplitude loss): the complex-abs VJP
+    # is NaN at exact zeros, and refine_aberrations starts from a zero
+    # potential with a hard-apertured probe where only FFT roundoff keeps
+    # detector pixels off exact zero.
+    psi_k = matfft.fft2(exit_b)
+    amp = jnp.sqrt(jnp.abs(psi_k) ** 2 + 1e-24)
+    return jnp.mean((amp - a_b) ** 2)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "eV", "dz", "lr"))

@@ -49,8 +49,8 @@ def scan_positions(scan_shape: Tuple[int, int], step: float,
                    step_y: Optional[float] = None) -> np.ndarray:
     """(n_sx * n_sy, 2) scan coordinates in Angstrom for a raster scan of
     ``scan_shape = (n_sx, n_sy)`` with pitch ``step`` (x) / ``step_y``
-    (defaults to ``step``) — row-major x-fast-last ordering matching
-    ``load_4dstem``'s flattened position axis."""
+    (defaults to ``step``) — first scan axis slow, second axis fast,
+    matching ``load_4dstem``'s flattened position axis."""
     n_sx, n_sy = int(scan_shape[0]), int(scan_shape[1])
     sy = float(step if step_y is None else step_y)
     return np.array([(i * float(step), j * sy)

@@ -199,6 +199,9 @@ class TrajectoryStream:
         self._mapping = TrajectoryLoader._process_atom_mapping(atom_mapping)
 
         self._eager_cache = (None, None)   # (path, parse_any result)
+        # count_frames() may run concurrently with the prefetch worker
+        # driving blocks(); both reach _parse_eager for eager-format files.
+        self._eager_lock = threading.Lock()
         try:
             first = next(self._iter_raw_frames())
         except StopIteration:
@@ -225,12 +228,13 @@ class TrajectoryStream:
     def _parse_eager(self, path):
         """parse_any with a one-file cache: at most one eager file is ever
         resident, and __init__ / count_frames / blocks() share its parse."""
-        cached_path, cached = self._eager_cache
-        if cached_path == path:
-            return cached
-        parsed = parse_any(path)
-        self._eager_cache = (path, parsed)
-        return parsed
+        with self._eager_lock:
+            cached_path, cached = self._eager_cache
+            if cached_path == path:
+                return cached
+            parsed = parse_any(path)
+            self._eager_cache = (path, parsed)
+            return parsed
 
     def _check_types(self, types, path):
         if types is None:

@@ -38,11 +38,13 @@ cotangent, fused in one doubled batch) vs the forward's 1 — a
 grad-evaluation is ~3x a forward pass, the standard reverse-mode ratio,
 with no O(nz) residual traffic.
 
-Restrictions (raise ValueError): ``bandwidth_limit``/``kmax2`` must be None
-(a band limit zeroes |P| outside the band — the chain is no longer
-invertible; use ``jax.checkpoint`` over the XLA path if you need a
-band-limited gradient) and ``record_layers`` is not supported. Beam tilt
-and oblique ``ksq`` metrics are pure phases — both supported.
+Restrictions: ``bandwidth_limit``/``kmax2`` and ``record_layers`` are
+intentionally *not offered* as parameters here — a band limit zeroes |P|
+outside the band, so the unitary reconstruction this O(1)-memory scheme
+relies on no longer exists (there is no runtime check because there is no
+argument to check). For band-limited gradients, apply ``jax.checkpoint``
+over ``propagate.multislice`` instead. Beam tilt and oblique ``ksq``
+metrics are pure phases — both supported.
 
 Float32 note: reconstruction replays nz unitary steps, so roundoff grows
 ~O(nz * eps) relative (~1e-5 at 200 slices) — measured harmless for
