@@ -30,6 +30,16 @@ import numpy as np
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-scale", type=float, default=1.0,
+                    help="multiply every refinement's step count (use e.g. "
+                         "0.02 for a smoke run)")
+    args = ap.parse_args()
+
+    def steps(n):
+        return max(2, int(round(n * args.steps_scale)))
+
     import jax.numpy as jnp
 
     import pyslice_tpu as pt
@@ -76,7 +86,7 @@ def main():
     t0 = time.time()
     rec = pt.refine_aberrations(inten, positions, base,
                                 coefficients=("C1", "C3", "A1"),
-                                n_slices=2, dz=DZ, steps=800, batch=64)
+                                n_slices=2, dz=DZ, steps=steps(800), batch=64)
     ab = rec["aberrations"]
     print(f"1. aberrations ({time.time() - t0:.0f} s): "
           f"C1 {ab.C1:.1f} A (true 60), C3 {ab.C3:.3g} A (true 1e5), "
@@ -97,7 +107,7 @@ def main():
     err0 = float(np.sqrt(np.mean((start[:, :2] - pos_true[:, :2]) ** 2)))
     t0 = time.time()
     r2 = pt.refine_structure(inten2, positions, base2, start, types2, zs,
-                             steps=300, batch=64)
+                             steps=steps(300), batch=64)
     err1 = float(np.sqrt(np.mean(
         (r2["positions"][:, :2] - pos_true[:, :2]) ** 2)))
     print(f"2. coordinates ({time.time() - t0:.0f} s): xy rms "
@@ -125,7 +135,7 @@ def main():
     t0 = time.time()
     r3 = pt.refine_structure_tilt_series(
         datasets, [scan3] * 3, base2, start3, types3, zs3, tilts,
-        steps=450, batch=32, center=ctr)
+        steps=steps(450), batch=32, center=ctr)
     ez1 = float(np.sqrt(np.mean((r3["positions"][:, 2] - pos3[:, 2]) ** 2)))
     print(f"3. tilt series ({time.time() - t0:.0f} s): z rms "
           f"{ez0:.4f} -> {ez1:.5f} A (z is invisible to a single "

@@ -26,11 +26,17 @@ from pyslice_tpu.analysis.detectors import pacbed, radial_profile
 from pyslice_tpu.engine.thermal import frozen_phonon_diffraction
 from tests.fixtures import hbn_stack
 
-KW = dict(n_configs=4, sigma=0.06, seed=0, voltage_eV=100e3,
-          sampling=0.3, slice_thickness=1.5)
-
-
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, default=4,
+                    help="frozen-phonon configurations per pattern")
+    ap.add_argument("--azimuths", type=int, default=8,
+                    help="PED azimuthal samples")
+    args = ap.parse_args()
+    KW = dict(n_configs=args.configs, sigma=0.06, seed=0, voltage_eV=100e3,
+              sampling=0.3, slice_thickness=1.5)
+
     traj = hbn_stack(n_layers=3, nx=2, ny=2)
     print(f"3-layer hBN stack: {traj.n_atoms} atoms, box "
           f"{np.diag(traj.box_matrix).round(2)}")
@@ -43,8 +49,8 @@ def main():
           "(pure k-space phase - only dynamical scattering responds)")
 
     # 2. precession quenches the tilt asymmetry back toward the axial
-    ped = precession_diffraction(traj, 150.0, n_azimuth=8, **KW)
-    print(f"PED (8 azimuths): total intensity conserved to "
+    ped = precession_diffraction(traj, 150.0, n_azimuth=args.azimuths, **KW)
+    print(f"PED ({args.azimuths} azimuths): total intensity conserved to "
           f"{abs(ped.sum() / axial.sum() - 1.0):.1e}")
 
     # 3. static Debye-Waller model (no thermal ensemble)

@@ -94,10 +94,28 @@ def cell_to_box(a, b, c, alpha, beta, gamma) -> np.ndarray:
                      [0.0, 0.0, cz]], dtype=np.float64)
 
 
-def parse_cif(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def parse_cif(path, occupancy: str = "round",
+              occupancy_seed: int = 0) -> Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
     """Returns (atom_types Z (n,), positions (1, n, 3) Cartesian, box (3,3)).
 
     Uses the first data block that contains both a cell and an atom-site loop.
+
+    Partial occupancy (``_atom_site_occupancy``) handling — a single static
+    frame cannot represent fractional site populations, so one of three
+    policies realizes the sites (ASE, which the reference defers to at
+    loader.py:273-287, keeps every partially-occupied site; abTEM realizes
+    by random sampling):
+
+    * ``"round"`` (default): keep sites with occupancy >= 0.5 —
+      deterministic, exact for fully-ordered structures mislabeled with
+      occupancies of 1.0/0.0, a warning is logged for anything fractional.
+    * ``"sample"``: keep each site independently with probability equal to
+      its occupancy, using ``numpy.random.default_rng(occupancy_seed)`` —
+      the frozen-phonon-style ensemble answer; draw several seeds and
+      average downstream for a configurational average.
+    * ``"all"``: keep every listed site regardless of occupancy (ASE's
+      behavior; overlapping split sites will double-count potential).
     """
     from .lammps import read_text_auto
     lines = read_text_auto(path).splitlines()
@@ -179,15 +197,21 @@ def parse_cif(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                     zcol = col.get(prefix + "z")
                     scol = col.get("_atom_site_type_symbol",
                                    col.get("_atom_site_label"))
+                    ocol = col.get("_atom_site_occupancy")
                     for row in body:
                         toks = _tokenize_line(row)
                         if len(toks) < len(tags) or toks[0] == "?":
                             continue
                         try:
+                            occ = 1.0
+                            if ocol is not None and toks[ocol] not in (
+                                    ".", "?"):
+                                occ = _parse_number(toks[ocol])
                             sites.append((toks[scol],
                                           _parse_number(toks[xcol]),
                                           _parse_number(toks[ycol]),
-                                          _parse_number(toks[zcol])))
+                                          _parse_number(toks[zcol]),
+                                          occ))
                         except (ValueError, IndexError):
                             continue
             i = j
@@ -207,31 +231,52 @@ def parse_cif(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             raise ValueError(f"Unknown element symbol in CIF: {s!r}")
         return element_to_z(m.group(1))
 
+    if occupancy not in ("round", "sample", "all"):
+        raise ValueError(f"occupancy must be 'round', 'sample' or 'all', "
+                         f"got {occupancy!r}")
+
     zs = np.array([symbol_to_z(s[0]) for s in sites], dtype=np.int32)
     coords = np.array([[s[1], s[2], s[3]] for s in sites], dtype=np.float64)
+    occs = np.array([s[4] for s in sites], dtype=np.float64)
 
     if cartesian:
         cart = coords
     else:
         frac = coords
         if symops:
-            all_z, all_frac = [], []
+            all_z, all_frac, all_occ = [], [], []
             for op in symops:
                 f = _apply_symop(op, frac) % 1.0
                 all_z.append(zs)
                 all_frac.append(f)
+                all_occ.append(occs)
             zs = np.concatenate(all_z)
             frac = np.concatenate(all_frac)
+            occs = np.concatenate(all_occ)
             # Deduplicate overlapping images.
             key = np.round(frac, 6) % 1.0
             _, keep = np.unique(
                 np.concatenate([zs[:, None], key], axis=1), axis=0,
                 return_index=True)
             keep = np.sort(keep)
-            zs, frac = zs[keep], frac[keep]
+            zs, frac, occs = zs[keep], frac[keep], occs[keep]
         else:
             logger.warning("CIF %s: no symmetry-operator loop; treating listed "
                            "sites as P1.", path)
         cart = frac @ box.T
+
+    if np.any(occs < 1.0 - 1e-9) and occupancy != "all":
+        if occupancy == "round":
+            keep = occs >= 0.5
+            if np.any((occs > 1e-9) & (occs < 1.0 - 1e-9)):
+                logger.warning(
+                    "CIF %s: fractional occupancies present; 'round' keeps "
+                    "sites with occupancy >= 0.5 (%d of %d kept). Use "
+                    "occupancy='sample' for a stochastic realization.",
+                    path, int(keep.sum()), len(occs))
+        else:
+            rng = np.random.default_rng(occupancy_seed)
+            keep = rng.random(len(occs)) < occs
+        zs, cart = zs[keep], cart[keep]
 
     return zs, cart[None], box

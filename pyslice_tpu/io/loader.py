@@ -60,6 +60,11 @@ def parse_any(path: Path):
         return types, pos, np.zeros_like(pos), box
     if kind == ".xyz":
         return xyz_io.parse_xyz(path)
+    stem_up = path.name.upper()
+    if kind in (".poscar", ".vasp") or any(
+            stem_up.startswith(n) for n in ("POSCAR", "CONTCAR", "XDATCAR")):
+        from . import vasp as vasp_io
+        return vasp_io.parse_poscar(path)
     # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
     # reads raw text only — gzipped and binary dumps (LAMMPS writes
     # binary for filenames ending .bin) go straight to the Python

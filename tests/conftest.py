@@ -33,10 +33,23 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs real TPU hardware "
         "(run with PYSLICE_TPU_TESTS=1 python -m pytest -m tpu)")
+    config.addinivalue_line(
+        "markers", "examples: demo-script smoke runs (subprocesses, ~min "
+        "each; run with -m examples or PYSLICE_EXAMPLES=1)")
 
 
 def pytest_collection_modifyitems(config, items):
+    # The examples tier runs only when asked for: `-m examples` (any mark
+    # expression naming it) or PYSLICE_EXAMPLES=1.
+    examples_on = (os.environ.get("PYSLICE_EXAMPLES") == "1"
+                   or "examples" in (config.option.markexpr or ""))
     for item in items:
+        if "examples" in item.keywords:
+            if not examples_on:
+                item.add_marker(pytest.mark.skip(
+                    reason="examples tier: run with -m examples or "
+                    "PYSLICE_EXAMPLES=1"))
+            continue   # subprocess tests run in either platform mode
         if TPU_MODE:
             # On hardware, run ONLY the tpu tier (the CPU suite needs x64).
             if "tpu" not in item.keywords:

@@ -248,6 +248,170 @@ C1 C 0.1 0.2 0.3
         assert sorted(types.tolist()) == [5, 7]     # one B + one N site (P1)
         assert box[2, 2] == pytest.approx(6.784)
 
+    CIF_OCC = """
+data_test
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_atom_site_label
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+_atom_site_occupancy
+B1 B 0.0 0.0 0.0 1.0
+N1 N 0.5 0.5 0.5 0.7
+C1 C 0.25 0.25 0.25 0.3
+"""
+
+    def test_occupancy_round(self, tmp_path):
+        p = tmp_path / "o.cif"
+        p.write_text(self.CIF_OCC)
+        types, pos, _ = cif_io.parse_cif(p)          # default "round"
+        assert sorted(types.tolist()) == [5, 7]      # C (0.3) dropped
+        assert pos.shape == (1, 2, 3)
+
+    def test_occupancy_all(self, tmp_path):
+        p = tmp_path / "o.cif"
+        p.write_text(self.CIF_OCC)
+        types, _, _ = cif_io.parse_cif(p, occupancy="all")
+        assert sorted(types.tolist()) == [5, 6, 7]
+
+    def test_occupancy_sample_statistics(self, tmp_path):
+        p = tmp_path / "o.cif"
+        p.write_text(self.CIF_OCC)
+        kept_n = kept_c = 0
+        n_draws = 200
+        for seed in range(n_draws):
+            types, _, _ = cif_io.parse_cif(p, occupancy="sample",
+                                           occupancy_seed=seed)
+            assert 5 in types.tolist()               # occ 1.0 always kept
+            kept_n += 7 in types.tolist()
+            kept_c += 6 in types.tolist()
+        assert abs(kept_n / n_draws - 0.7) < 0.1     # ~Binomial(200, .7)
+        assert abs(kept_c / n_draws - 0.3) < 0.1
+
+    def test_occupancy_sample_deterministic(self, tmp_path):
+        p = tmp_path / "o.cif"
+        p.write_text(self.CIF_OCC)
+        a = cif_io.parse_cif(p, occupancy="sample", occupancy_seed=3)
+        b = cif_io.parse_cif(p, occupancy="sample", occupancy_seed=3)
+        np.testing.assert_array_equal(a[0], b[0])
+
+    def test_occupancy_bad_policy(self, tmp_path):
+        p = tmp_path / "o.cif"
+        p.write_text(self.CIF_OCC)
+        with pytest.raises(ValueError, match="occupancy"):
+            cif_io.parse_cif(p, occupancy="bogus")
+
+
+class TestVASP:
+    POSCAR5 = """hBN-ish test cell
+1.0
+4.0 0.0 0.0
+0.0 5.0 0.0
+0.0 0.0 6.0
+B N
+1 2
+Direct
+0.0 0.0 0.25
+0.5 0.5 0.75
+0.25 0.25 0.5
+"""
+
+    def test_poscar_vasp5_direct(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        p = tmp_path / "POSCAR"
+        p.write_text(self.POSCAR5)
+        types, pos, vel, box = vasp_io.parse_poscar(p)
+        np.testing.assert_array_equal(types, [5, 7, 7])
+        np.testing.assert_allclose(np.diag(box), [4.0, 5.0, 6.0])
+        np.testing.assert_allclose(pos[0, 1], [2.0, 2.5, 4.5])
+        assert vel.shape == pos.shape and not vel.any()
+
+    def test_poscar_negative_scale_sets_volume(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        txt = self.POSCAR5.replace("1.0\n4.0", "-960.0\n4.0")  # 2^3 x 120
+        p = tmp_path / "POSCAR"
+        p.write_text(txt)
+        _, _, _, box = vasp_io.parse_poscar(p)
+        assert abs(np.linalg.det(box)) == pytest.approx(960.0)
+
+    def test_poscar_vasp4_numeric_types(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        txt = self.POSCAR5.replace("B N\n", "")
+        p = tmp_path / "POSCAR"
+        p.write_text(txt)
+        types, pos, _, _ = vasp_io.parse_poscar(p)
+        np.testing.assert_array_equal(types, [1, 2, 2])
+
+    def test_poscar_cartesian_selective(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        p = tmp_path / "test.vasp"
+        p.write_text("""t
+2.0
+2.0 0.0 0.0
+0.0 2.5 0.0
+0.0 0.0 3.0
+B N
+1 1
+Selective dynamics
+Cartesian
+0.1 0.2 0.3 T T T
+0.4 0.5 0.6 F F F
+""")
+        types, pos, _, box = vasp_io.parse_poscar(p)
+        np.testing.assert_array_equal(types, [5, 7])
+        np.testing.assert_allclose(pos[0, 0], [0.2, 0.4, 0.6])  # x scale
+        np.testing.assert_allclose(np.diag(box), [4.0, 5.0, 6.0])
+
+    def test_poscar_velocities(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        p = tmp_path / "POSCAR"
+        p.write_text(self.POSCAR5 + "\n0.1 0.0 0.0\n0.0 0.2 0.0\n0.0 0.0 0.3\n")
+        _, pos, vel, _ = vasp_io.parse_poscar(p)
+        np.testing.assert_allclose(vel[0, 1], [0.0, 0.2, 0.0])
+
+    def test_xdatcar_multiframe(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        p = tmp_path / "XDATCAR"
+        p.write_text("""t
+1.0
+4.0 0.0 0.0
+0.0 4.0 0.0
+0.0 0.0 4.0
+B
+1
+Direct configuration=     1
+0.0 0.0 0.0
+Direct configuration=     2
+0.25 0.0 0.0
+Direct configuration=     3
+0.5 0.0 0.0
+""")
+        types, pos, _, _ = vasp_io.parse_poscar(p)
+        assert pos.shape == (3, 1, 3)
+        np.testing.assert_allclose(pos[:, 0, 0], [0.0, 1.0, 2.0])
+
+    def test_loader_dispatch_and_trajectory(self, tmp_path):
+        from pyslice_tpu.io.loader import TrajectoryLoader
+        p = tmp_path / "CONTCAR"
+        p.write_text(self.POSCAR5)
+        t = TrajectoryLoader(p, timestep=0.01, use_cache=False).load()
+        assert t.n_atoms == 3 and t.n_frames == 1
+        np.testing.assert_array_equal(t.atom_types, [5, 7, 7])
+
+    def test_truncated_errors(self, tmp_path):
+        from pyslice_tpu.io import vasp as vasp_io
+        p = tmp_path / "POSCAR"
+        p.write_text("\n".join(self.POSCAR5.splitlines()[:9]) + "\n")
+        with pytest.raises(ValueError, match="truncated"):
+            vasp_io.parse_poscar(p)
+
 
 class TestLoader:
     def test_load_with_mapping_and_cache(self, traj, tmp_path):
