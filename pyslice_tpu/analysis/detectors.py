@@ -78,8 +78,15 @@ def segmented_mask(kxs, kys, lam: float, inner_mrad: float,
 
 
 def _collected(wf_data, mask, intensity: bool, layer_index: int = -1):
-    """Per-(probe,) mean-over-frames masked k sum; device-aware."""
+    """Per-(probe, segment) mean-over-frames masked k sum; device- and
+    mesh-aware (sharded WFData reduces through shard_map — multi-host
+    safe)."""
     wf = wf_data.wavefunction_data
+    from ..parallel.sharded import collected_sharded, sharded_mesh_of
+    mesh = sharded_mesh_of(wf)
+    if mesh is not None:
+        return np.asarray(jax.device_get(collected_sharded(
+            wf, mesh, mask, layer_index=layer_index, intensity=intensity)))
     xp = jnp if isinstance(wf, jax.Array) else np
     exits = xp.abs(wf[:, :, :, :, layer_index])
     if intensity:
@@ -134,14 +141,29 @@ def center_of_mass(wf_data, layer_index: int = -1) -> np.ndarray:
     """DPC center-of-mass deflection <k> per scan point: (2, n_x, n_y)
     (kx and ky first moments of the frame-averaged intensity)."""
     wf = wf_data.wavefunction_data
-    xp = jnp if isinstance(wf, jax.Array) else np
-    inten = xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1)
-    kx = xp.asarray(np.asarray(wf_data.kxs, dtype=np.float64))
-    ky = xp.asarray(np.asarray(wf_data.kys, dtype=np.float64))
-    total = xp.sum(inten, axis=(1, 2))
-    comx = xp.sum(inten * kx[None, :, None], axis=(1, 2)) / total
-    comy = xp.sum(inten * ky[None, None, :], axis=(1, 2)) / total
-    com = np.stack([np.asarray(comx), np.asarray(comy)], axis=0)
+    kx1 = np.asarray(wf_data.kxs, dtype=np.float64)
+    ky1 = np.asarray(wf_data.kys, dtype=np.float64)
+    from ..parallel.sharded import collected_sharded, sharded_mesh_of
+    mesh = sharded_mesh_of(wf)
+    if mesh is not None:
+        # Three weight planes (1, kx, ky) give the zeroth + first moments
+        # in one multi-host-safe shard_map reduction.
+        nx, ny = wf.shape[2], wf.shape[3]
+        weights = np.stack([np.ones((nx, ny)),
+                            np.broadcast_to(kx1[:, None], (nx, ny)),
+                            np.broadcast_to(ky1[None, :], (nx, ny))])
+        col = np.asarray(jax.device_get(collected_sharded(
+            wf, mesh, weights, layer_index=layer_index, intensity=True)))
+        com = np.stack([col[:, 1] / col[:, 0], col[:, 2] / col[:, 0]])
+    else:
+        xp = jnp if isinstance(wf, jax.Array) else np
+        inten = xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1)
+        kx = xp.asarray(kx1)
+        ky = xp.asarray(ky1)
+        total = xp.sum(inten, axis=(1, 2))
+        comx = xp.sum(inten * kx[None, :, None], axis=(1, 2)) / total
+        comy = xp.sum(inten * ky[None, None, :], axis=(1, 2)) / total
+        com = np.stack([np.asarray(comx), np.asarray(comy)], axis=0)
     xs, ys, nearest = _scan_grid(wf_data.probe_positions)
     return com[:, nearest].reshape(2, len(xs), len(ys))
 
@@ -192,6 +214,17 @@ def pacbed(wf_data, layer_index: int = -1, probe_indices=None
     Ultramicroscopy 110, 2010). ``probe_indices`` restricts the average
     to a subset of scan positions (e.g. one unit cell)."""
     wf = wf_data.wavefunction_data
+    from ..parallel.sharded import (frame_mean_intensity_sharded,
+                                    sharded_mesh_of)
+    mesh = sharded_mesh_of(wf)
+    if mesh is not None:
+        # Multi-host-safe: per-probe frame means come back replicated;
+        # the (optionally subset) probe average happens on the host.
+        per_probe = np.asarray(jax.device_get(
+            frame_mean_intensity_sharded(wf, mesh, layer_index=layer_index)))
+        if probe_indices is not None:
+            per_probe = per_probe[np.asarray(probe_indices, dtype=np.int64)]
+        return per_probe.mean(axis=0)
     xp = jnp if isinstance(wf, jax.Array) else np
     w = wf[..., layer_index]
     if probe_indices is not None:

@@ -64,14 +64,25 @@ class HAADFData:
         # Per-probe collected signal: mean over frames of the masked k sum of
         # the last recorded layer (haadf_data.py:56-64). Device-resident
         # WFData (calculator device_output=True) reduces on device; only the
-        # (n_probes,) result crosses to the host.
-        xp = (jnp if isinstance(self.wavefunction_data, jax.Array) else np)
-        exits = xp.abs(self.wavefunction_data[:, :, :, :, -1])
-        if intensity:
-            exits = exits ** 2
-        collected = np.asarray(
-            xp.mean(xp.sum(exits * xp.asarray(mask)[None, None, :, :],
-                           axis=(2, 3)), axis=1))                # (n_probes,)
+        # (n_probes,) result crosses to the host. Mesh-sharded WFData
+        # (calculator mesh=...) reduces through shard_map — psum over
+        # frames, all_gather over probes — so no eager op touches a
+        # potentially non-addressable shard on a multi-host mesh.
+        from ..parallel.sharded import collected_sharded, sharded_mesh_of
+        mesh = sharded_mesh_of(self.wavefunction_data)
+        if mesh is not None:
+            collected = np.asarray(jax.device_get(collected_sharded(
+                self.wavefunction_data, mesh, mask,
+                intensity=intensity)))[:, 0]                     # (n_probes,)
+        else:
+            xp = (jnp if isinstance(self.wavefunction_data, jax.Array)
+                  else np)
+            exits = xp.abs(self.wavefunction_data[:, :, :, :, -1])
+            if intensity:
+                exits = exits ** 2
+            collected = np.asarray(
+                xp.mean(xp.sum(exits * xp.asarray(mask)[None, None, :, :],
+                               axis=(2, 3)), axis=1))            # (n_probes,)
 
         self.adf = collected[nearest].reshape(len(self.xs), len(self.ys))
 

@@ -54,10 +54,19 @@ def scan_grid_data(wf_data, layer_index: int = -1):
     reduces on device; the returned stack is a host array.
     """
     wf = wf_data.wavefunction_data
-    xp = jnp if isinstance(wf, jax.Array) else np
-    inten = xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1)
+    from ..parallel.sharded import (frame_mean_intensity_sharded,
+                                    sharded_mesh_of)
+    mesh = sharded_mesh_of(wf)
+    if mesh is not None:
+        # Multi-host-safe: shard_map reduction, replicated result
+        # (scan_grid_data returns a full host array by contract).
+        inten = np.asarray(jax.device_get(
+            frame_mean_intensity_sharded(wf, mesh, layer_index=layer_index)))
+    else:
+        xp = jnp if isinstance(wf, jax.Array) else np
+        inten = np.asarray(
+            xp.mean(xp.abs(wf[:, :, :, :, layer_index]) ** 2, axis=1))
     xs, ys, nearest = _scan_grid(wf_data.probe_positions)
-    inten = np.asarray(inten)
     data4d = inten[nearest].reshape(len(xs), len(ys), *inten.shape[-2:])
     return xs, ys, data4d
 

@@ -81,19 +81,11 @@ def time_fft_intensity(wf_layer, chunk_elems: int = 1 << 26):
 
 
 def _sharded_mesh(arr):
-    """The ('frame', 'probe') Mesh an array is sharded over, or None for
-    host / single-device / foreign-mesh arrays."""
-    if not isinstance(arr, jax.Array):
-        return None
-    from jax.sharding import NamedSharding
-    sh = arr.sharding
-    if (isinstance(sh, NamedSharding) and sh.mesh.size > 1
-            and {"frame", "probe"} <= set(sh.mesh.axis_names)):
-        from jax.sharding import Mesh
-        m = sh.mesh
-        return Mesh(np.asarray(m.devices), m.axis_names) \
-            if not isinstance(m, Mesh) else m
-    return None
+    """The ('frame', 'probe') Mesh an array is sharded over, or None —
+    shared routing helper, canonical home parallel.sharded.sharded_mesh_of
+    (HAADF/detectors/ptychography route through it too)."""
+    from ..parallel.sharded import sharded_mesh_of
+    return sharded_mesh_of(arr)
 
 
 class TACAWData:

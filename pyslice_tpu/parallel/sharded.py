@@ -156,3 +156,114 @@ def tacaw_spectrum_sharded(intensity, mesh):
         return probe_sum / n_probes
 
     return jax.jit(block)(intensity)
+
+
+def sharded_mesh_of(arr):
+    """The ('frame', 'probe') Mesh an array is sharded over, or None for
+    host / single-device / foreign-mesh arrays. The analysis facades use
+    this to route mesh-sharded WFData through the shard_map reductions
+    below instead of eager global-array ops (which would index
+    non-addressable shards on a multi-host mesh)."""
+    if not isinstance(arr, jax.Array):
+        return None
+    from jax.sharding import Mesh, NamedSharding
+    import numpy as np
+    sh = arr.sharding
+    if (isinstance(sh, NamedSharding) and sh.mesh.size > 1
+            and {FRAME_AXIS, PROBE_AXIS} <= set(sh.mesh.axis_names)):
+        m = sh.mesh
+        return Mesh(np.asarray(m.devices), m.axis_names) \
+            if not isinstance(m, Mesh) else m
+    return None
+
+
+def _replicate_over_probe(s_local, n_probes):
+    """(p_loc, ...) probe-sharded block values -> (n_probes, ...) fully
+    replicated, via scatter-into-zeros + psum over the probe axis (psum's
+    replication is statically visible to shard_map's out_specs=P() check,
+    unlike all_gather's)."""
+    i = jax.lax.axis_index(PROBE_AXIS)
+    full = jnp.zeros((n_probes,) + s_local.shape[1:], s_local.dtype)
+    start = i * s_local.shape[0]
+    idx = (start,) + (jnp.zeros((), start.dtype),) * (s_local.ndim - 1)
+    full = jax.lax.dynamic_update_slice(full, s_local, idx)
+    return jax.lax.psum(full, PROBE_AXIS)
+
+
+def collected_sharded(wf, mesh, masks, layer_index: int = -1,
+                      intensity: bool = False):
+    """Mean-over-frames masked k sums of a mesh-sharded WF stack.
+
+    The multi-host-safe core of HAADFData.calculateADF / virtual_image /
+    center_of_mass: every reduction over the sharded (probe, frame) axes
+    happens inside shard_map (psum over frames, psum-scatter over probes),
+    so no host-side op ever touches a potentially non-addressable shard.
+
+    Args:
+        wf: (n_probes, n_frames, nx, ny, n_layers) complex, sharded
+            P('probe', 'frame').
+        masks: (nx, ny) or (n_masks, nx, ny) real detector/weight planes
+            (replicated).
+        intensity: detect |psi|^2 instead of the reference's |psi|.
+
+    Returns:
+        (n_probes, n_masks) float, fully replicated (addressable on every
+        process of a multi-host mesh).
+    """
+    import numpy as np
+    _check_divisible(mesh, n_frames=wf.shape[1], n_probes=wf.shape[0])
+    n_frames = wf.shape[1]
+    li = layer_index % wf.shape[-1]
+    # Masks ride the WF's real dtype (f64 in x64 verification mode).
+    rdtype = (np.float64 if np.dtype(wf.dtype) == np.complex128
+              else np.float32)
+    masks = np.asarray(masks, dtype=rdtype)
+    if masks.ndim == 2:
+        masks = masks[None]
+
+    n_probes = wf.shape[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(PROBE_AXIS, FRAME_AXIS), P()),
+        out_specs=P(),
+    )
+    def block(wf_local, m):
+        x = jnp.abs(wf_local[..., li])
+        if intensity:
+            x = x * x
+        # Contract k per mask without materializing the (p, f, S, nx, ny)
+        # broadcast; then the frame mean via psum over the frame axis.
+        s = jnp.einsum("pfxy,sxy->ps", x, m)
+        s = jax.lax.psum(s, FRAME_AXIS) / n_frames
+        return _replicate_over_probe(s, n_probes)
+
+    return jax.jit(block)(wf, jnp.asarray(masks))
+
+
+def frame_mean_intensity_sharded(wf, mesh, layer_index: int = -1):
+    """Frame-averaged detector intensity per probe, fully replicated.
+
+    (n_probes, n_frames, nx, ny, L) sharded P('probe','frame') ->
+    (n_probes, nx, ny) |psi|^2 mean over frames — the multi-host-safe core
+    of ptychography.scan_grid_data / pacbed. The output is replicated
+    (these facades return a full host array by contract), so size it
+    accordingly: n_probes * nx * ny floats on every device.
+    """
+    _check_divisible(mesh, n_frames=wf.shape[1], n_probes=wf.shape[0])
+    n_frames = wf.shape[1]
+    n_probes = wf.shape[0]
+    li = layer_index % wf.shape[-1]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(PROBE_AXIS, FRAME_AXIS),),
+        out_specs=P(),
+    )
+    def block(wf_local):
+        x = wf_local[..., li]
+        s = jnp.sum(jnp.abs(x) ** 2, axis=1)             # (p_loc, nx, ny)
+        s = jax.lax.psum(s, FRAME_AXIS) / n_frames
+        return _replicate_over_probe(s, n_probes)
+
+    return jax.jit(block)(wf)

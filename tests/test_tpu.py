@@ -355,3 +355,80 @@ def test_beam_tilt_direct_exitwave_parity_on_hardware():
         psi_d, jnp.asarray(pot), kxs, kys, eV=100e3, dz=0.5,
         precision="single", fused=True))
     assert _residual(straight, outs[True]) > 1e-8
+
+
+def test_e2e_tacaw_spectrum_parity_vs_f64_oracle_on_hardware():
+    """Round-4 verdict item 5: the FULL production path — calculator ->
+    TACAWData -> spectrum — runs ON THE CHIP (c64 + bf16x3 fused kernels)
+    and is compared against the in-tree float64 NumPy oracle computed on
+    the host. The reference's own regression bar is the scale-invariant
+    magnitude residual dz <= 1e-6 (00_probe.py:26-28); the measured
+    on-chip numbers are recorded in PARITY.md."""
+    _require_tpu()
+    from pyslice_tpu.analysis.tacaw import TACAWData
+    from pyslice_tpu.engine.calculator import MultisliceCalculator
+    from pyslice_tpu.utils.host import to_numpy
+    from tests import oracle
+    from tests.fixtures import hbn_thermal
+
+    traj = hbn_thermal(n_frames=4, sigma=0.05, nx=4, ny=2, seed=21)
+    kwargs = dict(aperture=0, voltage_eV=100e3, sampling=0.04,
+                  slice_thickness=0.5, use_cache=False)
+
+    calc = MultisliceCalculator()
+    calc.setup(traj, device_output=True, **kwargs)
+    wf = calc.run(progress=False)
+    assert wf.wavefunction_data.shape[2] > 200    # ~256^2-scale grid
+
+    ref = oracle.oracle_pipeline(traj, **{k: v for k, v in kwargs.items()
+                                          if k != "use_cache"})
+
+    # Exit-wave magnitude residual, every (probe, frame, kx, ky) pixel.
+    dz_wave = oracle.residual(to_numpy(wf.wavefunction_data), ref)
+    assert dz_wave < 1e-6, f"on-chip exit-wave residual {dz_wave:.3e}"
+
+    # TACAW spectrum: on-chip mean-subtracted time FFT + k sum vs oracle.
+    spec = TACAWData(wf).spectrum()
+    ref_spec = oracle.oracle_time_fft(ref[..., 0]).sum(axis=(2, 3)).mean(0)
+    dz_spec = float(np.sum((spec - ref_spec) ** 2) / np.sum(ref_spec ** 2))
+    assert dz_spec < 1e-6, f"on-chip TACAW spectrum residual {dz_spec:.3e}"
+    print(f"\non-chip e2e residuals: exit waves {dz_wave:.3e}, "
+          f"TACAW spectrum {dz_spec:.3e}")
+
+
+def test_e2e_haadf_parity_vs_f64_oracle_on_hardware():
+    """Companion to the TACAW e2e test: a 3x3 convergent-beam HAADF image
+    computed entirely on the chip vs the f64 oracle's assembly of the same
+    annular amplitude sum."""
+    _require_tpu()
+    from pyslice_tpu.analysis.haadf import HAADFData
+    from pyslice_tpu.engine.calculator import MultisliceCalculator
+    from pyslice_tpu.physics.probe import probe_grid
+    from tests import oracle
+    from tests.fixtures import hbn_thermal
+
+    traj = hbn_thermal(n_frames=2, sigma=0.05, nx=4, ny=2, seed=22)
+    box = np.asarray(traj.box_matrix)
+    pg = probe_grid([1.0, box[0, 0] - 1.0], [1.0, box[1, 1] - 1.0], 3, 3)
+    kwargs = dict(aperture=20, voltage_eV=100e3, sampling=0.04,
+                  slice_thickness=0.5, probe_positions=pg.tolist())
+
+    calc = MultisliceCalculator()
+    calc.setup(traj, device_output=True, use_cache=False, **kwargs)
+    wf = calc.run(progress=False)
+    haadf = HAADFData(wf)
+    adf = haadf.calculateADF(collection_angle=45)
+
+    # Oracle image: identical scan-grid assembly (shared host code) over
+    # the f64 oracle exit waves — isolates the on-chip numerics.
+    from pyslice_tpu.analysis.wf_data import WFData
+    ref = oracle.oracle_pipeline(traj, **kwargs)
+    ref_wf = WFData(probe_positions=pg, time=np.asarray(wf.time),
+                    kxs=np.asarray(wf.kxs), kys=np.asarray(wf.kys),
+                    layer=np.asarray(wf.layer), wavefunction_data=ref,
+                    probe=wf.probe)
+    ref_adf = HAADFData(ref_wf).calculateADF(collection_angle=45)
+
+    dz = float(np.sum((adf - ref_adf) ** 2) / np.sum(ref_adf ** 2))
+    assert dz < 1e-6, f"on-chip HAADF residual {dz:.3e}"
+    print(f"\non-chip HAADF residual vs f64 oracle: {dz:.3e}")
