@@ -47,6 +47,8 @@ from .io.loader import TrajectoryLoader
 from .io.stream import TrajectoryStream
 from .io.data4d import (center_datacube, k_sampling_from_disk,
                         load_4dstem, scan_positions)
+from .analysis.calibration import (calibrate_datacube, com_field,
+                                   estimate_dose, solve_rotation)
 from .engine.calculator import MultisliceCalculator
 from .engine.smatrix import (BeamSet, SMatrix, build_beams, compute_smatrix,
                              smatrix_exit_kspace, smatrix_reduce)
@@ -90,6 +92,7 @@ __version__ = "0.4.0"
 __all__ = [
     "Trajectory", "TrajectoryLoader", "TrajectoryStream", "load_4dstem",
     "center_datacube", "k_sampling_from_disk", "scan_positions",
+    "calibrate_datacube", "com_field", "solve_rotation", "estimate_dose",
     "Grid", "grid_from_box",
     "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",
     "Propagate", "multislice", "multislice_diff",

@@ -246,8 +246,8 @@ def ssb_reconstruct(data4d, scan_xs, scan_ys, kxs, kys,
 
 
 def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
-                     probe_center: Optional[Tuple[float, float]] = None
-                     ) -> dict:
+                     probe_center: Optional[Tuple[float, float]] = None,
+                     com=None) -> dict:
     """Integrated center of mass (iCoM / iDPC) phase reconstruction.
 
     For a (weak) phase object the diffraction pattern's first moment is
@@ -273,6 +273,10 @@ def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
             probe (see ``ssb_reconstruct``). Default: from ``probe``,
             else (0, 0) — wrong center circularly translates + reflects
             the map but does not corrupt it.
+        com: optional precomputed/CALIBRATED (2, n_sx, n_sy) deflection
+            field in 1/Angstrom (``analysis.calibration`` output) —
+            overrides the moments computed from ``data4d`` (which may then
+            be None).
 
     Returns dict with ``phase`` (n_sx, n_sy float, radians — QUANTITATIVE
     for a weak phase object up to the probe-intensity blur A/integral(A);
@@ -288,19 +292,30 @@ def icom_reconstruct(data4d, scan_xs, scan_ys, kxs, kys, probe=None,
     if probe_center is None:
         probe_center = (0.0, 0.0)
 
-    data4d = np.asarray(data4d, dtype=np.float64)
     dx = _uniform_step(scan_xs, "scan_xs")
     dy = _uniform_step(scan_ys, "scan_ys")
-    n_sx, n_sy = data4d.shape[:2]
 
-    kx = np.asarray(kxs, np.float64)[:, None]
-    ky = np.asarray(kys, np.float64)[None, :]
-    # Zero-total frames (a low-dose scan position that caught no counts)
-    # must not NaN-poison the whole map: their deflection is defined 0.
-    total = data4d.sum(axis=(-2, -1))
-    safe = np.where(total > 0, total, 1.0)
-    comx = np.where(total > 0, (data4d * kx).sum(axis=(-2, -1)) / safe, 0.0)
-    comy = np.where(total > 0, (data4d * ky).sum(axis=(-2, -1)) / safe, 0.0)
+    if com is not None:
+        # Calibrated field override (analysis.calibration): rotation/
+        # descan corrections live on the CoM FIELD — pattern-level
+        # resampling would swamp sub-pixel deflection signals.
+        com = np.asarray(com, np.float64)
+        comx, comy = com[0], com[1]
+        n_sx, n_sy = comx.shape
+    else:
+        data4d = np.asarray(data4d, dtype=np.float64)
+        n_sx, n_sy = data4d.shape[:2]
+        kx = np.asarray(kxs, np.float64)[:, None]
+        ky = np.asarray(kys, np.float64)[None, :]
+        # Zero-total frames (a low-dose scan position that caught no
+        # counts) must not NaN-poison the whole map: their deflection is
+        # defined 0.
+        total = data4d.sum(axis=(-2, -1))
+        safe = np.where(total > 0, total, 1.0)
+        comx = np.where(total > 0,
+                        (data4d * kx).sum(axis=(-2, -1)) / safe, 0.0)
+        comy = np.where(total > 0,
+                        (data4d * ky).sum(axis=(-2, -1)) / safe, 0.0)
 
     qx = np.fft.fftfreq(n_sx, d=dx)[:, None]
     qy = np.fft.fftfreq(n_sy, d=dy)[None, :]

@@ -241,6 +241,17 @@ def probe_coefficients(beams: BeamSet, probe_positions, npix: int,
     Negative defocus uses this framework's fixed back-propagation
     semantics, not reference quirk #13's double negation."""
     prec = get_precision(precision)
+    phase = coefficient_phase(beams, probe_positions,
+                              aberrations=aberrations, defocus=defocus)
+    phase = jnp.asarray(phase.astype(np.dtype(prec.real)))
+    return _coeffs_from_phase(phase, npix=npix, cdtype=prec.complex)
+
+
+def coefficient_phase(beams: BeamSet, probe_positions, aberrations=None,
+                      defocus: float = 0.0) -> np.ndarray:
+    """Host-side (P, Nb) float64 coefficient phases — the argument of
+    probe_coefficients' complex exponential; shared with the frame-sharded
+    streaming path (which reorders/pads the rows before device placement)."""
     pos = np.asarray(probe_positions, np.float64).reshape(-1, 2)
     sx, sy = beams.shift
     phase = (2.0 * np.pi) * ((pos[:, 0] + sx)[:, None] * beams.kxb[None, :]
@@ -252,8 +263,7 @@ def probe_coefficients(beams: BeamSet, probe_positions, npix: int,
         chi = chi_phase(beams.kxb ** 2 + beams.kyb ** 2,
                         beams.kxb, beams.kyb, lam=lam, ab=ab)
         phase = phase - np.asarray(chi, np.float64)[None, :]
-    phase = jnp.asarray(phase.astype(np.dtype(prec.real)))
-    return _coeffs_from_phase(phase, npix=npix, cdtype=prec.complex)
+    return phase
 
 
 def _normalize_aberrations(aberrations, defocus: float):
@@ -288,11 +298,19 @@ def _window_starts(sm: SMatrix, probe_positions) -> Tuple[np.ndarray,
     rolls by n//2, putting index 0 of ifft2(mask) (the peak) at
     n - n//2 — which differs from n//2 exactly on odd grids (round-2
     advisor finding: n=63 peaks at 32, not 31)."""
+    return window_starts_geom(sm.nx, sm.ny, sm.dx, sm.dy, sm.beams.f,
+                              probe_positions)
+
+
+def window_starts_geom(nx: int, ny: int, dx: float, dy: float, f: int,
+                       probe_positions) -> Tuple[np.ndarray, np.ndarray]:
+    """_window_starts from bare grid geometry (no SMatrix instance) —
+    shared with the frame-sharded streaming path."""
     pos = np.asarray(probe_positions, np.float64).reshape(-1, 2)
-    wx, wy = sm.window
-    cx = ((sm.nx + 1) // 2 - np.rint(pos[:, 0] / sm.dx).astype(int)) % sm.nx
-    cy = ((sm.ny + 1) // 2 - np.rint(pos[:, 1] / sm.dy).astype(int)) % sm.ny
-    return (cx - wx // 2) % sm.nx, (cy - wy // 2) % sm.ny
+    wx, wy = nx // f, ny // f
+    cx = ((nx + 1) // 2 - np.rint(pos[:, 0] / dx).astype(int)) % nx
+    cy = ((ny + 1) // 2 - np.rint(pos[:, 1] / dy).astype(int)) % ny
+    return (cx - wx // 2) % nx, (cy - wy // 2) % ny
 
 
 @functools.partial(

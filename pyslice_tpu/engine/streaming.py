@@ -701,9 +701,12 @@ class StreamingHAADF:
         this class otherwise only sees the pre-shifted probe array.
         ``aberrations``/``defocus`` describe the base probe for exact
         coefficient synthesis (they must match how ``probes`` was
-        built). f=1 is exact; f>1 is the PRISM approximation. Requires a
-        mesh frame extent of 1 (the basis build itself shards over the
-        whole mesh). ``synth_chunk`` bounds the synthesis matmul's probe
+        built). f=1 is exact; f>1 is the PRISM approximation. With a
+        frame extent of 1 the basis build shards its beams over the
+        whole mesh; with frame extent > 1 each frame row builds its own
+        frame's basis (beams sharded over the row's probe axis, synthesis
+        via psum_scatter) — frame parallelism and the S-matrix path
+        compose. ``synth_chunk`` bounds the synthesis matmul's probe
         rows.
 
         ``probe_chunk``: direct-path HBM bound — at most this many
@@ -757,11 +760,6 @@ class StreamingHAADF:
                 f"probes ({probes.shape[0]}) and probe_positions "
                 f"({len(self.probe_positions)}) disagree")
         prec = spec.precision
-        if self._frame_extent > 1:
-            self._init_frame_sharded_haadf(n_probes, prec)
-        else:
-            self._acc = jax.jit(lambda: jnp.zeros(
-                (n_probes,), prec.real))()
         self._n = 0
         self._seen = set()      # frame indices, when callers provide them
 
@@ -769,17 +767,13 @@ class StreamingHAADF:
         from .smatrix import smatrix_auto
         g = spec.grid
         if use_smatrix is None:
-            use_smatrix = (mrad is not None and self._frame_extent == 1
+            use_smatrix = (mrad is not None
                            and smatrix_auto(n_probes, mrad, spec.ksq2d,
                                             g.nx, g.ny, prism_f))
         if use_smatrix:
             if mrad is None:
                 raise ValueError("use_smatrix=True needs the probe "
                                  "aperture (mrad=...)")
-            if self._frame_extent > 1:
-                raise ValueError(
-                    "the S-matrix path needs a mesh frame extent of 1 "
-                    "(the basis build shards over the whole mesh instead)")
             from .smatrix import build_beams
             self._beams = build_beams(g.xs, g.ys, mrad,
                                       eV if eV is not None else spec.eV,
@@ -800,6 +794,21 @@ class StreamingHAADF:
                                    probe_chunk=synth_chunk)
             self._beam_chunk = beam_chunk
         self.use_smatrix = bool(use_smatrix)
+
+        if self._frame_extent > 1:
+            if self.use_smatrix:
+                # Frame-sharded S-matrix (round-4 item 4): each frame row
+                # builds ITS OWN frame's beam basis, beams sharded over the
+                # row's probe axis; synthesis contracts the beam-sharded S
+                # rows with a psum_scatter so each device reduces exactly
+                # its local probes. Frame parallelism and the 3.6x S-matrix
+                # scan path now compose (the config-5 production layout).
+                self._init_frame_sharded_smatrix(n_probes, prec, synth_chunk)
+            else:
+                self._init_frame_sharded_haadf(n_probes, prec)
+        else:
+            self._acc = jax.jit(lambda: jnp.zeros(
+                (n_probes,), prec.real))()
         if probe_chunk is not None and mesh is not None:
             raise ValueError("probe_chunk and mesh are mutually exclusive")
         self.probe_chunk = probe_chunk
@@ -835,6 +844,191 @@ class StreamingHAADF:
             return jax.lax.psum(acc[0], FRAME_AXIS)
 
         self._acc_block = jax.jit(acc_block, donate_argnums=(0,))
+        self._merge = jax.jit(merge)
+
+    def _init_frame_sharded_smatrix(self, n_probes, prec, synth_chunk):
+        """Frame-sharded S-matrix accumulation (round-4 item 4).
+
+        Layout: each mesh frame row handles one frame per block. Within a
+        row, the aperture BEAMS shard over the probe axis — every device
+        propagates nb/Pk plane waves through its row's frame (the basis
+        build is embarrassingly parallel, zero communication). Synthesis
+        contracts the beam-sharded S rows against coefficient blocks with
+        one local matmul + a ``psum_scatter`` over the probe axis, which
+        simultaneously completes the beam contraction AND hands each device
+        exactly its own probes' exit planes — the detector reduction then
+        stays device-local. Communication per probe chunk: one
+        (Pk*cl, npix) complex reduce-scatter over ICI, amortized by the
+        (Pk*cl, nb/Pk, npix) matmul that precedes it.
+
+        Probes pad to per-device chunk multiples; ``image()`` un-pads via
+        ``self._probe_unpad``.
+        """
+        import functools as _ft
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops import matfft as _matfft
+        from ..parallel.mesh import FRAME_AXIS, PROBE_AXIS
+        from ..physics.potential import rasterize
+        from ..physics.propagate import multislice
+        from .smatrix import (_plane_waves, coefficient_phase,
+                              window_starts_geom)
+
+        mesh = self.mesh
+        F = self._frame_extent
+        Pk = int(mesh.shape[PROBE_AXIS])
+        spec = self.spec
+        g = spec.grid
+        beams = self._beams
+        f = beams.f
+        nb = beams.n_beams
+        intensity = self.intensity
+        nx, ny = g.nx, g.ny
+        npix = nx * ny
+        wx, wy = nx // f, ny // f
+
+        if n_probes % Pk:
+            raise ValueError(
+                f"n_probes={n_probes} must be divisible by the mesh probe "
+                f"extent {Pk}")
+        p_loc = n_probes // Pk
+        cl = max(1, min(int(synth_chunk), p_loc))
+        n_pc = -(-p_loc // cl)
+        p_loc_pad = n_pc * cl
+        p_pad = Pk * p_loc_pad
+
+        # Beam chunking: chunk count divisible by Pk so the chunk axis
+        # shards evenly over the probe axis.
+        bc = max(1, min(self._beam_chunk, nb))
+        n_chunks = -(-nb // bc)
+        n_chunks = -(-n_chunks // Pk) * Pk
+        chunk = -(-nb // n_chunks)
+        nb_pad = n_chunks * chunk
+        kxb = np.concatenate([beams.kxb, np.zeros(nb_pad - nb)])
+        kyb = np.concatenate([beams.kyb, np.zeros(nb_pad - nb)])
+        kb = np.stack([kxb.reshape(-1, chunk), kyb.reshape(-1, chunk)],
+                      axis=1)                       # (n_chunks, 2, chunk)
+        valid = (np.arange(nb_pad) < nb).astype(np.dtype(prec.real))
+
+        # Padded-local probe layout: device i holds rows
+        # [i*p_loc_pad, (i+1)*p_loc_pad); row l maps to global probe
+        # i*p_loc + l for l < p_loc (pad rows repeat the last probe and
+        # are discarded by image()).
+        order = np.zeros((Pk, p_loc_pad), np.int64)
+        for i in range(Pk):
+            order[i, :p_loc] = np.arange(p_loc) + i * p_loc
+            order[i, p_loc:] = order[i, p_loc - 1]
+        self._probe_unpad = (
+            (np.arange(n_probes) // p_loc) * p_loc_pad
+            + (np.arange(n_probes) % p_loc))
+
+        pos = self.probe_positions
+        kw = self._sm_kwargs
+        phase = coefficient_phase(beams, pos,
+                                  aberrations=kw["aberrations"],
+                                  defocus=kw["defocus"])
+        phase = np.pad(phase, ((0, 0), (0, nb_pad - nb)))
+        # (n_pc, Pk*cl, nb_pad): step t's synthesis rows = every device's
+        # t-th local probe chunk, concatenated in device order (this is
+        # exactly psum_scatter's tiled block order).
+        phase_re = np.stack([
+            phase[order[:, t * cl:(t + 1) * cl].reshape(-1)]
+            for t in range(n_pc)]).astype(np.dtype(prec.real))
+        if f > 1:
+            sxa, sya = window_starts_geom(nx, ny, g.dx, g.dy, f, pos)
+            sx_pad = sxa[order].reshape(-1).astype(np.int32)
+            sy_pad = sya[order].reshape(-1).astype(np.int32)
+        else:
+            sx_pad = np.zeros(p_pad, np.int32)
+            sy_pad = np.zeros(p_pad, np.int32)
+
+        put = jax.device_put
+        self._sm_inputs = (
+            put(jnp.asarray(kb), NamedSharding(mesh, P(PROBE_AXIS))),
+            put(jnp.asarray(phase_re),
+                NamedSharding(mesh, P(None, None, PROBE_AXIS))),
+            put(jnp.asarray(valid), NamedSharding(mesh, P(PROBE_AXIS))),
+            put(jnp.asarray(self._sm_weights).reshape(-1),
+                NamedSharding(mesh, P())),
+            put(jnp.asarray(sx_pad), NamedSharding(mesh, P(PROBE_AXIS))),
+            put(jnp.asarray(sy_pad), NamedSharding(mesh, P(PROBE_AXIS))),
+        )
+        self._acc = jax.jit(
+            lambda: jnp.zeros((F, p_pad), prec.real),
+            out_shardings=NamedSharding(mesh, P(FRAME_AXIS, PROBE_AXIS)))()
+
+        kxs = np.fft.fftfreq(nx, d=g.dx)
+        kys = np.fft.fftfreq(ny, d=g.dy)
+        xs_r = jnp.asarray(np.asarray(g.xs), prec.real)
+        ys_r = jnp.asarray(np.asarray(g.ys), prec.real)
+        # f == 1 is the exactness contract (HIGHEST dots); f > 1 is the
+        # PRISM approximation where window truncation dwarfs bf16 rounding
+        # (same policy as smatrix._run_synth).
+        dot_prec = (jax.lax.Precision.HIGHEST if f == 1
+                    else jax.lax.Precision.DEFAULT)
+
+        @_ft.partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(FRAME_AXIS, PROBE_AXIS), P(FRAME_AXIS),
+                               P(PROBE_AXIS),
+                               P(None, None, PROBE_AXIS), P(PROBE_AXIS),
+                               P(), P(PROBE_AXIS), P(PROBE_AXIS)),
+                     out_specs=P(FRAME_AXIS, PROBE_AXIS))
+        def sm_block(acc_l, pos_row, kb_l, phase_l, valid_l, w, sx_l, sy_l):
+            v = rasterize(pos_row[0].astype(prec.real), spec.plan, prec)
+
+            def one_chunk(kpair):
+                waves = _plane_waves(kpair[0].astype(prec.real),
+                                     kpair[1].astype(prec.real),
+                                     xs_r, ys_r, prec.complex)
+                out = multislice(waves, v, kxs, kys, eV=beams.eV,
+                                 dz=spec.dz, precision=prec,
+                                 kmax2=spec.kmax2)
+                if f == 1:
+                    out = jnp.fft.fftshift(_matfft.fft2(out), axes=(-2, -1))
+                return out
+
+            s_loc = jax.lax.map(one_chunk, kb_l)     # (nc_loc, chunk, ...)
+            s_flat = s_loc.reshape(-1, npix)         # (nb_loc, npix)
+            cvalid = (valid_l / npix).astype(prec.real)
+
+            def step(args):
+                ph, sx_t, sy_t = args
+                c = jax.lax.complex(jnp.cos(ph), jnp.sin(ph)).astype(
+                    prec.complex) * cvalid[None, :]
+                e = jnp.matmul(c, s_flat, precision=dot_prec)
+                # Beam contraction completes AND each device receives its
+                # own probes' rows in one collective.
+                e = jax.lax.psum_scatter(e, PROBE_AXIS,
+                                         scatter_dimension=0, tiled=True)
+                if f > 1:
+                    e = e.reshape(cl, nx, ny)
+                    e = jnp.pad(e, ((0, 0), (0, wx), (0, wy)), mode="wrap")
+
+                    def crop(wv, ax, ay):
+                        return jax.lax.dynamic_slice(
+                            wv, (ax, ay), (wx, wy)) * (f * f)
+                    e = jax.vmap(crop)(e, sx_t, sy_t)
+                    e = jnp.fft.fftshift(_matfft.fft2(e), axes=(-2, -1))
+                    a = jnp.abs(e.reshape(cl, -1))
+                else:
+                    a = jnp.abs(e)
+                if intensity:
+                    a = a * a
+                # f > 1 detector calibration: window k sums rescale by f^2
+                # (smatrix_reduce's convention).
+                return (a @ w) * (f * f)
+
+            vals = jax.lax.map(step, (phase_l,
+                                      sx_l.reshape(n_pc, cl),
+                                      sy_l.reshape(n_pc, cl)))
+            return acc_l + vals.reshape(1, p_loc_pad)
+
+        @_ft.partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(FRAME_AXIS, PROBE_AXIS),),
+                     out_specs=P(PROBE_AXIS))
+        def merge(acc):
+            return jax.lax.psum(acc[0], FRAME_AXIS)
+
+        self._sm_block = jax.jit(sm_block, donate_argnums=(0,))
         self._merge = jax.jit(merge)
 
     def _track(self, frame_indices) -> None:
@@ -936,7 +1130,11 @@ class StreamingHAADF:
         if pos.ndim != 3 or pos.shape[0] != F:
             raise ValueError(f"positions_block must be ({F}, n_atoms, 3)")
         self._track(frame_indices)
-        self._acc = self._acc_block(self._acc, pos, self.probes, self._mask)
+        if self.use_smatrix:
+            self._acc = self._sm_block(self._acc, pos, *self._sm_inputs)
+        else:
+            self._acc = self._acc_block(self._acc, pos, self.probes,
+                                        self._mask)
         self._n += F
 
     # --- checkpoint / resume --------------------------------------------------
@@ -1003,7 +1201,11 @@ class StreamingHAADF:
             raise ValueError("no frames streamed")
         acc = (self._merge(self._acc) if self._frame_extent > 1
                else self._acc)
-        collected = np.asarray(acc) / self._n
+        collected = np.asarray(acc)
+        unpad = getattr(self, "_probe_unpad", None)
+        if unpad is not None:
+            collected = collected[unpad]   # drop synthesis pad rows
+        collected = collected / self._n
         positions = self.probe_positions
         xs = np.array(sorted(set(positions[:, 0].tolist())))
         ys = np.array(sorted(set(positions[:, 1].tolist())))

@@ -34,6 +34,8 @@ CASES = [
      ["PED", "radial profile"]),
     ("calibration_demo.py", ["--steps-scale", "0.02"],
      ["aberrations", "tilt series"]),
+    ("experimental_calibration.py", ["--scan", "12"],
+     ["calibration report", "solved"]),
     ("inverse_potential.py",
      ["--nx", "32", "--nz", "2", "--steps", "15"],
      []),

@@ -304,3 +304,38 @@ def test_smatrix_virtual_image_matches_detectors(problem):
                 probe=base)
     want = virtual_image(wf, mask, intensity=True)
     np.testing.assert_allclose(img, want, rtol=2e-4)
+
+@pytest.mark.parametrize("prism_f", [1, 2])
+def test_streaming_haadf_smatrix_frame_sharded(problem, prism_f):
+    """Round-4 item 4: StreamingHAADF(use_smatrix=True) on a frame-sharded
+    ('frame','probe') mesh — each frame row builds its own beam basis
+    (beams sharded over the row's probe axis) and synthesizes via
+    psum_scatter — must match the unsharded S-matrix stream. synth_chunk=3
+    forces probe padding (p_loc=4 -> 6) to cover the un-pad path."""
+    from pyslice_tpu.core.grids import Grid
+    from pyslice_tpu.engine.streaming import StreamingHAADF
+    from pyslice_tpu.parallel.mesh import make_mesh
+
+    xs, ys, zs = problem["xs"], problem["ys"], problem["zs"]
+    grid = Grid(xs=xs, ys=ys, zs=zs, lx=xs[-1] + xs[1], ly=ys[-1] + ys[1],
+                lz=zs[-1] + zs[1], sampling=xs[1], slice_thickness=zs[1])
+    spec = SimSpec.create(grid, problem["plan"], problem["eV"],
+                          precision=SINGLE)
+    lx, ly = grid.lx, grid.ly
+    scan = probe_grid([lx * 0.3, lx * 0.7], [ly * 0.3, ly * 0.7], 4, 2)
+    rng = np.random.default_rng(5)
+    frames = (problem["pos"][None]
+              + rng.normal(0, 0.03, (4,) + problem["pos"].shape))
+
+    kw = dict(collection_angle=45, intensity=True, mrad=problem["mrad"],
+              use_smatrix=True, prism_f=prism_f)
+    st0 = StreamingHAADF(spec, None, scan, **kw)
+    for f in range(4):
+        st0.add_frame(frames[f], frame_index=f)
+    want = st0.image()
+
+    mesh = make_mesh(4, 2)
+    st = StreamingHAADF(spec, None, scan, mesh=mesh, synth_chunk=3, **kw)
+    st.add_frame_block(frames, frame_indices=[0, 1, 2, 3])
+    got = st.image()
+    np.testing.assert_allclose(got, want, rtol=2e-4)
