@@ -37,10 +37,13 @@ Kernel chain per slice (identical roles to fused_step):
     A_mid   :  IFFT_y, transmit, FFT_y  y-major -> x-major
     A_last  :  IFFT_y, transmit         y-major -> natural exit wave
 
-Eligibility: both axes composite with smallest prime factor <= MAX_D and
-m = n/d >= 128 (below that the XLA scrambled path is already fine). Stage-2
-dots use the same PYSLICE_FUSED_DOT strategy as fused_step (bf16x3 hi/lo
-split by default).
+Eligibility: both axes composite with a divisor split d <= 16 and
+m = n/d >= 128 — or m >= 64 when the multi-probe cost model actively picks
+a balanced split (round 4: d=11/m=93 beats d=3/m=341 at 1023^2 x 16 probes,
+5,227 vs 4,494 slice-steps/s, because the dense (m, m) stage-2 dot pads to
+128-multiples: 432 vs 176 MXU slots/point — matfft._fused_split_cost).
+Stage-2 dots use the same PYSLICE_FUSED_DOT strategy as fused_step (bf16x3
+hi/lo split by default).
 """
 
 from __future__ import annotations
@@ -55,25 +58,41 @@ from . import matfft
 from .fused_step import (_dot_mode, _make_cdot, _split_hi_lo,
                          _tile_dft, transmission_planes)
 
-MAX_D = 8
+MAX_D = 8      # legacy alias (pre-round-4 gate); see supported_size_odd
 
 
-def supported_size_odd(n: int) -> bool:
-    d, m = matfft.scrambled_factors(n)
+def supported_size_odd(n: int, n_probes: int = None) -> bool:
+    from . import config
+    d, m = matfft.scrambled_factors(n, n_probes)
     # Block VMEM ~ 5 * (n * m) f32 planes + stage-2 constants
     # (n * m * 4B * n_planes; bf16x3 mode = 12 planes): cap ~60 MB.
     footprint = n * m * 4 * (5 + 12)
-    return 1 < d <= MAX_D and m >= 128 and footprint < 60 * 1024 * 1024
+    # m >= 128 is the measured default gate (below it the XLA scrambled
+    # path is fine); two ways below it: an explicit PYSLICE_SCRAMBLED_D
+    # override (measurement runs, m >= 31), or the multi-probe cost model
+    # ACTIVELY choosing a smaller-m split over the smallest-prime default
+    # (round 4: d=11/m=93 at 1023 x 16 probes, 5,227 vs 4,494
+    # slice-steps/s — matfft._fused_split_cost).
+    if config.scrambled_d:
+        min_m = 31
+    elif (n_probes is not None and n_probes >= 2
+          and d != matfft.scrambled_factors(n)[0]):
+        min_m = 64
+    else:
+        min_m = 128
+    return 1 < d <= 16 and m >= min_m and footprint < 60 * 1024 * 1024
 
 
-def _axis_consts(n: int, mode: str):
+def _axis_consts(n: int, mode: str, n_probes: int = None):
     """(d, m, planes) for one axis.
 
     planes: stacked (d*m, m) stage-2 matrices with twiddles folded per k1
     (fwd re/im, inv re/im; + lo parts in bf16x3 mode), exactly the
     fused_step._dft_consts construction generalized from n2=128 to n2=m.
+    ``n_probes`` selects the (d, m) split (multi-probe chains use the
+    measured cost model — matfft.scrambled_factors).
     """
-    d, m = matfft.scrambled_factors(n)
+    d, m = matfft.scrambled_factors(n, n_probes)
     a1 = np.arange(d)
     a2 = np.arange(m)
     w1 = np.exp(-2j * np.pi * np.outer(a1, a1) / d)
@@ -309,11 +328,11 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
                                    tantilt=tantilt)
     R, nx, ny = psi.shape
     nz = potential_szy.shape[0]
-    if not (supported_size_odd(nx) and supported_size_odd(ny)):
+    if not (supported_size_odd(nx, R) and supported_size_odd(ny, R)):
         raise ValueError(f"unsupported grid {nx}x{ny} for fused odd path")
     dotmode = _dot_mode()
-    ax_x = _axis_consts(nx, dotmode)
-    ax_y = _axis_consts(ny, dotmode)
+    ax_x = _axis_consts(nx, dotmode, R)
+    ax_y = _axis_consts(ny, dotmode, R)
     dx, mx = ax_x[0], ax_x[1]
     dy, my = ax_y[0], ax_y[1]
     dims = (R, dx, mx, dy, my)
@@ -333,14 +352,14 @@ def fused_multislice_odd(psi, potential_szy, kxs, kys, *, sigma: float,
         if tantilt is not None:
             raise ValueError("beam tilt needs an orthogonal cell")
         k2t = jnp.asarray(ksq, jnp.float32).T[
-            jnp.asarray(matfft.scramble_perm(ny))][
-            :, jnp.asarray(matfft.scramble_perm(nx))]
+            jnp.asarray(matfft.scramble_perm(ny, R))][
+            :, jnp.asarray(matfft.scramble_perm(nx, R))]
         pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
-            jnp.asarray(matfft.scramble_perm(nx))]
+            jnp.asarray(matfft.scramble_perm(nx, R))]
         kyp = jnp.asarray(kys, jnp.float32)[
-            jnp.asarray(matfft.scramble_perm(ny))]
+            jnp.asarray(matfft.scramble_perm(ny, R))]
         k2t = kyp[:, None] ** 2 + kxp[None, :] ** 2
         pp = (-np.pi * lam * dz) * k2t
         if tantilt is not None:

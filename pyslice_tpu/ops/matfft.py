@@ -241,36 +241,68 @@ def ifft2_matmul(x):
 # arbitrary composite sizes (reference grids are int(l/s)+1 — generically odd).
 
 
-def scrambled_factors(n: int) -> Tuple[int, int]:
-    """(n1, n2) split for the scrambled four-step: n1 SMALL (unrolled
-    elementwise FMA stage on the VPU), n2 = n/n1 LARGE (one big matmul on
-    the MXU at high tile utilization). Tiny *balanced* factors (e.g. 33x31)
-    make XLA emit batched micro-matmuls that waste >90% of the MXU —
-    measured slower than the transpose-heavy path they replace.
+def _fused_split_cost(d: int, m: int) -> float:
+    """Per-point cost model of one (d, m) split in the FUSED Pallas odd
+    kernel, in MXU-slot units — calibrated on v5e at 1023^2 x 16 probes
+    (round 4): stage-2 is a dense (m, m) dot padded to 128-multiples
+    (ceil(m/128)^2 * 128^2 / m slots/point) and stage-1 is d unrolled
+    VPU tile-cMACs, measured at ~15 slot-equivalents each after the
+    (8, 128) tile padding of an (m, m) tile. Measured wall ratios it
+    reproduces: d=3 (432+51) vs d=11 (176+234) -> 1.18 modeled, 1.16
+    measured (4,494 -> 5,227 slice-steps/s)."""
+    tiles = -(-m // 128)
+    mxu = tiles * tiles * 16384.0 / m
+    pad = (-(-m // 8) * 8) * (tiles * 128.0) / (m * m)
+    return mxu + 15.0 * d * pad
 
-    Heuristic: smallest divisor d of n with 2 <= d <= 16, preferring the
-    largest such d that keeps n2's 128-lane padding waste low; falls back
-    to (n, 1) for primes (scrambled path then unsupported).
+
+def scrambled_factors(n: int, n_probes: int = None) -> Tuple[int, int]:
+    """(n1, n2) split for the scrambled four-step: n1 SMALL (the unrolled
+    elementwise FMA stage), n2 = n/n1 LARGE (one big matmul on the MXU).
+    Tiny *balanced* factors (e.g. 33x31) make XLA emit batched
+    micro-matmuls that waste >90% of the MXU — measured slower than the
+    transpose-heavy path they replace.
+
+    Default (``n_probes`` unset): smallest divisor d of n with
+    2 <= d <= 16 — the XLA scrambled path's measured best (1023^2 at
+    HIGHEST, d=3: 1612 vs d=11: 1015 slice-steps/s) and the factorization
+    the VMEM-resident odd kernels are tuned for (d=3 resident beats any
+    d=11 path at 1 probe: 4,689 vs 3,795). The MULTI-PROBE fused odd
+    chain passes ``n_probes >= 2``: there the measured-calibrated
+    _fused_split_cost picks the divisor (1023 x 16 probes: d=11/m=93 at
+    5,227 vs d=3/m=341 at 4,494 slice-steps/s — round-4 measurement),
+    with m >= 64 and a >= 10% modeled-improvement hysteresis (only 1023
+    is hardware-calibrated). Falls back to (n, 1) for primes (scrambled
+    path then unsupported).
     """
     from . import config
     override = config.scrambled_d           # PYSLICE_SCRAMBLED_D seeds it
     if override and n % int(override) == 0 and 1 < int(override) < n:
         d = int(override)
         return (d, n // d)
-    # Smallest prime factor (capped at 16): measured on v5e at 1023^2, the
-    # LARGEST n2 wins despite more MXU FLOPs — big last-dim matmuls at high
-    # tile utilization beat "balanced" micro-matmuls by 1.6x (d=3: 1612 vs
-    # d=11: 1015 slice-steps/s at HIGHEST).
-    for d in range(2, 17):
-        if n % d == 0:
-            return (d, n // d)
-    return (n, 1)
+    divisors = [d for d in range(2, 17) if n % d == 0]
+    if not divisors:
+        return (n, 1)
+    d0 = divisors[0]
+    if n_probes is not None and n_probes >= 2:
+        # Candidates the fused odd kernel accepts (footprint bound mirrors
+        # fused_step_odd.supported_size_odd, not importable here (cycle)).
+        fused = [d for d in divisors
+                 if n // d >= 64
+                 and n * (n // d) * 4 * 17 < 60 * 1024 * 1024]
+        if d0 in fused and len(fused) > 1:
+            best = min(fused, key=lambda d: _fused_split_cost(d, n // d))
+            if _fused_split_cost(best, n // best) < \
+                    0.9 * _fused_split_cost(d0, n // d0):
+                d0 = best           # >= 10% modeled gain: switch
+    return (d0, n // d0)
 
 
-def scramble_perm(n: int) -> np.ndarray:
+def scramble_perm(n: int, n_probes: int = None) -> np.ndarray:
     """perm[p] = true frequency index stored at scrambled position p
-    (p = k1*n2 + k2  ->  k = k2*n1 + k1, with (n1, n2) = scrambled_factors)."""
-    n1, n2 = scrambled_factors(n)
+    (p = k1*n2 + k2  ->  k = k2*n1 + k1, with (n1, n2) = scrambled_factors;
+    ``n_probes`` must match the kernel that produced/consumes the order)."""
+    n1, n2 = scrambled_factors(n, n_probes)
     p = np.arange(n)
     return (p % n2) * n1 + p // n2
 

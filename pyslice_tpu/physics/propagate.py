@@ -97,8 +97,9 @@ def _fused_odd_eligible(psi_shape, record_layers, prec) -> bool:
     if len(psi_shape) != 3:
         return False
     nx, ny = psi_shape[-2], psi_shape[-1]
-    if not (fused_step_odd.supported_size_odd(nx)
-            and fused_step_odd.supported_size_odd(ny)):
+    n_probes = psi_shape[0]
+    if not (fused_step_odd.supported_size_odd(nx, n_probes)
+            and fused_step_odd.supported_size_odd(ny, n_probes)):
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -183,3 +183,80 @@ def test_bluestein_prime_sizes():
         got = np.asarray(fft_matmul(jnp.asarray(x), -1))
         want = np.fft.fft(x, axis=-1)
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+class TestFusedSplitCostModel:
+    """Round-4 probe-aware factorization choice (measured at 1023^2x16:
+    d=11/m=93 5,227 vs d=3/m=341 4,494 slice-steps/s)."""
+
+    def test_default_unchanged(self):
+        from pyslice_tpu.ops.matfft import scrambled_factors
+        # no probe info / single probe: smallest-divisor heuristic (the
+        # XLA scrambled path's and resident kernels' measured best)
+        assert scrambled_factors(1023) == (3, 341)
+        assert scrambled_factors(1023, 1) == (3, 341)
+        assert scrambled_factors(1024) == (2, 512)
+        assert scrambled_factors(1009) == (1009, 1)      # prime
+
+    def test_multiprobe_model_switch(self):
+        from pyslice_tpu.ops.matfft import scrambled_factors
+        assert scrambled_factors(1023, 2) == (11, 93)
+        assert scrambled_factors(1023, 16) == (11, 93)
+
+    def test_supported_size_gates(self):
+        from pyslice_tpu.ops.fused_step_odd import supported_size_odd
+        assert supported_size_odd(1023)          # d=3, m=341
+        assert supported_size_odd(1023, 16)      # model d=11, m=93 >= 64
+        # m < 128 without an active model choice stays rejected
+        assert not supported_size_odd(255)       # (3, 85)
+        assert not supported_size_odd(255, 16)   # model kept d=3 -> gate
+
+    def test_scramble_perm_follows_probes(self):
+        import numpy as np
+        from pyslice_tpu.ops.matfft import scramble_perm
+        p1 = scramble_perm(1023)
+        p16 = scramble_perm(1023, 16)
+        assert not np.array_equal(p1, p16)
+        # both are permutations
+        assert sorted(p1.tolist()) == list(range(1023))
+        assert sorted(p16.tolist()) == list(range(1023))
+
+    def test_interpreter_parity_multiprobe_kernel(self):
+        """The d-switched kernel structure at a small override size (the
+        hardware tier covers the real 1023 d=11 split)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+        from pyslice_tpu.ops import config as cfg
+        from pyslice_tpu.ops import matfft
+        from pyslice_tpu.ops.fused_step_odd import fused_multislice_odd
+
+        old = cfg.scrambled_d
+        cfg.scrambled_d = 11
+        try:
+            n = 341
+            assert matfft.scrambled_factors(n) == (11, 31)
+            rng = np.random.default_rng(0)
+            psi = (rng.standard_normal((2, n, n))
+                   + 1j * rng.standard_normal((2, n, n))
+                   ).astype(np.complex64)
+            pot = rng.standard_normal((2, n, n)).astype(np.float32)
+            kxs = np.fft.fftfreq(n, 0.1).astype(np.float32)
+            lam, dz, sigma = 0.037, 0.5, 8e-4
+            p = jnp.exp(-1j * np.pi * lam * dz
+                        * (kxs[:, None] ** 2 + kxs[None, :] ** 2)
+                        ).astype(jnp.complex64)
+            t = jnp.exp(1j * sigma * jnp.asarray(pot)).astype(jnp.complex64)
+            x = jnp.asarray(psi) * t[0]
+            x = jnp.fft.ifft2(jnp.fft.fft2(x) * p) * t[1]
+            want = np.asarray(x)
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fused_multislice_odd(
+                    jnp.asarray(psi), jnp.asarray(pot), kxs, kxs,
+                    sigma=sigma, lam=lam, dz=dz))
+            res = (np.sum((np.abs(got) - np.abs(want)) ** 2)
+                   / np.sum(np.abs(want) ** 2))
+            assert res < 1e-6, res
+        finally:
+            cfg.scrambled_d = old

@@ -432,3 +432,35 @@ def test_e2e_haadf_parity_vs_f64_oracle_on_hardware():
     dz = float(np.sum((adf - ref_adf) ** 2) / np.sum(ref_adf ** 2))
     assert dz < 1e-6, f"on-chip HAADF residual {dz:.3e}"
     print(f"\non-chip HAADF residual vs f64 oracle: {dz:.3e}")
+
+
+def test_odd_multiprobe_cost_model_split_parity_on_hardware():
+    """Round-4 item 1: the multi-probe odd chain picks its digit split by
+    the measured cost model (1023 x >=2 probes -> d=11/m=93; 5,227 vs
+    4,494 slice-steps/s at 16 probes). Parity: the d=11 kernel's exit
+    waves must match the d=3 kernel's (same frame, probe 0 of a 2-probe
+    batch vs a 1-probe run) at the reference bar."""
+    _require_tpu()
+    from pyslice_tpu.ops import matfft
+    from pyslice_tpu.ops.fused_step_odd import (fused_multislice_odd,
+                                                supported_size_odd)
+    from pyslice_tpu.utils.host import to_device_complex, to_numpy
+
+    n = 1023
+    assert matfft.scrambled_factors(n) == (3, 341)        # 1-probe default
+    assert matfft.scrambled_factors(n, 2) == (11, 93)     # model switch
+    assert supported_size_odd(n, 2)
+
+    rng = np.random.default_rng(7)
+    psi = (rng.standard_normal((2, n, n))
+           + 1j * rng.standard_normal((2, n, n))).astype(np.complex64)
+    pot = (rng.standard_normal((3, n, n)) * 5).astype(np.float32)
+    kxs = np.fft.fftfreq(n, 0.1).astype(np.float32)
+
+    kw = dict(sigma=8e-4, lam=0.037, dz=0.5)
+    psi_d = to_device_complex(psi)
+    out2 = to_numpy(fused_multislice_odd(                  # d=11 kernel
+        psi_d, jnp.asarray(pot), kxs, kxs, **kw))
+    out1 = to_numpy(fused_multislice_odd(                  # d=3 kernel
+        psi_d[:1], jnp.asarray(pot), kxs, kxs, **kw))
+    assert _residual(out1[0], out2[0]) < 1e-6
