@@ -65,6 +65,9 @@ def parse_any(path: Path):
             stem_up.startswith(n) for n in ("POSCAR", "CONTCAR", "XDATCAR")):
         from . import vasp as vasp_io
         return vasp_io.parse_poscar(path)
+    if kind in (".nc", ".ncdf", ".netcdf"):
+        from . import amber as amber_io
+        return amber_io.parse_amber_netcdf(path)
     # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
     # reads raw text only — gzipped and binary dumps (LAMMPS writes
     # binary for filenames ending .bin) go straight to the Python

@@ -245,9 +245,10 @@ def fused_adjoint_chain(a_exit, lam_ct, potential_szy, kxs, kys, *,
 # --- composite-odd-grid backward (digit-split kernels) -----------------------
 
 
-def adjoint_supported_odd(nx: int, ny: int) -> bool:
+def adjoint_supported_odd(nx: int, ny: int, n_probes: int = None) -> bool:
     from .fused_step_odd import supported_size_odd
-    return supported_size_odd(nx) and supported_size_odd(ny)
+    return (supported_size_odd(nx, n_probes)
+            and supported_size_odd(ny, n_probes))
 
 
 def _kernel_a_bwd_odd(sigma: float, mode: str, ax_y, dotmode, n_const):
@@ -374,8 +375,12 @@ def fused_adjoint_chain_odd(a_exit, lam_ct, potential_szy, kxs, kys, *,
         raise ValueError("fused_adjoint_chain_odd needs nz >= 2")
 
     dotmode = _dot_mode()
-    ax_x = _axis_consts(nx, dotmode)
-    ax_y = _axis_consts(ny, dotmode)
+    # The pair-packed stream is a 2*n_probes batch: pick the digit split
+    # with the same measured cost model the forward chain uses
+    # (matfft.scrambled_factors; 1023 -> d=11/m=93 for any batch >= 2).
+    R2 = 2 * n_probes
+    ax_x = _axis_consts(nx, dotmode, R2)
+    ax_y = _axis_consts(ny, dotmode, R2)
     dx, mx = ax_x[0], ax_x[1]
     dy, my = ax_y[0], ax_y[1]
     dims = (n_probes, dx, mx, dy, my)
@@ -399,14 +404,14 @@ def fused_adjoint_chain_odd(a_exit, lam_ct, potential_szy, kxs, kys, *,
         if tantilt is not None:
             raise ValueError("beam tilt needs an orthogonal cell")
         k2t = jnp.asarray(ksq, jnp.float32).T[
-            jnp.asarray(matfft.scramble_perm(ny))][
-            :, jnp.asarray(matfft.scramble_perm(nx))]
+            jnp.asarray(matfft.scramble_perm(ny, R2))][
+            :, jnp.asarray(matfft.scramble_perm(nx, R2))]
         pp = (-np.pi * lam * dz) * k2t
     else:
         kxp = jnp.asarray(kxs, jnp.float32)[
-            jnp.asarray(matfft.scramble_perm(nx))]
+            jnp.asarray(matfft.scramble_perm(nx, R2))]
         kyp = jnp.asarray(kys, jnp.float32)[
-            jnp.asarray(matfft.scramble_perm(ny))]
+            jnp.asarray(matfft.scramble_perm(ny, R2))]
         pp = (-np.pi * lam * dz) * (kyp[:, None] ** 2 + kxp[None, :] ** 2)
         if tantilt is not None:
             pp = pp + (2.0 * np.pi * dz) * (kyp[:, None] * tantilt[1]

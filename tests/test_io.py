@@ -413,6 +413,96 @@ Direct configuration=     3
             vasp_io.parse_poscar(p)
 
 
+class TestAmberNetCDF:
+    @staticmethod
+    def _write_nc(path, pos, vel=None, lengths=None, angles=None,
+                  conventions="AMBER", vel_scale=None):
+        """AMBER-convention NetCDF-3 fixture via scipy's writer."""
+        from scipy.io import netcdf_file
+        n_f, n_a, _ = pos.shape
+        with netcdf_file(str(path), "w") as f:
+            f.Conventions = conventions
+            f.ConventionVersion = "1.0"
+            f.createDimension("frame", None)
+            f.createDimension("atom", n_a)
+            f.createDimension("spatial", 3)
+            f.createDimension("cell_spatial", 3)
+            f.createDimension("cell_angular", 3)
+            v = f.createVariable("coordinates", "f", ("frame", "atom",
+                                                      "spatial"))
+            v[:] = pos.astype(np.float32)
+            v.units = "angstrom"
+            if vel is not None:
+                w = f.createVariable("velocities", "f", ("frame", "atom",
+                                                         "spatial"))
+                data = vel if vel_scale is None else vel / vel_scale
+                w[:] = data.astype(np.float32)
+                if vel_scale is not None:
+                    w.scale_factor = np.float32(vel_scale)
+            if lengths is not None:
+                c = f.createVariable("cell_lengths", "d", ("frame",
+                                                           "cell_spatial"))
+                c[:] = np.asarray(lengths, np.float64)
+                a = f.createVariable("cell_angles", "d", ("frame",
+                                                          "cell_angular"))
+                a[:] = (np.asarray(angles, np.float64) if angles is not None
+                        else np.full((n_f, 3), 90.0))
+
+    def test_roundtrip_with_cell_and_velocities(self, tmp_path):
+        from pyslice_tpu.io import amber as amber_io
+        rng = np.random.default_rng(0)
+        pos = rng.random((5, 7, 3)) * 10.0
+        vel = rng.standard_normal((5, 7, 3))
+        p = tmp_path / "t.nc"
+        self._write_nc(p, pos, vel, lengths=np.tile([10.0, 12.0, 14.0],
+                                                    (5, 1)),
+                       vel_scale=20.455)
+        types, got_pos, got_vel, box = amber_io.parse_amber_netcdf(p)
+        np.testing.assert_array_equal(types, np.ones(7, np.int32))
+        np.testing.assert_allclose(got_pos, pos, atol=1e-5)
+        np.testing.assert_allclose(got_vel, vel, atol=1e-3)
+        np.testing.assert_allclose(np.diag(box), [10.0, 12.0, 14.0])
+
+    def test_loader_dispatch_and_mapping(self, tmp_path):
+        from pyslice_tpu.io.loader import TrajectoryLoader
+        rng = np.random.default_rng(1)
+        pos = rng.random((3, 4, 3)) * 8.0
+        p = tmp_path / "run.nc"
+        self._write_nc(p, pos, lengths=np.tile([8.0, 8.0, 8.0], (3, 1)))
+        t = TrajectoryLoader(p, timestep=0.002, atom_mapping={1: "Si"},
+                             use_cache=False).load()
+        assert t.n_frames == 3 and t.n_atoms == 4
+        np.testing.assert_array_equal(t.atom_types, [14, 14, 14, 14])
+
+    def test_npt_cell_rejected(self, tmp_path):
+        from pyslice_tpu.io import amber as amber_io
+        pos = np.zeros((2, 3, 3))
+        lengths = np.array([[10.0, 10.0, 10.0], [10.5, 10.0, 10.0]])
+        p = tmp_path / "npt.nc"
+        self._write_nc(p, pos, lengths=lengths)
+        with pytest.raises(ValueError, match="NPT"):
+            amber_io.parse_amber_netcdf(p)
+
+    def test_no_cell_falls_back_to_extent(self, tmp_path):
+        from pyslice_tpu.io import amber as amber_io
+        pos = np.array([[[0.0, 0.0, 0.0], [4.0, 2.0, 3.0]]])
+        p = tmp_path / "vac.nc"
+        self._write_nc(p, pos)
+        _, _, _, box = amber_io.parse_amber_netcdf(p)
+        np.testing.assert_allclose(np.diag(box), [4.0, 2.0, 3.0])
+
+    def test_not_amber_errors(self, tmp_path):
+        from scipy.io import netcdf_file
+        from pyslice_tpu.io import amber as amber_io
+        p = tmp_path / "x.nc"
+        with netcdf_file(str(p), "w") as f:
+            f.createDimension("n", 2)
+            v = f.createVariable("other", "d", ("n",))
+            v[:] = [1.0, 2.0]
+        with pytest.raises(ValueError, match="coordinates"):
+            amber_io.parse_amber_netcdf(p)
+
+
 class TestLoader:
     def test_load_with_mapping_and_cache(self, traj, tmp_path):
         path = tmp_path / "t.lammpstrj"
