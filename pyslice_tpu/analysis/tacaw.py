@@ -128,32 +128,62 @@ class TACAWData:
         self.frequencies = np.fft.fftshift(np.fft.fftfreq(n_freq, d=dt))
         wf = self.wavefunction_data
         mesh = _sharded_mesh(wf)
+        self._mesh = mesh
         if mesh is not None:
             # Mesh-sharded path (calculator.setup(mesh=...)): the frame-
             # sharded exit waves are resharded to kx stripes with an
             # all_to_all over ICI so the time FFT is device-local; the
-            # intensity stays sharded P('probe', None, 'frame') and the
-            # reductions below run distributed (SURVEY §3.3's cross-frame
-            # dependency handled the TPU way).
+            # intensity stays sharded P('probe', None, 'frame') and every
+            # analysis method below reduces it INSIDE shard_map (psum over
+            # the kx stripes / probe shards) — multi-host-safe: no eager
+            # op ever touches a potentially non-addressable shard
+            # (SURVEY §3.3's cross-frame dependency handled the TPU way).
+            # The kx axis stays zero-PADDED to the mesh frame extent
+            # internally; the public ``intensity`` property crops.
             from ..parallel.sharded import tacaw_intensity_sharded
-            self.intensity = tacaw_intensity_sharded(
-                wf, mesh, layer_index=layer_index)
+            self._nx = wf.shape[2]
+            self._intensity_full = tacaw_intensity_sharded(
+                wf, mesh, layer_index=layer_index, crop=False)
         elif isinstance(wf, jax.Array):
             # Device-resident path (calculator.setup(device_output=True)):
             # the exit waves never visit the host; intensity stays a device
             # array and the analysis methods below reduce on device,
             # converting only their (small, real) results.
-            self.intensity = time_fft_intensity(wf[:, :, :, :, layer_index])
+            self._intensity = time_fft_intensity(
+                wf[:, :, :, :, layer_index])
         else:
             wf_layer = np.asarray(wf[:, :, :, :, layer_index])
-            self.intensity = time_fft_intensity(wf_layer)
+            self._intensity = time_fft_intensity(wf_layer)
+
+    @property
+    def intensity(self) -> np.ndarray:
+        """(probes, frequency, kx, ky) — the reference attribute. On a
+        mesh-sharded run this crops the internal kx padding on access
+        (single-controller only — multi-host analyses go through the
+        methods, which reduce inside shard_map)."""
+        if getattr(self, "_mesh", None) is not None:
+            return self._intensity_full[:, :, :self._nx, :]
+        return self._intensity
+
+    @intensity.setter
+    def intensity(self, value):
+        self._mesh = None
+        self._intensity = value
+
+    def _probe_weights(self, probe_index: Optional[int]) -> np.ndarray:
+        n = self._intensity_full.shape[0]
+        if probe_index is None:
+            return np.full(n, 1.0 / n, np.float32)
+        w = np.zeros(n, np.float32)
+        w[probe_index] = 1.0
+        return w
 
     # --- analysis methods --------------------------------------------------
     #
     # Each reduces with the array module matching where intensity lives
-    # (jnp on device, numpy on host) and returns a HOST numpy array — the
-    # reference API contract (spectrum() etc. return host arrays,
-    # tacaw_data.py:119-143).
+    # (jnp on device, numpy on host; shard_map reductions on a mesh) and
+    # returns a HOST numpy array — the reference API contract (spectrum()
+    # etc. return host arrays, tacaw_data.py:119-143).
 
     def _xp(self):
         return jnp if isinstance(self.intensity, jax.Array) else np
@@ -165,6 +195,14 @@ class TACAWData:
     def spectrum(self, probe_index: Optional[int] = None) -> np.ndarray:
         """Sum over k-space -> (n_freq,). probe_index=None averages probes
         (tacaw_data.py:109-143)."""
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_probe_spectra_sharded
+            per = np.asarray(jax.device_get(tacaw_probe_spectra_sharded(
+                self._intensity_full, self._mesh)))
+            if probe_index is None:
+                return per.mean(axis=0)
+            self._check_probe(probe_index)
+            return per[probe_index]
         xp = self._xp()
         if probe_index is None:
             return np.asarray(
@@ -176,15 +214,28 @@ class TACAWData:
                        probe_indices: Optional[List[int]] = None) -> np.ndarray:
         """Real-space map: summed k intensity at the nearest frequency, one
         scalar per selected probe (tacaw_data.py:145-179)."""
-        xp = self._xp()
         freq_idx = int(np.argmin(np.abs(self.frequencies - frequency)))
         if probe_indices is None:
             probe_indices = list(range(len(self.probe_positions)))
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_probe_spectra_sharded
+            per = np.asarray(jax.device_get(tacaw_probe_spectra_sharded(
+                self._intensity_full, self._mesh)))
+            return per[np.asarray(probe_indices), freq_idx]
+        xp = self._xp()
         sel = self.intensity[np.asarray(probe_indices), freq_idx, :, :]
         return np.asarray(xp.sum(sel, axis=(1, 2)))
 
     def diffraction(self, probe_index: Optional[int] = None) -> np.ndarray:
         """Sum over frequency -> (kx, ky) (tacaw_data.py:183-217)."""
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_kplane_sharded
+            if probe_index is not None:
+                self._check_probe(probe_index)
+            plane = np.asarray(jax.device_get(tacaw_kplane_sharded(
+                self._intensity_full, self._mesh,
+                self._probe_weights(probe_index))))
+            return plane[:self._nx]
         xp = self._xp()
         if probe_index is None:
             return np.asarray(
@@ -195,8 +246,16 @@ class TACAWData:
     def spectral_diffraction(self, frequency: float,
                              probe_index: Optional[int] = None) -> np.ndarray:
         """Nearest-frequency (kx, ky) slice (tacaw_data.py:219-255)."""
-        xp = self._xp()
         freq_idx = int(np.argmin(np.abs(self.frequencies - frequency)))
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_kplane_sharded
+            if probe_index is not None:
+                self._check_probe(probe_index)
+            plane = np.asarray(jax.device_get(tacaw_kplane_sharded(
+                self._intensity_full, self._mesh,
+                self._probe_weights(probe_index), freq_index=freq_idx)))
+            return plane[:self._nx]
+        xp = self._xp()
         if probe_index is None:
             return np.asarray(
                 xp.mean(self.intensity[:, freq_idx, :, :], axis=0))
@@ -206,12 +265,22 @@ class TACAWData:
     def masked_spectrum(self, mask: np.ndarray,
                         probe_index: Optional[int] = None) -> np.ndarray:
         """Apply a (kx, ky) mask, then sum over k (tacaw_data.py:257-298)."""
-        xp = self._xp()
         mask = np.asarray(mask)
         if mask.shape != (len(self.kxs), len(self.kys)):
             raise ValueError(
                 f"Mask shape {mask.shape} doesn't match k-space shape "
                 f"({len(self.kxs)}, {len(self.kys)})")
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_probe_spectra_sharded
+            pad = self._intensity_full.shape[2] - self._nx
+            mask_p = np.pad(mask.astype(np.float32), ((0, pad), (0, 0)))
+            per = np.asarray(jax.device_get(tacaw_probe_spectra_sharded(
+                self._intensity_full, self._mesh, mask=mask_p)))
+            if probe_index is None:
+                return per.mean(axis=0)
+            self._check_probe(probe_index)
+            return per[probe_index]
+        xp = self._xp()
         if probe_index is None:
             masked = self.intensity * mask[None, None, :, :]
             return np.asarray(xp.mean(xp.sum(masked, axis=(2, 3)), axis=0))
@@ -223,11 +292,18 @@ class TACAWData:
                    probe_index: Optional[int] = None) -> np.ndarray:
         """Intensity along a k path -> (n_freq, n_k) via nearest-neighbor
         k lookup (tacaw_data.py:301-353)."""
-        xp = self._xp()
         kx_idx = np.argmin(
             np.abs(self.kxs[None, :] - np.asarray(kx_path)[:, None]), axis=1)
         ky_idx = np.argmin(
             np.abs(self.kys[None, :] - np.asarray(ky_path)[:, None]), axis=1)
+        if self._mesh is not None:
+            from ..parallel.sharded import tacaw_dispersion_sharded
+            if probe_index is not None:
+                self._check_probe(probe_index)
+            return np.asarray(jax.device_get(tacaw_dispersion_sharded(
+                self._intensity_full, self._mesh,
+                self._probe_weights(probe_index), kx_idx, ky_idx)))
+        xp = self._xp()
         if probe_index is None:
             picked = self.intensity[:, :, kx_idx, ky_idx]   # (p, f, k)
             return np.asarray(xp.mean(picked, axis=0))

@@ -267,3 +267,126 @@ def frame_mean_intensity_sharded(wf, mesh, layer_index: int = -1):
         return _replicate_over_probe(s, n_probes)
 
     return jax.jit(block)(wf)
+
+
+def _local_stripe(full_plane, stripe, axis_name):
+    """dynamic_slice of a replicated (nx_pad, ...) plane down to this
+    device's kx stripe (the FRAME-axis shard of the k-sharded intensity)."""
+    i = jax.lax.axis_index(axis_name)
+    start = i * stripe
+    zeros = (jnp.zeros((), start.dtype),) * (full_plane.ndim - 1)
+    return jax.lax.dynamic_slice(
+        full_plane, (start,) + zeros,
+        (stripe,) + full_plane.shape[1:])
+
+
+def tacaw_probe_spectra_sharded(intensity, mesh, mask=None):
+    """Per-probe spectra from k-sharded TACAW intensity, fully replicated.
+
+    intensity: (n_probes, n_freq, nx_pad, ny) real, sharded
+    P('probe', None, 'frame') — tacaw_intensity_sharded(crop=False) output
+    (the pad rows are exact zeros and vanish in the k sums). ``mask``:
+    optional replicated (nx_pad, ny) detector mask (zero-padded to nx_pad).
+    Returns (n_probes, n_freq) — the multi-host-safe core of
+    TACAWData.spectrum / spectrum_image / masked_spectrum.
+    """
+    _check_divisible(mesh, n_probes=intensity.shape[0])
+    n_probes = intensity.shape[0]
+    f_extent = mesh.shape[FRAME_AXIS]
+    if intensity.shape[2] % f_extent:
+        raise ValueError(f"kx extent {intensity.shape[2]} not divisible by "
+                         f"the mesh frame extent {f_extent} (pass the "
+                         "crop=False intensity)")
+    stripe = intensity.shape[2] // f_extent
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=((P(PROBE_AXIS, None, FRAME_AXIS),)
+                  + ((P(),) if mask is not None else ())),
+        out_specs=P())
+    def block(local, *m):
+        x = local
+        if m:
+            x = x * _local_stripe(m[0], stripe, FRAME_AXIS)[None, None]
+        s = jnp.sum(x, axis=(2, 3))                  # (p_loc, n_freq)
+        s = jax.lax.psum(s, FRAME_AXIS)
+        return _replicate_over_probe(s, n_probes)
+
+    args = (intensity,) + ((jnp.asarray(mask),) if mask is not None else ())
+    return jax.jit(block)(*args)
+
+
+def tacaw_kplane_sharded(intensity, mesh, probe_weights,
+                         freq_index=None):
+    """Probe-weighted k plane from k-sharded TACAW intensity, replicated.
+
+    ``probe_weights``: (n_probes,) replicated — 1/n_probes for the
+    probe-average semantics, a one-hot for probe_index. ``freq_index``:
+    None sums over frequency (TACAWData.diffraction), an int picks the
+    slice (spectral_diffraction). Returns (nx_pad, ny) — crop the pad
+    rows host-side.
+    """
+    _check_divisible(mesh, n_probes=intensity.shape[0])
+    f_extent = mesh.shape[FRAME_AXIS]
+    stripe = intensity.shape[2] // f_extent
+    nx_pad = intensity.shape[2]
+    p_loc = intensity.shape[0] // mesh.shape[PROBE_AXIS]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(PROBE_AXIS, None, FRAME_AXIS), P(PROBE_AXIS)),
+        out_specs=P())
+    def block(local, w_loc):
+        x = (jnp.sum(local, axis=1) if freq_index is None
+             else local[:, freq_index])              # (p_loc, stripe, ny)
+        s = jnp.einsum("pxy,p->xy", x, w_loc)
+        s = jax.lax.psum(s, PROBE_AXIS)              # all probes weighted
+        # replicate the kx stripes over the frame axis: scatter + psum
+        i = jax.lax.axis_index(FRAME_AXIS)
+        full = jnp.zeros((nx_pad,) + s.shape[1:], s.dtype)
+        start = i * stripe
+        full = jax.lax.dynamic_update_slice(
+            full, s, (start, jnp.zeros((), start.dtype)))
+        return jax.lax.psum(full, FRAME_AXIS)
+
+    del p_loc
+    return jax.jit(block)(intensity, jnp.asarray(probe_weights))
+
+
+def tacaw_dispersion_sharded(intensity, mesh, probe_weights, kx_idx,
+                             ky_idx):
+    """Probe-weighted dispersion curve along a k path, replicated.
+
+    The nearest-neighbor pixel lookup across the SHARDED kx axis runs as
+    two one-hot contractions (each device contracts its stripe's rows of
+    the selection matrix — no gathers across shards). Returns
+    (n_freq, n_k).
+    """
+    import numpy as np
+    _check_divisible(mesh, n_probes=intensity.shape[0])
+    f_extent = mesh.shape[FRAME_AXIS]
+    nx_pad, ny = intensity.shape[2], intensity.shape[3]
+    stripe = nx_pad // f_extent
+    n_k = len(kx_idx)
+    sx = np.zeros((nx_pad, n_k), np.float32)
+    sx[np.asarray(kx_idx), np.arange(n_k)] = 1.0
+    sy = np.zeros((ny, n_k), np.float32)
+    sy[np.asarray(ky_idx), np.arange(n_k)] = 1.0
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(PROBE_AXIS, None, FRAME_AXIS), P(PROBE_AXIS),
+                  P(FRAME_AXIS), P()),
+        out_specs=P())
+    def block(local, w_loc, sx_loc, sy_rep):
+        # picked[p, f, j] = sum_xy I[p, f, x, y] Sx[x, j] Sy[y, j]
+        t = jnp.einsum("pfxy,yj->pfxj", local,
+                       sy_rep.astype(local.dtype))
+        picked = jnp.einsum("pfxj,xj->pfj", t,
+                            sx_loc.astype(local.dtype))
+        picked = jax.lax.psum(picked, FRAME_AXIS)    # all kx stripes
+        out = jnp.einsum("pfj,p->fj", picked, w_loc)
+        return jax.lax.psum(out, PROBE_AXIS)
+
+    return jax.jit(block)(intensity, jnp.asarray(probe_weights),
+                          jnp.asarray(sx), jnp.asarray(sy))

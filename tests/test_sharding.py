@@ -296,11 +296,40 @@ def test_mesh_facade_matches_single_device():
     tac0 = TACAWData(wf0)
     tac1 = TACAWData(wf1)
     assert isinstance(tac1.intensity, jax.Array)       # stayed sharded
+    np.testing.assert_allclose(np.asarray(tac1.intensity),
+                               np.asarray(tac0.intensity), rtol=1e-9)
     np.testing.assert_allclose(tac1.spectrum(), tac0.spectrum(), rtol=1e-9)
     np.testing.assert_allclose(tac1.diffraction(), tac0.diffraction(),
                                rtol=1e-9)
     np.testing.assert_allclose(tac1.spectrum(probe_index=2),
                                tac0.spectrum(probe_index=2), rtol=1e-9)
+    # every remaining analysis method reduces through shard_map on the
+    # mesh (round-4 item 3 completion) — bit-equal to the host path
+    f1 = float(tac0.frequencies[1])
+    np.testing.assert_allclose(tac1.spectrum_image(f1, [0, 3]),
+                               tac0.spectrum_image(f1, [0, 3]), rtol=1e-9)
+    np.testing.assert_allclose(tac1.spectral_diffraction(f1),
+                               tac0.spectral_diffraction(f1), rtol=1e-9)
+    np.testing.assert_allclose(
+        tac1.spectral_diffraction(f1, probe_index=1),
+        tac0.spectral_diffraction(f1, probe_index=1), rtol=1e-9)
+    np.testing.assert_allclose(tac1.diffraction(probe_index=3),
+                               tac0.diffraction(probe_index=3), rtol=1e-9)
+    q = np.sqrt(np.asarray(wf0.kxs)[:, None] ** 2
+                + np.asarray(wf0.kys)[None, :] ** 2)
+    ring = ((q > 0.3) & (q < 1.2)).astype(np.float64)
+    np.testing.assert_allclose(tac1.masked_spectrum(ring),
+                               tac0.masked_spectrum(ring), rtol=1e-9)
+    np.testing.assert_allclose(tac1.masked_spectrum(ring, probe_index=2),
+                               tac0.masked_spectrum(ring, probe_index=2),
+                               rtol=1e-9)
+    kpath = np.linspace(0, 1.0, 7)
+    np.testing.assert_allclose(tac1.dispersion(kpath, kpath * 0.5),
+                               tac0.dispersion(kpath, kpath * 0.5),
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        tac1.dispersion(kpath, kpath * 0.5, probe_index=1),
+        tac0.dispersion(kpath, kpath * 0.5, probe_index=1), rtol=1e-9)
 
     adf0 = HAADFData(wf0).calculateADF(collection_angle=45)
     adf1 = HAADFData(wf1).calculateADF(collection_angle=45)
