@@ -530,7 +530,28 @@ class StreamingTACAW:
     def spectrum(self, probe_index: Optional[int] = None) -> np.ndarray:
         """k-summed spectrum at the selected bins (host array)."""
         inten = self.intensity()
-        s = np.asarray(_ksum_jit(inten))         # (n_sel, n_probes)
+        if self.mesh is not None:
+            # Multi-host-safe: the k sum + probe replication run inside
+            # shard_map (the intensity is P(None, 'probe')-sharded; an
+            # eager np.asarray of its jitted k sum would index
+            # non-addressable shards on a DCN mesh).
+            import functools as _ft
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.mesh import PROBE_AXIS
+            from ..parallel.sharded import _replicate_over_probe
+            n_probes = inten.shape[1]
+
+            @_ft.partial(jax.shard_map, mesh=self.mesh,
+                         in_specs=(P(None, PROBE_AXIS, None, None),),
+                         out_specs=P())
+            def ksum(local):
+                t = jnp.sum(local, axis=(2, 3))          # (n_sel, p_loc)
+                full = _replicate_over_probe(t.T, n_probes)
+                return full.T                            # (n_sel, n_probes)
+
+            s = np.asarray(jax.device_get(jax.jit(ksum)(inten)))
+        else:
+            s = np.asarray(_ksum_jit(inten))     # (n_sel, n_probes)
         if probe_index is None:
             return s.mean(axis=1)
         return s[:, probe_index]
@@ -839,9 +860,12 @@ class StreamingHAADF:
 
         @_ft.partial(jax.shard_map, mesh=mesh,
                      in_specs=(P(FRAME_AXIS, PROBE_AXIS),),
-                     out_specs=P(PROBE_AXIS))
+                     out_specs=P())
         def merge(acc):
-            return jax.lax.psum(acc[0], FRAME_AXIS)
+            # fully replicated (multi-host-safe np.asarray in image())
+            from ..parallel.sharded import _replicate_over_probe
+            return _replicate_over_probe(
+                jax.lax.psum(acc[0], FRAME_AXIS), n_probes)
 
         self._acc_block = jax.jit(acc_block, donate_argnums=(0,))
         self._merge = jax.jit(merge)
@@ -1024,9 +1048,12 @@ class StreamingHAADF:
 
         @_ft.partial(jax.shard_map, mesh=mesh,
                      in_specs=(P(FRAME_AXIS, PROBE_AXIS),),
-                     out_specs=P(PROBE_AXIS))
+                     out_specs=P())
         def merge(acc):
-            return jax.lax.psum(acc[0], FRAME_AXIS)
+            # fully replicated (multi-host-safe np.asarray in image())
+            from ..parallel.sharded import _replicate_over_probe
+            return _replicate_over_probe(
+                jax.lax.psum(acc[0], FRAME_AXIS), p_pad)
 
         self._sm_block = jax.jit(sm_block, donate_argnums=(0,))
         self._merge = jax.jit(merge)
