@@ -157,6 +157,37 @@ def main():
     t_tacaw = timed_loop(tacaw_loop, (re0, im0), R_FFT,
                          "TACAW time-FFT (100f x 1024^2)")
 
+    # --- odd (reference-natural) grid, multi-probe STEM shape ---------------
+    # 1023^2 x 16 probes: the digit-split chain with the round-4 cost-model
+    # split (d=11/m=93). Guarded: a failure here must not cost the primary
+    # metric.
+    odd_steps_per_sec = None
+    try:
+        grid_o, spec_o, positions_o, probes_o, _ = build_problem(
+            n_probes=n_probes, lx=102.25)
+        assert grid_o.nx == 1023, grid_o.nx
+        kxs_o = jnp.asarray(spec_o.plan.kxs, dtype=jnp.float32)
+        kys_o = jnp.asarray(spec_o.plan.kys, dtype=jnp.float32)
+        pos_o = jnp.asarray(positions_o[0], dtype=jnp.float32)
+
+        @jax.jit
+        def prop_loop_odd(psi0, v):
+            def body(i, psi):
+                out = multislice(psi, v, kxs_o, kys_o, eV=spec_o.eV,
+                                 lam=spec_o.lam, dz=spec_o.dz,
+                                 precision=spec_o.precision)
+                return out * (1.0 - 1e-12 * i)
+            psi = jax.lax.fori_loop(0, R_PROP, body, psi0)
+            return jnp.sum(jnp.abs(psi))
+
+        v_odd = rasterize(pos_o, spec_o.plan, spec_o.precision)
+        t_odd = timed_loop(prop_loop_odd, (probes_o, v_odd), R_PROP,
+                           f"propagate/frame odd 1023^2 ({n_probes}p x "
+                           f"{grid_o.nz}sl)")
+        odd_steps_per_sec = n_probes * grid_o.nz / t_odd
+    except Exception as e:          # pragma: no cover - defensive
+        log(f"odd-grid bench skipped: {e}")
+
     # --- baseline comparison ------------------------------------------------
     vs_baseline = None
     ref_file = Path(__file__).parent / "baselines" / "reference_cpu.json"
@@ -178,6 +209,8 @@ def main():
             "tacaw_fft_vs_ref_cpu": (
                 round(ref.get("tacaw_fft_100f_s", 0) / t_tacaw, 1)
                 if ref_file.exists() else None),
+            "odd_1023_16p_steps_per_s": (
+                round(odd_steps_per_sec, 1) if odd_steps_per_sec else None),
             "device": str(dev),
         },
     }))

@@ -46,7 +46,7 @@ from .physics.adjoint import multislice_diff
 from .io.loader import TrajectoryLoader
 from .io.stream import TrajectoryStream
 from .io.data4d import (center_datacube, k_sampling_from_disk,
-                        load_4dstem, scan_positions)
+                        load_4dstem, save_4dstem, scan_positions)
 from .analysis.calibration import (calibrate_datacube, com_field,
                                    estimate_dose, solve_rotation)
 from .engine.calculator import MultisliceCalculator
@@ -92,6 +92,7 @@ __version__ = "0.4.0"
 __all__ = [
     "Trajectory", "TrajectoryLoader", "TrajectoryStream", "load_4dstem",
     "center_datacube", "k_sampling_from_disk", "scan_positions",
+    "save_4dstem",
     "calibrate_datacube", "com_field", "solve_rotation", "estimate_dose",
     "Grid", "grid_from_box",
     "grid_from_trajectory", "gridFromTrajectory", "Probe", "Potential",

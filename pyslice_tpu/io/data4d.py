@@ -174,3 +174,43 @@ def k_sampling_from_disk(pattern, mrad: float, eV: float,
     r_pix = np.sqrt(area / np.pi)
     k_ap = (mrad * 1e-3) / wavelength(eV)
     return float(k_ap / r_pix)
+
+
+def save_4dstem(path, data, scan_shape: Optional[Tuple[int, int]] = None,
+                dataset: str = "4dstem/datacube",
+                dtype=np.float32) -> None:
+    """Write a datacube as an EMD 1.0 HDF5 file (round-trips through
+    ``load_4dstem``; py4DSTEM/HyperSpy readers accept the layout).
+
+    ``data``: (n_sx, n_sy, nkx, nky), or flattened (npos, nkx, nky) with
+    ``scan_shape`` supplied. The dataset group is tagged with the EMD
+    ``emd_group_type = 1`` attribute so auto-discovery prefers it.
+    """
+    import h5py
+
+    data = np.asarray(data)
+    if data.ndim == 3:
+        if scan_shape is None:
+            raise ValueError("flattened (npos, nkx, nky) data needs "
+                             "scan_shape=(n_sx, n_sy)")
+        n_sx, n_sy = int(scan_shape[0]), int(scan_shape[1])
+        if n_sx * n_sy != data.shape[0]:
+            raise ValueError(f"scan_shape {scan_shape} does not match "
+                             f"{data.shape[0]} positions")
+        data = data.reshape(n_sx, n_sy, *data.shape[-2:])
+    elif data.ndim != 4:
+        raise ValueError(f"data must be 3-D or 4-D, got {data.ndim}-D")
+
+    group_name, _, dset_name = dataset.rpartition("/")
+    with h5py.File(path, "w") as f:
+        f.attrs["version_major"] = 0
+        f.attrs["version_minor"] = 2
+        g = f.require_group(group_name or "/")
+        g.attrs["emd_group_type"] = 1
+        g.create_dataset(dset_name or "datacube", data=data.astype(dtype),
+                         chunks=(1, data.shape[1], data.shape[2],
+                                 data.shape[3]))
+        for i, nm in enumerate(["dim1", "dim2", "dim3", "dim4"]):
+            d = g.create_dataset(nm, data=np.arange(data.shape[i]))
+            d.attrs["name"] = np.bytes_(
+                ["scan_x", "scan_y", "k_x", "k_y"][i])

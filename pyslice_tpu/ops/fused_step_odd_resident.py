@@ -141,17 +141,23 @@ def resident_odd_kspace_supported(nx: int, ny: int, nz: int,
 
 
 def resident_odd_preferred(n_probes: int, nx: int, ny: int) -> bool:
-    """Prefer the resident form everywhere it fits VMEM. Measured on v5e
-    at 1023^2 x 14 slices (tools/bench_odd.py, PYSLICE_BENCH_RESIDENT=
-    auto|off): 1 probe 4,689 vs the chain's 2,549 slice-steps/s (1.84x on
-    the raw loop; larger end-to-end, where the chain also pays a separate
-    exit fft2 the resident kernel fuses — tools/bench_odd_kspace.py).
-    Multi-probe batches at >= 1023^2 never reach this predicate (the VMEM
-    estimate rejects them; resident_odd_supported), and at small odd
-    grids the single dispatch wins at every probe count like the aligned
-    resident kernel does at <= 512^2."""
-    del n_probes, nx, ny
-    return True
+    """Prefer the resident form where it MEASURES faster.
+
+    With precomputed t planes (pre_t — the doubled stream fits VMEM) the
+    single dispatch wins at every probe count, like the aligned resident
+    kernel at <= 512^2. WITHOUT pre_t (1023^2-class grids) the kernel
+    re-evaluates the sigma*V transcendentals per probe, so large batches
+    lose to the chain, whose shared t planes amortize: measured on v5e at
+    1023^2 x 14 slices (round 4), 16 probes resident = 52.6 ms/frame
+    (4,261 slice-steps/s) vs the d=11 chain's 42.9 ms (5,227) — while
+    1 probe resident = 4,689 vs the chain's 2,549 (the chain's ~28
+    dispatches/frame dominate there). Crossover set at the aligned
+    kernel's ~3M probe-pixels. (Round-3 note: the auto dispatch had been
+    preferring resident at 1023^2 x 16 — the 4,432 chain number in the
+    grid table was measured with PYSLICE_BENCH_RESIDENT=off.)"""
+    if _pre_t_choice(nx, ny, n_probes):
+        return True
+    return n_probes * nx * ny < 3_000_000
 
 
 def _kernel(nz, dims, ax_x, ax_y, n_cx, n_cy, kspace, pre_t,

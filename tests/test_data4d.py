@@ -145,3 +145,27 @@ def test_center_and_calibrate():
     with pytest.raises(ValueError, match="disk"):
         k_sampling_from_disk(np.ones((8, 8)) * 1e-12, mrad, eV,
                              threshold=2.0)
+
+
+def test_save_load_roundtrip(tmp_path):
+    """save_4dstem writes an EMD 1.0 layout load_4dstem auto-discovers."""
+    pytest.importorskip("h5py")
+    from pyslice_tpu.io.data4d import load_4dstem, save_4dstem
+    rng = np.random.default_rng(0)
+    cube = rng.random((3, 4, 8, 8))
+    p = tmp_path / "out.emd"
+    save_4dstem(p, cube)
+    r = load_4dstem(p, scan_step=0.5)
+    assert r["scan_shape"] == (3, 4)
+    np.testing.assert_allclose(
+        r["data"].reshape(3, 4, 8, 8), cube, atol=1e-6)
+    assert r["positions"].shape == (12, 2)
+
+    # flattened input + scan_shape
+    p2 = tmp_path / "flat.emd"
+    save_4dstem(p2, cube.reshape(12, 8, 8), scan_shape=(3, 4))
+    r2 = load_4dstem(p2)
+    np.testing.assert_allclose(r2["data"], r["data"], atol=1e-6)
+
+    with pytest.raises(ValueError, match="scan_shape"):
+        save_4dstem(tmp_path / "x.emd", cube.reshape(12, 8, 8))
