@@ -121,6 +121,47 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Calibrate a measured 4D-STEM datacube: dark/gain, stuck pixels,
+    beam centering, descan fit, rotation/transpose solve, dose — then
+    write the calibrated cube (EMD) + CoM field + a JSON report."""
+    import json
+    from pathlib import Path
+
+    from .analysis.calibration import calibrate_datacube
+    from .io.data4d import load_4dstem, save_4dstem
+
+    r = load_4dstem(args.datacube, dataset=args.dataset,
+                    crop_k=args.crop_k, bin_k=args.bin_k)
+    n_sx, n_sy = r["scan_shape"]
+    cube = r["data"].reshape(n_sx, n_sy, *r["data"].shape[-2:])
+    xs = np.arange(n_sx) * args.scan_step
+    ys = np.arange(n_sy) * args.scan_step
+    dark = np.load(args.dark) if args.dark else None
+    gain = np.load(args.gain) if args.gain else None
+    res = calibrate_datacube(cube, xs, ys, dark=dark, gain=gain,
+                             k_per_pixel=args.k_per_pixel)
+    for line in res["report"]:
+        print("  -", line)
+    out = Path(args.output_dir or "calibrated")
+    out.mkdir(parents=True, exist_ok=True)
+    save_4dstem(out / "calibrated.emd", res["data"])
+    np.save(out / "com.npy", res["com"])
+    (out / "report.json").write_text(json.dumps({
+        "report": res["report"],
+        "rotation_rad": res["rotation"],
+        "transpose": bool(res["transpose"]),
+        "rotation_skewness": res["rotation_diag"]["skewness"],
+        "curl_rms": res["rotation_diag"]["curl_rms"],
+        "beam_center_shift": list(res["beam_center_shift"]),
+        "descan_coeffs": np.asarray(res["descan"]["coeffs"]).tolist(),
+        "bad_pixels": int(res["bad_pixels"].sum()),
+        "dose_e_per_A2": res["dose"]["dose"],
+    }, indent=1))
+    print(f"Wrote {out}/calibrated.emd com.npy report.json")
+    return 0
+
+
 def cmd_devices(args) -> int:
     import jax
     from .parallel.mesh import factor_mesh
@@ -164,6 +205,22 @@ def main(argv=None) -> int:
     info.add_argument("trajectory")
     info.add_argument("--no-cache", action="store_true")
     info.set_defaults(fn=cmd_info)
+
+    cal = sub.add_parser(
+        "calibrate", help="calibrate a measured 4D-STEM datacube "
+        "(bad pixels, centering, descan, rotation, dose)")
+    cal.add_argument("datacube", help="HDF5/EMD file")
+    cal.add_argument("--scan-step", dest="scan_step", type=float,
+                     required=True, help="scan pitch in Angstrom")
+    cal.add_argument("--dataset", help="explicit HDF5 dataset path")
+    cal.add_argument("--crop-k", dest="crop_k", type=int)
+    cal.add_argument("--bin-k", dest="bin_k", type=int, default=1)
+    cal.add_argument("--dark", help=".npy dark frame")
+    cal.add_argument("--gain", help=".npy gain map")
+    cal.add_argument("--k-per-pixel", dest="k_per_pixel", type=float,
+                     default=1.0, help="detector k sampling (1/A/px)")
+    cal.add_argument("--output-dir", dest="output_dir")
+    cal.set_defaults(fn=cmd_calibrate)
 
     dev = sub.add_parser("devices", help="show devices / default mesh")
     dev.set_defaults(fn=cmd_devices)

@@ -72,3 +72,37 @@ def test_cli_info(dump, capsys):
 
 def test_cli_missing_trajectory():
     assert main(["run", "--mode", "tacaw"]) == 2
+
+
+def test_cli_calibrate(tmp_path, capsys):
+    pytest.importorskip("h5py")
+    import json
+
+    from pyslice_tpu.io.data4d import save_4dstem
+
+    rng = np.random.default_rng(0)
+    nk = 24
+    kx = np.arange(nk)[:, None]
+    ky = np.arange(nk)[None, :]
+    cube = np.empty((6, 6, nk, nk))
+    for i in range(6):
+        for j in range(6):
+            cube[i, j] = 50.0 * np.exp(
+                -((kx - nk / 2 - 0.2 * i) ** 2
+                  + (ky - nk / 2 + 0.1 * j) ** 2) / (2 * 3.0 ** 2))
+    cube += rng.random(cube.shape)
+    cube[:, :, 3, 5] = 4000.0                    # hot pixel
+    src = tmp_path / "raw.emd"
+    save_4dstem(src, cube)
+
+    out = tmp_path / "cal"
+    rc = main(["calibrate", str(src), "--scan-step", "0.5",
+               "--output-dir", str(out)])
+    assert rc == 0
+    report = json.loads((out / "report.json").read_text())
+    assert report["bad_pixels"] >= 1
+    assert report["dose_e_per_A2"] > 0
+    com = np.load(out / "com.npy")
+    assert com.shape == (2, 6, 6)
+    assert (out / "calibrated.emd").exists()
+    assert "descan removed" in capsys.readouterr().out
