@@ -36,6 +36,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "examples: demo-script smoke runs (subprocesses, ~min "
         "each; run with -m examples or PYSLICE_EXAMPLES=1)")
+    config.addinivalue_line(
+        "markers", "slow: > ~8 s on the CPU tier (the ~20 heaviest tests "
+        "are about half the suite wall-clock; -m 'not slow' is the "
+        "~5-minute developer loop, CI always runs everything)")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -39,6 +39,7 @@ def _compare(P, NX, NY, NZ, seed=0):
 @pytest.mark.parametrize("shape", [(2, 256, 128, 4), (2, 128, 256, 3),
                                    (1, 256, 256, 2), (1, 128, 128, 1),
                                    (3, 384, 128, 5)])
+@pytest.mark.slow
 def test_fused_matches_reference(shape):
     assert _compare(*shape) < TOL
 
@@ -66,6 +67,7 @@ def _compare_odd(P, NX, NY, NZ, seed=0):
 
 @pytest.mark.parametrize("shape", [(2, 387, 393, 3), (1, 393, 387, 2),
                                    (1, 387, 387, 1), (2, 389 * 1 + 4, 387, 2)])
+@pytest.mark.slow
 def test_fused_odd_matches_reference(shape):
     """Digit-split odd-grid Pallas kernel vs the XLA path (interpreter)."""
     from pyslice_tpu.ops import fused_step_odd
@@ -74,6 +76,9 @@ def test_fused_odd_matches_reference(shape):
             and fused_step_odd.supported_size_odd(NY)):
         pytest.skip(f"{NX}x{NY} not odd-kernel eligible")
     assert _compare_odd(*shape) < TOL
+
+
+@pytest.mark.slow
 
 
 def test_fused_odd_record_layers():
@@ -135,6 +140,9 @@ def test_unsupported_grid_raises():
                                     sigma=1e-3, lam=0.037, dz=0.5)
 
 
+@pytest.mark.slow
+
+
 def test_fused_record_layers():
     """Segmented fused run with zero-slice resumes == unfused depth
     recording."""
@@ -160,6 +168,9 @@ def test_fused_record_layers():
             record_layers=layers))
     assert got.shape == want.shape == (3, P, NX, NY)
     assert np.abs(got - want).max() / np.abs(want).max() < TOL
+
+
+@pytest.mark.slow
 
 
 def test_fused_kspace_matches_separate_conversion():
@@ -230,6 +241,7 @@ def _compare_resident(P, NX, NY, NZ, seed=0):
                                    (1, 128, 128, 2), (1, 256, 256, 5),
                                    (1, 384, 128, 3),
                                    (4, 128, 128, 3)])  # pre_t=True branch
+@pytest.mark.slow
 def test_resident_matches_reference(shape):
     """VMEM-resident kernel (exit wave + fused k-conversion) vs XLA path."""
     r, rk = _compare_resident(*shape)
@@ -275,6 +287,9 @@ def test_resident_support_and_preference():
     assert fsr.resident_preferred(2, 1024, 1024)
     assert not fsr.resident_preferred(16, 1024, 1024)
     assert fsr.resident_preferred(16, 512, 512)
+
+
+@pytest.mark.slow
 
 
 def test_chain_inkernel_transmission_fallback(monkeypatch):
@@ -335,15 +350,20 @@ def _compare_odd_resident(P, NX, NY, NZ, seed=0, kspace=False):
 # (cos, sin) planes (PRECOMPUTE_T_MIN_PROBES).
 @pytest.mark.parametrize("shape", [(1, 387, 387, 3), (2, 387, 393, 4),
                                    (4, 393, 387, 2), (1, 387, 387, 2)])
+@pytest.mark.slow
 def test_odd_resident_matches_reference(shape):
     assert _compare_odd_resident(*shape) < TOL
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(1, 387, 387, 3), (4, 387, 393, 2)])
 def test_odd_resident_kspace_matches(shape):
     """Fused exit conversion: both scramble orders + the ODD-size
     fftshift unpermuted by one static gather."""
     assert _compare_odd_resident(*shape, kspace=True) < TOL
+
+
+@pytest.mark.slow
 
 
 def test_odd_resident_record_layers():

@@ -92,6 +92,9 @@ def test_refine_structure_recovers_coordinates():
     assert rec["displacement"].shape == (n_at,)
 
 
+@pytest.mark.slow
+
+
 def test_refine_aberrations_recovers_coefficients():
     """Instrument self-calibration: data simulated with an aberrated probe
     (C1=60 A defocus, C3=1e5 A spherical, A1=25 A astigmatism at 0.5 rad),
@@ -152,6 +155,9 @@ def test_refine_aberrations_recovers_coefficients():
     with pytest.raises(ValueError, match="unknown aberration"):
         refine_aberrations(inten[:4], positions[:4], base,
                            coefficients=("C9",), steps=1)
+
+
+@pytest.mark.slow
 
 
 def test_refine_structure_tilt_series_recovers_3d():

@@ -221,6 +221,8 @@ class TestFusedSplitCostModel:
         assert sorted(p1.tolist()) == list(range(1023))
         assert sorted(p16.tolist()) == list(range(1023))
 
+    @pytest.mark.slow
+
     def test_interpreter_parity_multiprobe_kernel(self):
         """The d-switched kernel structure at a small override size (the
         hardware tier covers the real 1023 d=11 split)."""

@@ -213,6 +213,9 @@ def test_epie_probe_update_converges(problem):
     assert np.isfinite(rec["losses"]).all()
 
 
+@pytest.mark.slow
+
+
 def test_icom_finite_dose(problem):
     """Phase retrieval under shot noise: at a realistic STEM dose the
     iCoM map must still track the blurred truth; at absurdly low dose it
@@ -283,6 +286,9 @@ def test_probe_center_matches_peak_on_odd_grid():
     assert cx == pytest.approx(xs[px]) and cy == pytest.approx(ys[py])
 
 
+@pytest.mark.slow
+
+
 def test_msp_recovers_projected_potential(problem):
     """Multislice ptychography (gradient descent through the slice loop
     via the O(1) adjoint) must fit the data and recover the projected
@@ -340,6 +346,9 @@ def test_msp_joint_probe_refinement(problem):
     assert c > 0.8, f"joint-MSP projected-potential correlation {c:.3f}"
 
 
+@pytest.mark.slow
+
+
 def test_msp_position_refinement(problem):
     """Scan-position correction: recover sub-pixel scan jitter. Positions
     enter only through the shift ramps exp(2 pi i k.pos), so their
@@ -370,6 +379,9 @@ def test_msp_position_refinement(problem):
                                atol=1e-6)
 
 
+@pytest.mark.slow
+
+
 def test_msp_sharded_matches_single_device(problem):
     """msp_reconstruct(mesh=...) on the 8-device virtual mesh: the
     data-parallel minibatch + one-pmean-per-step gradient must track the
@@ -398,6 +410,9 @@ def test_msp_sharded_matches_single_device(problem):
         msp_reconstruct(p["inten"][idx][:12], p["positions"][idx][:12],
                         p["base"], n_slices=1, dz=DZ, steps=2, batch=12,
                         mesh=mesh)
+
+
+@pytest.mark.slow
 
 
 def test_msp_mixed_state_modes(problem):
@@ -452,6 +467,9 @@ def test_msp_mixed_state_modes(problem):
                             update_probe=True, lr_probe=5e-4)
     assert np.isfinite(r_ref["losses"]).all()
     assert r_ref["losses"][-1] < r_ref["losses"][0] / 3
+
+
+@pytest.mark.slow
 
 
 def test_msp_poisson_and_tv_at_finite_dose(problem):
