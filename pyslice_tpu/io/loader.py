@@ -68,6 +68,9 @@ def parse_any(path: Path):
     if kind in (".nc", ".ncdf", ".netcdf"):
         from . import amber as amber_io
         return amber_io.parse_amber_netcdf(path)
+    if kind == ".gsd":
+        from . import gsd as gsd_io
+        return gsd_io.parse_gsd(path)
     # LAMMPS dump (.lammpstrj, .dump, .bin ...). The native C parser
     # reads raw text only — gzipped and binary dumps (LAMMPS writes
     # binary for filenames ending .bin) go straight to the Python

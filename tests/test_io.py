@@ -503,6 +503,106 @@ class TestAmberNetCDF:
             amber_io.parse_amber_netcdf(p)
 
 
+class TestGSD:
+    @staticmethod
+    def _fixture(tmp_path, name="t.gsd", n_f=3, n_a=5, seed=0, **kw):
+        from pyslice_tpu.io import gsd as gsd_io
+        rng = np.random.default_rng(seed)
+        box = np.array([[10.0, 0.0, 0.0], [0.0, 12.0, 0.0],
+                        [0.0, 0.0, 14.0]])
+        pos = rng.random((n_f, n_a, 3)) * np.diag(box)
+        vel = rng.standard_normal((n_f, n_a, 3))
+        p = tmp_path / name
+        gsd_io.write_gsd(p, pos, box, velocities=vel, **kw)
+        return p, pos, vel, box
+
+    @pytest.mark.parametrize("layer", [(1, 0), (2, 0)])
+    def test_roundtrip_both_file_layers(self, tmp_path, layer):
+        from pyslice_tpu.io import gsd as gsd_io
+        p, pos, vel, box = self._fixture(
+            tmp_path, gsd_version=layer,
+            type_names=["B", "N"], typeid=np.array([0, 1, 1, 0, 1]))
+        types, got_pos, got_vel, got_box = gsd_io.parse_gsd(p)
+        np.testing.assert_array_equal(types, [5, 7, 7, 5, 7])
+        np.testing.assert_allclose(got_pos, pos, atol=1e-5)
+        np.testing.assert_allclose(got_vel, vel, atol=1e-5)
+        np.testing.assert_allclose(got_box, box)
+
+    def test_image_flags_unwrap(self, tmp_path):
+        from pyslice_tpu.io import gsd as gsd_io
+        box = np.diag([8.0, 8.0, 8.0])
+        # unwrapped target positions reach outside the box; store wrapped
+        unwrapped = np.array([[[1.0, 2.0, 3.0], [9.5, -2.0, 19.0]]])
+        image = np.floor(unwrapped / 8.0).astype(np.int32)
+        wrapped = unwrapped - image * 8.0
+        p = tmp_path / "img.gsd"
+        gsd_io.write_gsd(p, wrapped, box, image=image)
+        _, got, _, _ = gsd_io.parse_gsd(p)
+        np.testing.assert_allclose(got, unwrapped, atol=1e-5)
+
+    def test_triclinic_box(self, tmp_path):
+        from pyslice_tpu.io import gsd as gsd_io
+        box = np.array([[10.0, 1.5, 0.4], [0.0, 12.0, 0.8],
+                        [0.0, 0.0, 14.0]])
+        pos = np.array([[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]])
+        p = tmp_path / "tri.gsd"
+        gsd_io.write_gsd(p, pos, box)
+        _, got_pos, _, got_box = gsd_io.parse_gsd(p)
+        np.testing.assert_allclose(got_box, box, atol=1e-6)
+        np.testing.assert_allclose(got_pos, pos, atol=1e-5)
+
+    def test_loader_dispatch_and_mapping(self, tmp_path):
+        from pyslice_tpu.io.loader import TrajectoryLoader
+        # non-element type names -> 1-based ids, remapped via atom_mapping
+        p, *_ = self._fixture(tmp_path, name="run.gsd",
+                              type_names=["A", "B2"],
+                              typeid=np.array([0, 1, 0, 1, 0]))
+        t = TrajectoryLoader(p, timestep=0.002,
+                             atom_mapping={1: "Si", 2: "C"},
+                             use_cache=False).load()
+        assert t.n_frames == 3 and t.n_atoms == 5
+        np.testing.assert_array_equal(t.atom_types, [14, 6, 14, 6, 14])
+
+    def test_npt_box_rejected(self, tmp_path):
+        from pyslice_tpu.io import gsd as gsd_io
+        p, *_ = self._fixture(
+            tmp_path, extra_chunks=[(1, "configuration/box",
+                                     np.array([11.0, 12.0, 14.0, 0, 0, 0],
+                                              np.float32))])
+        with pytest.raises(ValueError, match="NPT"):
+            gsd_io.parse_gsd(p)
+
+    def test_frame0_fallback_for_static_chunks(self, tmp_path):
+        # typeid/types/N written only at frame 0 must apply to all frames
+        from pyslice_tpu.io import gsd as gsd_io
+        p, pos, _, _ = self._fixture(tmp_path, type_names=["Si"],
+                                     typeid=np.zeros(5, np.uint32))
+        f = gsd_io.GSDFile(p)
+        assert f.n_frames == 3
+        assert not f.chunk_exists(2, "particles/typeid")
+        types, got_pos, _, _ = gsd_io.parse_gsd(p)
+        np.testing.assert_array_equal(types, [14] * 5)
+        assert got_pos.shape == (3, 5, 3)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        from pyslice_tpu.io import gsd as gsd_io
+        p = tmp_path / "x.gsd"
+        p.write_bytes(b"\x00" * 256)
+        with pytest.raises(ValueError, match="magic"):
+            gsd_io.parse_gsd(p)
+
+    def test_truncated_chunk_rejected(self, tmp_path):
+        from pyslice_tpu.io import gsd as gsd_io
+        p, *_ = self._fixture(tmp_path)
+        f = gsd_io.GSDFile(p)
+        loc, n, m, dt = f.index[(2, "particles/position")]
+        # cut the file inside the last frame's position chunk
+        with open(p, "r+b") as fh:
+            fh.truncate(loc + (n * m * dt.itemsize) // 2)
+        with pytest.raises(ValueError, match="truncated|GSD"):
+            gsd_io.parse_gsd(p)
+
+
 class TestLoader:
     def test_load_with_mapping_and_cache(self, traj, tmp_path):
         path = tmp_path / "t.lammpstrj"
