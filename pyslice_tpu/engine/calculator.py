@@ -33,7 +33,8 @@ from ..data.trajectory import Trajectory
 from ..physics.potential import make_plan
 from ..physics.probe import Probe, create_batched_probes
 from ..utils.host import to_numpy
-from .pipeline import SimSpec, frame_exit_waves, simulate_frames
+from .pipeline import (SimSpec, frame_exit_waves, simulate_frames,
+                       simulate_frames_into)
 
 logger = logging.getLogger(__name__)
 
@@ -341,15 +342,25 @@ class MultisliceCalculator:
                 pass
         for i0 in range(0, self.n_frames, block):
             nb = min(block, self.n_frames - i0)
+            if nb < block and i0 >= block - nb:
+                # A partial tail block would compile a SECOND program (the
+                # frame count is a static shape; each compile costs tens of
+                # seconds through the relay). Recompute a full block ending
+                # at the last frame instead: the overlapping frames are
+                # deterministic replays of values already placed, so the
+                # overwrite is bit-identical and the whole run uses ONE
+                # program shape.
+                i0, nb = self.n_frames - block, block
             pos = jnp.asarray(np.asarray(
                 self.trajectory.positions[i0:i0 + nb]))
             if bs is None or self.n_probes <= bs:
-                fk = simulate_frames(pos, probes, self.spec)
+                # Fused compute+place: one dispatch per block, i0 traced.
+                out = simulate_frames_into(out, i0, pos, probes, self.spec)
             else:
                 fk = jnp.concatenate(
                     [simulate_frames(pos, probes[j:j + bs], self.spec)
                      for j in range(0, self.n_probes, bs)], axis=0)
-            out = place(out, fk, i0)
+                out = place(out, fk, i0)
             if progress_bar:
                 progress_bar.update(nb)
         if progress_bar:
@@ -441,8 +452,19 @@ class MultisliceCalculator:
                     data = self._frame_kspace(np.asarray(
                         self.trajectory.positions[chunk[0]]), probes)[:, None]
                 else:
-                    data = self._block_kspace(np.asarray(
-                        self.trajectory.positions[np.asarray(chunk)]), probes)
+                    pos = np.asarray(
+                        self.trajectory.positions[np.asarray(chunk)])
+                    target = min(block, self.n_frames)
+                    if len(chunk) < target:
+                        # Pad the partial block (repeat the last frame) so
+                        # every multi-frame dispatch reuses ONE compiled
+                        # program shape — a fresh block-size compile costs
+                        # tens of seconds through the relay, the padded
+                        # frames well under a second.
+                        pos = np.concatenate(
+                            [pos, np.repeat(pos[-1:],
+                                            target - len(chunk), axis=0)])
+                    data = self._block_kspace(pos, probes)
                 for j, fi in enumerate(chunk):
                     out[:, fi] = data[:, j]
                     if self.use_cache:

@@ -71,7 +71,23 @@ class SimSpec:
                    tantilt=tantilt)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+def _plan_buckets(plan: RasterizerPlan):
+    """The plan's bucket lists, passed as TRACED inputs at the jit
+    boundaries below so the compiled program — and its persistent-compile-
+    cache key — depends only on the plan's quantized shapes, not on which
+    (type, slice) bins this particular trajectory's thermal noise
+    populated. A re-run on fresh MD data of the same system then reloads
+    the cached executable in seconds instead of recompiling for ~a minute
+    through the relay.
+
+    Returned as host NumPy arrays deliberately: they are a few dozen ints
+    (transfer cost is nil), and materializing device copies here would
+    create tracers when a caller sits inside an outer trace (jnp.asarray
+    stages even concrete constants) — cached tracers then leak across
+    traces."""
+    return plan.bucket_types, plan.bucket_slices
+
+
 def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
     """k-space exit waves for one MD frame.
 
@@ -84,8 +100,22 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
         (n_probes, nx, ny, n_layers) complex, fftshifted k-space
         (calculators.py:285-287 semantics). n_layers == 1 when
         spec.record_layers is None.
+
+    Called at the top level, this compiles a program whose cache key is
+    trajectory-independent (see _plan_buckets). Called inside an outer
+    trace (streaming/sharded engines), the bucket lists become constants
+    of THAT program — numerics identical either way.
     """
-    v = rasterize(positions, spec.plan, spec.precision)
+    bt, bs = _plan_buckets(spec.plan)
+    return _frame_exit_waves(positions, probes, bt, bs, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _frame_exit_waves(positions, probes, bucket_types, bucket_slices,
+                      spec: SimSpec) -> jnp.ndarray:
+    from ..physics.potential import rasterize_traced_buckets
+    v = rasterize_traced_buckets(positions, bucket_types, bucket_slices,
+                                 spec.plan, spec.precision)
 
     from ..physics.propagate import (_fused_eligible, _resident_eligible,
                                      _resident_odd_eligible)
@@ -129,14 +159,48 @@ def frame_exit_waves(positions, probes, spec: SimSpec) -> jnp.ndarray:
     return jnp.transpose(k, (1, 2, 3, 0))     # (probes, nx, ny, layers)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
 def simulate_frames(positions_frames, probes, spec: SimSpec) -> jnp.ndarray:
     """Map frame_exit_waves over a stacked (n_frames, n_atoms, 3) block.
 
     Returns (n_probes, n_frames, nx, ny, n_layers) — WFData layout. Frames are
     processed sequentially on-device (lax.map); use parallel.sharded to spread
-    frames/probes over a mesh.
+    frames/probes over a mesh. Bucket lists ride as traced inputs (see
+    _plan_buckets) so the block program's cache key is
+    trajectory-independent.
     """
-    out = jax.lax.map(lambda p: frame_exit_waves(p, probes, spec),
-                      positions_frames)       # (frames, probes, nx, ny, layers)
+    bt, bs = _plan_buckets(spec.plan)
+    return _simulate_frames(positions_frames, probes, bt, bs, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _simulate_frames(positions_frames, probes, bucket_types, bucket_slices,
+                     spec: SimSpec) -> jnp.ndarray:
+    out = jax.lax.map(
+        lambda p: _frame_exit_waves(p, probes, bucket_types, bucket_slices,
+                                    spec),
+        positions_frames)                     # (frames, probes, nx, ny, layers)
     return jnp.transpose(out, (1, 0, 2, 3, 4))
+
+
+def simulate_frames_into(out, i0, positions_frames, probes,
+                         spec: SimSpec) -> jnp.ndarray:
+    """simulate_frames + in-place placement at frame offset ``i0`` of the
+    donated accumulator ``out`` (probes, n_frames, nx, ny, layers) — ONE
+    device dispatch per block instead of compute-then-place (each relayed
+    dispatch costs ~25-50 ms wall-clock). ``i0`` is traced, so every block
+    offset reuses the same compiled program."""
+    bt, bs = _plan_buckets(spec.plan)
+    return _simulate_frames_into(out, jnp.asarray(i0, jnp.int32),
+                                 positions_frames, probes, bt, bs, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",), donate_argnums=(0,))
+def _simulate_frames_into(out, i0, positions_frames, probes,
+                          bucket_types, bucket_slices,
+                          spec: SimSpec) -> jnp.ndarray:
+    fk = jax.lax.map(
+        lambda p: _frame_exit_waves(p, probes, bucket_types, bucket_slices,
+                                    spec),
+        positions_frames)
+    fk = jnp.transpose(fk, (1, 0, 2, 3, 4)).astype(out.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(out, fk, i0, axis=1)

@@ -54,6 +54,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_buckets(arr: np.ndarray) -> np.ndarray:
+    """Pad a bucket list to a multiple of 4 with -1 sentinels (zero-work
+    entries in the rasterizer) so n_buckets — a compiled shape — is stable
+    under small occupancy changes between same-system trajectories."""
+    pad = -len(arr) % 4
+    if pad:
+        arr = np.concatenate([arr, np.full(pad, -1, dtype=arr.dtype)])
+    return arr
+
+
 def slice_edges(slice_coords: np.ndarray, spacing: float) -> np.ndarray:
     """Bin edges implementing the reference's slice rules (potentials.py:302-307)."""
     coords = np.asarray(slice_coords, dtype=np.float64)
@@ -225,7 +235,18 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
         occupied[0] = True
         max_count = 1
 
+    # Quantize the two shape-determining sizes so thermal variation between
+    # trajectories of the same system lands on the SAME compiled program
+    # (rasterize_traced_buckets passes the bucket VALUES as arguments; these
+    # shapes are all that remains in the compile-cache key). a_max climbs a
+    # ~1.25x geometric ladder of multiples of 8 (<= 25% padded-lane
+    # overhead, masked to zero weight); the bucket list pads to a multiple
+    # of 4 with sentinel entries that contribute nothing.
     a_max = _round_up(max(1, int(np.ceil(max_count * (1.0 + pad_fraction)))), 8)
+    step = 8
+    while step < a_max:
+        step = _round_up(int(step * 1.25) + 1, 8)
+    a_max = step
     occ_bins = np.nonzero(occupied)[0].astype(np.int32)
 
     nx_, ny_ = len(xs), len(ys)
@@ -254,8 +275,8 @@ def make_plan(xs, ys, zs, positions_all_frames, atom_types,
         slice_axis=slice_axis, inplane_axis1=ax1, inplane_axis2=ax2,
         kxs=kxs_plan, kys=kys_plan,
         edges=edges, type_ids=type_ids, unique_z=unique_z,
-        bucket_types=(occ_bins // nz).astype(np.int32),
-        bucket_slices=(occ_bins % nz).astype(np.int32),
+        bucket_types=_pad_buckets((occ_bins // nz).astype(np.int32)),
+        bucket_slices=_pad_buckets((occ_bins % nz).astype(np.int32)),
         a_max=int(a_max), kind=kind,
         frac2d=frac2d, qsq2d=qsq2d, px_area=px_area, dwf_b=dwf_b,
     )
@@ -292,13 +313,43 @@ def rasterize(positions, plan: RasterizerPlan,
 
     Args:
         positions: (n_atoms, 3) Angstrom (traced).
-        plan: static RasterizerPlan.
+        plan: static RasterizerPlan (bucket lists baked as constants).
 
     Returns:
         (nz, nx, ny) real potential (slice-major layout; the class facade
         transposes to the reference's (nx, ny, nz) view).
     """
-    prec = get_precision(precision)
+    return _rasterize_from(positions, jnp.asarray(plan.bucket_types),
+                           jnp.asarray(plan.bucket_slices), plan,
+                           get_precision(precision))
+
+
+def rasterize_traced_buckets(positions, bucket_types, bucket_slices,
+                             plan: RasterizerPlan,
+                             precision: Optional[Precision] = None
+                             ) -> jnp.ndarray:
+    """rasterize() with the bucket lists as TRACED arrays.
+
+    The bucket occupancy is the one plan ingredient that varies between
+    trajectories of the same system (thermal noise shifts which
+    (type, slice) bins are populated). Passing the lists as arguments at a
+    jit boundary — instead of baking them as program constants — makes the
+    compiled program, and therefore its persistent-compile-cache key,
+    depend only on the plan's SHAPES (nx/ny/nz/n_types, quantized
+    n_buckets and a_max): a re-run on fresh MD data of the same system
+    reloads the cached executable in seconds instead of recompiling for
+    ~a minute through the relay. Numerics are identical to rasterize().
+    Callers must pass ``bucket_types``/``bucket_slices`` consistent with
+    ``plan`` (engine.pipeline does this automatically)."""
+    return _rasterize_from(positions, bucket_types, bucket_slices, plan,
+                           get_precision(precision))
+
+
+def _rasterize_from(positions, bucket_types, bucket_slices,
+                    plan: RasterizerPlan, prec: Precision) -> jnp.ndarray:
+    """Shared rasterizer body; bucket lists may be constants or tracers.
+    Sentinel entries (type < 0, the plan's n_buckets quantization padding)
+    contribute exactly zero."""
     positions = jnp.asarray(positions, dtype=prec.real)
     n_atoms = positions.shape[0]
 
@@ -325,7 +376,9 @@ def rasterize(positions, plan: RasterizerPlan,
     order = jnp.argsort(bin_id)
     sx = x[order]
     sy = y[order]
-    counts = jnp.bincount(bin_id, length=n_bins + 1)
+    # length n_bins + 2: bin n_bins counts invalid atoms, bin n_bins + 1 is
+    # permanently empty — sentinel (padding) buckets read their count there.
+    counts = jnp.bincount(bin_id, length=n_bins + 2)
     starts = jnp.concatenate([jnp.zeros(1, dtype=counts.dtype),
                               jnp.cumsum(counts)[:-1]])
 
@@ -334,9 +387,11 @@ def rasterize(positions, plan: RasterizerPlan,
     kys = jnp.asarray(plan.kys, dtype=prec.real)
     lane = jnp.arange(plan.a_max)
 
-    bucket_types = jnp.asarray(plan.bucket_types)
-    bucket_slices = jnp.asarray(plan.bucket_slices)
-    bucket_bins = bucket_types * plan.nz + bucket_slices
+    sentinel = bucket_types < 0
+    bucket_bins = jnp.where(
+        sentinel, n_bins + 1,
+        jnp.clip(bucket_types, 0, None) * plan.nz
+        + jnp.clip(bucket_slices, 0, None))
 
     # Runtime coverage guard: a frame not covered by the plan (a bucket
     # holding more than the planned a_max atoms, or atoms in a (type, slice)
@@ -352,8 +407,10 @@ def rasterize(positions, plan: RasterizerPlan,
 
     def body(recip, bucket_idx):
         b = bucket_bins[bucket_idx]
-        t = bucket_types[bucket_idx]
-        s = bucket_slices[bucket_idx]
+        # Sentinel (-1) entries clip to valid gather targets; their zero
+        # weight (counts[b] == 0) makes the contribution exactly zero.
+        t = jnp.clip(bucket_types[bucket_idx], 0, plan.n_types - 1)
+        s = jnp.clip(bucket_slices[bucket_idx], 0, plan.nz - 1)
         idx = jnp.clip(starts[b] + lane, 0, n_atoms - 1)
         w = (lane < counts[b]).astype(prec.real)       # (a_max,)
         bx = sx[idx]
@@ -378,7 +435,8 @@ def rasterize(positions, plan: RasterizerPlan,
     # replicated and trips scan's carry-type check).
     zero = (jnp.sum(positions) * 0).astype(prec.complex)
     recip0 = jnp.zeros((plan.nz, plan.nx, plan.ny), dtype=prec.complex) + zero
-    recip, _ = jax.lax.scan(body, recip0, jnp.arange(plan.n_buckets))
+    recip, _ = jax.lax.scan(body, recip0,
+                            jnp.arange(bucket_types.shape[0]))
 
     pot = jnp.real(matfft.ifft2(recip))
     px_area = plan.px_area if plan.px_area is not None else plan.dx * plan.dy
@@ -397,8 +455,9 @@ def validate_frame(positions, plan: RasterizerPlan) -> None:
     n_bins = plan.n_types * plan.nz
     counts = np.bincount(bins, minlength=n_bins)
     planned = np.zeros(n_bins, dtype=bool)
-    planned[plan.bucket_types.astype(np.int64) * plan.nz
-            + plan.bucket_slices.astype(np.int64)] = True
+    real = plan.bucket_types >= 0            # skip -1 sentinel padding
+    planned[plan.bucket_types[real].astype(np.int64) * plan.nz
+            + plan.bucket_slices[real].astype(np.int64)] = True
     unplanned = np.nonzero((counts > 0) & ~planned)[0]
     if unplanned.size:
         b = int(unplanned[0])

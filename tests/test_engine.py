@@ -351,3 +351,54 @@ def test_cache_key_distinguishes_positions(thermal_traj, tmp_path):
                 cache_root=str(tmp_path))
         keys.append(c.output_dir.name)
     assert keys[0] != keys[1]
+
+
+class TestBlockedPrograms:
+    """Partial trailing blocks must not compile a second program shape:
+    the device path overlaps the tail into a full block, the host path
+    pads positions — both bit-identical to the unblocked run (each block
+    frame is a deterministic replay of the same per-frame function)."""
+
+    def _spy_shapes(self, monkeypatch):
+        import pyslice_tpu.engine.calculator as calc_mod
+        real_sf = calc_mod.simulate_frames
+        real_into = calc_mod.simulate_frames_into
+        shapes = []
+
+        def spy_sf(positions, probes, spec):
+            shapes.append(tuple(positions.shape))
+            return real_sf(positions, probes, spec)
+
+        def spy_into(out, i0, positions, probes, spec):
+            shapes.append(tuple(positions.shape))
+            return real_into(out, i0, positions, probes, spec)
+
+        monkeypatch.setattr(calc_mod, "simulate_frames", spy_sf)
+        monkeypatch.setattr(calc_mod, "simulate_frames_into", spy_into)
+        return shapes
+
+    def test_device_tail_overlap_identical(self, thermal_traj, wf,
+                                           monkeypatch):
+        shapes = self._spy_shapes(monkeypatch)
+        calc = MultisliceCalculator(precision=DOUBLE)
+        calc.setup(thermal_traj, aperture=0, voltage_eV=100e3,
+                   sampling=SAMPLING, slice_thickness=SLICE_T,
+                   use_cache=False, device_output=True, frame_block=4)
+        out = calc.run(progress=False)   # 6 frames -> [0:4] + overlap [2:6]
+        assert shapes == [(4,) + thermal_traj.positions.shape[1:]] * 2
+        np.testing.assert_allclose(np.asarray(out.wavefunction_data),
+                                   wf.wavefunction_data,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_host_tail_padding_identical(self, thermal_traj, wf,
+                                         monkeypatch):
+        shapes = self._spy_shapes(monkeypatch)
+        calc = MultisliceCalculator(precision=DOUBLE)
+        calc.setup(thermal_traj, aperture=0, voltage_eV=100e3,
+                   sampling=SAMPLING, slice_thickness=SLICE_T,
+                   use_cache=False, frame_block=4)
+        out = calc.run(progress=False)   # chunks [0..3] + [4,5] padded to 4
+        assert shapes == [(4,) + thermal_traj.positions.shape[1:]] * 2
+        np.testing.assert_allclose(out.wavefunction_data,
+                                   wf.wavefunction_data,
+                                   rtol=1e-12, atol=1e-12)

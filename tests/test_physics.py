@@ -576,3 +576,93 @@ class TestDebyeWaller:
         d1 = np.asarray(calc.run(progress=False).wavefunction_data)
         d0 = np.asarray(calc0.run(progress=False).wavefunction_data)
         assert not np.allclose(d1, d0)
+
+
+class TestPlanCacheStability:
+    """Round-4 compile-key stability: the bucket lists are traced inputs at
+    the pipeline jit boundaries and the plan's shape-determining sizes are
+    quantized, so trajectories of the same system compile to the SAME
+    program (persistent-compile-cache hit across runs/files)."""
+
+    @staticmethod
+    def _case(slices, n=16, nz=8, seed=0):
+        rng = np.random.default_rng(seed)
+        xs = ys = np.linspace(0.0, 8.0, 32, endpoint=False)
+        zs = np.linspace(0.0, 8.0, nz, endpoint=False)
+        pos = np.zeros((n, 3))
+        pos[:, 0] = rng.uniform(0, 8, n)
+        pos[:, 1] = rng.uniform(0, 8, n)
+        half = n // 2
+        pos[:half, 2] = zs[slices[0]] + 0.3
+        pos[half:, 2] = zs[slices[1]] + 0.3
+        types = np.full(n, 14, np.int32)
+        plan = make_plan(xs, ys, zs, pos[None], types)
+        return pos, plan
+
+    def test_quantized_shapes_match_across_occupancy(self):
+        _, plan_a = self._case((1, 2))
+        _, plan_b = self._case((3, 6), seed=1)
+        assert plan_a.a_max == plan_b.a_max
+        assert plan_a.n_buckets == plan_b.n_buckets
+        # padding really happened (2 real buckets -> multiple of 4)
+        assert np.sum(plan_a.bucket_types < 0) == 2
+
+    def test_lowered_program_is_occupancy_independent(self):
+        import jax
+        from pyslice_tpu.physics.potential import rasterize_traced_buckets
+
+        texts = []
+        for case, seed in (((1, 2), 0), ((3, 6), 1)):
+            pos, plan = self._case(case, seed=seed)
+            low = jax.jit(
+                rasterize_traced_buckets,
+                static_argnames=("plan", "precision")).lower(
+                    pos.astype(np.float32),
+                    np.asarray(plan.bucket_types),
+                    np.asarray(plan.bucket_slices), plan, SINGLE)
+            texts.append(low.as_text())
+        assert texts[0] == texts[1]
+
+    def test_pipeline_program_is_trajectory_independent(self):
+        import jax
+        from pyslice_tpu.engine.pipeline import SimSpec, _frame_exit_waves
+        texts = []
+        for seed in (3, 4):
+            traj = hbn_thermal(n_frames=3, sigma=0.05, nx=2, ny=2, seed=seed)
+            g = grid_from_trajectory(traj, 0.25, 0.8)
+            plan = make_plan(g.xs, g.ys, g.zs, traj.positions,
+                             traj.atom_types)
+            spec = SimSpec.create(g, plan, 100e3, precision=SINGLE)
+            probes = np.ones((1, g.nx, g.ny), np.complex64)
+            low = jax.jit(
+                _frame_exit_waves, static_argnames=("spec",)).lower(
+                    traj.positions[0].astype(np.float32), probes,
+                    np.asarray(plan.bucket_types),
+                    np.asarray(plan.bucket_slices), spec)
+            texts.append(low.as_text())
+        assert texts[0] == texts[1]
+
+    def test_sentinel_padding_contributes_nothing(self):
+        import dataclasses
+        pos, plan = self._case((2, 5))
+        real = plan.bucket_types >= 0
+        assert real.sum() == 2 and len(real) == 4
+        bare = dataclasses.replace(
+            plan, bucket_types=plan.bucket_types[real],
+            bucket_slices=plan.bucket_slices[real])
+        out_pad = np.asarray(rasterize(pos, plan, DOUBLE))
+        out_bare = np.asarray(rasterize(pos, bare, DOUBLE))
+        np.testing.assert_array_equal(out_pad, out_bare)
+        assert np.all(np.isfinite(out_pad))
+
+    def test_a_max_ladder_monotone_and_bounded(self):
+        from pyslice_tpu.physics.potential import _round_up
+        prev = 0
+        for max_count in range(1, 400):
+            a = _round_up(max_count, 8)
+            step = 8
+            while step < a:
+                step = _round_up(int(step * 1.25) + 1, 8)
+            assert step >= max_count
+            assert step <= max(8, int(np.ceil(max_count * 1.3)) + 8)
+            assert step >= prev or max_count < prev  # ladder monotone
