@@ -172,32 +172,52 @@ def _tacaw_accumulate_nomean(acc, positions, probes, phases,
 @functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
                    donate_argnums=(0, 1))
 def _tacaw_accumulate_scan(acc, mean_acc, positions_block, probes,
-                           phases_block, spec: SimSpec, layer_index: int):
+                           phases_block, weights, spec: SimSpec,
+                           layer_index: int):
     """B frames folded in ONE dispatch (lax.scan) — through the remote
     relay a dispatch round trip costs 40-1500 ms while one 1-probe frame
-    computes in ~8 ms, so per-frame dispatching is pure overhead."""
+    computes in ~8 ms, so per-frame dispatching is pure overhead.
+    ``weights`` (B,): 1 for real frames, 0 for tail-padding frames (a
+    shorter trailing block pads to the established block size so one
+    compiled program serves the whole stream)."""
     def body(carry, xs):
         acc, mean = carry
-        pos, ph = xs
+        pos, ph, w = xs
         psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
-        return (acc + ph[:, None, None, None] * psi[None],
-                mean + psi), None
+        return (acc + (w * ph)[:, None, None, None] * psi[None],
+                mean + w * psi), None
     (acc, mean_acc), _ = jax.lax.scan(
-        body, (acc, mean_acc), (positions_block, phases_block))
+        body, (acc, mean_acc), (positions_block, phases_block, weights))
     return acc, mean_acc
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "layer_index"),
                    donate_argnums=(0,))
 def _tacaw_accumulate_scan_nomean(acc, positions_block, probes,
-                                  phases_block, spec: SimSpec,
+                                  phases_block, weights, spec: SimSpec,
                                   layer_index: int):
     def body(acc, xs):
-        pos, ph = xs
+        pos, ph, w = xs
         psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
-        return acc + ph[:, None, None, None] * psi[None], None
-    acc, _ = jax.lax.scan(body, acc, (positions_block, phases_block))
+        return acc + (w * ph)[:, None, None, None] * psi[None], None
+    acc, _ = jax.lax.scan(body, acc,
+                          (positions_block, phases_block, weights))
     return acc
+
+
+def _pad_block(pos, extras, target):
+    """Pad a (B, ...) frame block to ``target`` frames by repeating the
+    last frame, with weights 1 for real and 0 for padded frames. ``extras``
+    (each (B, ...)) are zero-padded. Returns (pos, extras..., weights)."""
+    b = pos.shape[0]
+    w = jnp.ones(b, pos.dtype)
+    if b < target:
+        pad = target - b
+        pos = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad, axis=0)])
+        extras = [jnp.concatenate(
+            [e, jnp.zeros((pad,) + e.shape[1:], e.dtype)]) for e in extras]
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    return (pos, *extras, w)
 
 
 class StreamingTACAW:
@@ -456,16 +476,23 @@ class StreamingTACAW:
             self.add_frame(frame_indices[0], pos[0])
             return
         phases = self._phases_block(frame_indices)
+        # Pad a shorter trailing block to the largest block size this
+        # stream has seen (weights zero the padded frames) so the whole
+        # stream reuses ONE compiled scan program — a fresh block-size
+        # shape costs a full compile (tens of seconds through the relay).
+        self._scan_block = max(getattr(self, "_scan_block", 0), B)
+        pos, phases, w = _pad_block(pos, [jnp.asarray(phases)],
+                                    self._scan_block)
         for i, sl in enumerate(self._chunk_slices):
             if self._track_mean:
                 self._acc_chunks[i], self._mean_chunks[i] = \
                     _tacaw_accumulate_scan(
                         self._acc_chunks[i], self._mean_chunks[i], pos,
-                        self.probes[sl], phases, self.spec,
+                        self.probes[sl], phases, w, self.spec,
                         self.layer_index)
             else:
                 self._acc_chunks[i] = _tacaw_accumulate_scan_nomean(
-                    self._acc_chunks[i], pos, self.probes[sl], phases,
+                    self._acc_chunks[i], pos, self.probes[sl], phases, w,
                     self.spec, self.layer_index)
         self._seen.update(frame_indices)
 
@@ -665,18 +692,20 @@ def _haadf_accumulate(acc, positions, probes, mask, spec: SimSpec,
 @functools.partial(jax.jit,
                    static_argnames=("spec", "layer_index", "intensity"),
                    donate_argnums=(0,))
-def _haadf_accumulate_scan(acc, positions_block, probes, mask,
+def _haadf_accumulate_scan(acc, positions_block, probes, mask, weights,
                            spec: SimSpec, layer_index: int,
                            intensity: bool):
     """B frames folded in ONE dispatch (relay-latency amortization —
-    same rationale as _tacaw_accumulate_scan)."""
-    def body(acc, pos):
+    same rationale as _tacaw_accumulate_scan). ``weights`` zero the
+    tail-padding frames (see _pad_block)."""
+    def body(acc, xs):
+        pos, w = xs
         psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
         amp = jnp.abs(psi)
         if intensity:
             amp = amp * amp
-        return acc + jnp.sum(amp * mask[None], axis=(1, 2)), None
-    acc, _ = jax.lax.scan(body, acc, positions_block)
+        return acc + w * jnp.sum(amp * mask[None], axis=(1, 2)), None
+    acc, _ = jax.lax.scan(body, acc, (positions_block, weights))
     return acc
 
 
@@ -1149,8 +1178,11 @@ class StreamingHAADF:
             # (a per-frame loop would poison _seen for earlier indices
             # when a later one is a duplicate)
             self._track(frame_indices)
+            # tail-pad to the established block size: one program per stream
+            self._scan_block = max(getattr(self, "_scan_block", 0), B)
+            pos_p, w = _pad_block(pos, [], self._scan_block)
             self._acc = _haadf_accumulate_scan(
-                self._acc, pos, self.probes, self._mask, self.spec,
+                self._acc, pos_p, self.probes, self._mask, w, self.spec,
                 self.layer_index, self.intensity)
             self._n += B
             return

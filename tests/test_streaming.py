@@ -447,3 +447,34 @@ def test_streaming_haadf_block_duplicate_is_atomic(setup):
     # mismatched frame_indices length rejected up front on every path
     with pytest.raises(ValueError, match="entries"):
         st.add_frame_block(traj.positions[:3], [7, 8])
+
+
+def test_streaming_tail_block_reuses_program_shape(setup, monkeypatch):
+    """A ragged trailing block must be padded to the established block
+    size (weights zero the pad frames) so the whole stream runs ONE scan
+    program shape — a fresh block-size compile costs tens of seconds
+    through the relay."""
+    import pyslice_tpu.engine.streaming as sm
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    probes = create_batched_probes(base, [(g.lx / 2, g.ly / 2)]).array
+    shapes = []
+    real_nm = sm._tacaw_accumulate_scan_nomean
+    real_m = sm._tacaw_accumulate_scan
+
+    def spy_nm(acc, pos, pr, ph, w, spec, li):
+        shapes.append(tuple(pos.shape))
+        return real_nm(acc, pos, pr, ph, w, spec, li)
+
+    def spy_m(acc, mean, pos, pr, ph, w, spec, li):
+        shapes.append(tuple(pos.shape))
+        return real_m(acc, mean, pos, pr, ph, w, spec, li)
+
+    monkeypatch.setattr(sm, "_tacaw_accumulate_scan_nomean", spy_nm)
+    monkeypatch.setattr(sm, "_tacaw_accumulate_scan", spy_m)
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=[7.5])
+    for i0 in range(0, traj.n_frames, 4):
+        idx = list(range(i0, min(i0 + 4, traj.n_frames)))
+        st.add_frame_block(idx, traj.positions[np.asarray(idx)])
+    assert len(set(shapes)) == 1 and shapes[0][0] == 4
