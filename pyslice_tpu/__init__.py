@@ -38,6 +38,7 @@ from .core.constants import (C_LIGHT, H_PLANCK, M_ELECTRON, Q_ELECTRON,
 from .core.dtypes import DOUBLE, SINGLE, Precision, get_precision, set_default_precision
 from .core.grids import Grid, grid_from_box, grid_from_trajectory, gridFromTrajectory
 from .data.trajectory import Trajectory
+from .data.crystals import crystal, orthogonal_supercell, substitute, vacancies
 from .physics.kirkland import element_to_z, form_factor, z_to_element
 from .physics.potential import Potential, RasterizerPlan, make_plan, rasterize
 from .physics.probe import Probe, create_batched_probes, probe_grid, shift_probes

@@ -44,6 +44,8 @@ CASES = [
      []),
     ("realistic_stem.py", ["--scan", "2", "--device", "cpu"],
      []),
+    ("si_dumbbells.py", ["--scan", "3", "--frames", "1"],
+     ["dumbbell split 1.358", "si_dumbbells OK"]),
 ]
 
 
