@@ -180,6 +180,7 @@ def _tacaw_accumulate_scan(acc, mean_acc, positions_block, probes,
     ``weights`` (B,): 1 for real frames, 0 for tail-padding frames (a
     shorter trailing block pads to the established block size so one
     compiled program serves the whole stream)."""
+    weights = weights.astype(np.empty(0, acc.dtype).real.dtype)
     def body(carry, xs):
         acc, mean = carry
         pos, ph, w = xs
@@ -196,6 +197,7 @@ def _tacaw_accumulate_scan(acc, mean_acc, positions_block, probes,
 def _tacaw_accumulate_scan_nomean(acc, positions_block, probes,
                                   phases_block, weights, spec: SimSpec,
                                   layer_index: int):
+    weights = weights.astype(np.empty(0, acc.dtype).real.dtype)
     def body(acc, xs):
         pos, ph, w = xs
         psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
@@ -697,7 +699,9 @@ def _haadf_accumulate_scan(acc, positions_block, probes, mask, weights,
                            intensity: bool):
     """B frames folded in ONE dispatch (relay-latency amortization —
     same rationale as _tacaw_accumulate_scan). ``weights`` zero the
-    tail-padding frames (see _pad_block)."""
+    tail-padding frames (see _pad_block); they are cast to the carry's
+    real dtype so float64 inputs (CPU x64) cannot promote the carry."""
+    weights = weights.astype(np.empty(0, acc.dtype).real.dtype)
     def body(acc, xs):
         pos, w = xs
         psi = frame_exit_waves(pos, probes, spec)[..., layer_index]
