@@ -116,7 +116,15 @@ def _frame_exit_waves(positions, probes, bucket_types, bucket_slices,
     from ..physics.potential import rasterize_traced_buckets
     v = rasterize_traced_buckets(positions, bucket_types, bucket_slices,
                                  spec.plan, spec.precision)
+    return exit_waves_from_potential(v, probes, spec)
 
+
+def exit_waves_from_potential(v, probes, spec: SimSpec) -> jnp.ndarray:
+    """frame_exit_waves given an already-rasterized potential stack ``v``
+    (nz, nx, ny). Probe-chunked callers (engine.streaming) rasterize a
+    frame ONCE and run every chunk through this — the rasterizer is the
+    per-frame cost that must not repeat per chunk. Trace-level function
+    (callers sit inside their own jit)."""
     from ..physics.propagate import (_fused_eligible, _resident_eligible,
                                      _resident_odd_eligible)
     from ..ops import config as ops_config

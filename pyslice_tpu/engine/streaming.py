@@ -39,7 +39,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import wavelength as _wavelength
-from .pipeline import SimSpec, frame_exit_waves
+from .pipeline import (SimSpec, exit_waves_from_potential,
+                       frame_exit_waves)
+
+
+def _rasterize_in_trace(positions, spec: SimSpec):
+    """One frame's potential stack, traced inside the caller's program.
+    Probe-chunked folds rasterize ONCE per frame and push every chunk
+    through exit_waves_from_potential — re-rasterizing per chunk costs
+    C-1 extra full rasterizer passes per frame (measured: the dominant
+    term of config 5's per-frame time at C=8)."""
+    from ..physics.potential import rasterize_traced_buckets
+    from .pipeline import _plan_buckets
+    bt, bs = _plan_buckets(spec.plan)
+    # jnp.asarray here: the host lists become constants of the CALLER's
+    # trace (indexing a raw NumPy array by a traced scan index fails).
+    return rasterize_traced_buckets(positions, jnp.asarray(bt),
+                                    jnp.asarray(bs), spec.plan,
+                                    spec.precision)
 
 # Hoisted jitted helpers (constructing jax.jit(...) per call re-traces a tiny
 # program every frame — milliseconds of pure overhead on a 1000-frame stream).
@@ -207,6 +224,125 @@ def _tacaw_accumulate_scan_nomean(acc, positions_block, probes,
     return acc
 
 
+# Folding every probe chunk of a frame (or block) in ONE jitted program
+# replaces the per-chunk Python loop, whose each iteration paid a relayed
+# dispatch round trip (~25-150 ms against ~30 ms of compute for an 8-probe
+# 2048^2 chunk — measured 1.47 s/frame for config 5's 8 chunks, dominated
+# by dispatch). The chunk accumulators stay independent donated buffers
+# (tuple arguments), so the in-place update guarantee and the checkpoint
+# layout are unchanged; TPU programs execute their ops sequentially, so
+# the per-chunk working-set bound survives inside the fused program. The
+# unrolled-chunk trace grows linearly in C — callers cap C (see
+# _MULTI_CHUNK_CAP) and fall back to the per-chunk loop beyond it.
+_MULTI_CHUNK_CAP = 16
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "bounds"),
+                   donate_argnums=(0, 1))
+def _tacaw_accumulate_multi(accs, means, positions, probes, phases,
+                            spec: SimSpec, layer_index: int, bounds):
+    """One frame folded into EVERY probe-chunk accumulator in one dispatch.
+
+    ``bounds``: static ((start, stop), ...) probe-chunk bounds — the full
+    probe array is sliced INSIDE the program (transient chunk buffers),
+    never duplicated in HBM (a materialized chunk copy of a 2 GB probe
+    array OOMs config 5 next to its 8.5 GB accumulator state).
+
+    The optimization_barrier serializes the chunk folds: the unrolled
+    chains are independent, so without it XLA's scheduler overlaps them
+    and holds several chunks' exit waves live at once (measured +2.7 GB
+    past HBM at config 5's shapes) — the barrier releases the potential
+    stack ``v`` to the next fold only after the previous one completes,
+    restoring the one-chunk working-set bound the per-chunk loop had.
+    ``v`` is rasterized ONCE per frame and threaded through the barrier
+    (the per-chunk loop re-rasterized it C times per frame)."""
+    out_a, out_m = [], []
+    v = _rasterize_in_trace(positions, spec)
+    for acc, mean, (a, b) in zip(accs, means, bounds):
+        pr = jax.lax.slice_in_dim(probes, a, b)
+        psi = exit_waves_from_potential(v, pr, spec)[..., layer_index]
+        na = acc + phases[:, None, None, None] * psi[None]
+        nm = mean + psi
+        na, nm, v = jax.lax.optimization_barrier((na, nm, v))
+        out_a.append(na)
+        out_m.append(nm)
+    return tuple(out_a), tuple(out_m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "bounds"),
+                   donate_argnums=(0,))
+def _tacaw_accumulate_multi_nomean(accs, positions, probes, phases,
+                                   spec: SimSpec, layer_index: int, bounds):
+    out_a = []
+    v = _rasterize_in_trace(positions, spec)
+    for acc, (a, b) in zip(accs, bounds):
+        pr = jax.lax.slice_in_dim(probes, a, b)
+        psi = exit_waves_from_potential(v, pr, spec)[..., layer_index]
+        na = acc + phases[:, None, None, None] * psi[None]
+        na, v = jax.lax.optimization_barrier((na, v))
+        out_a.append(na)
+    return tuple(out_a)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "bounds"),
+                   donate_argnums=(0, 1))
+def _tacaw_accumulate_scan_multi(accs, means, positions_block, probes,
+                                 phases_block, weights, spec: SimSpec,
+                                 layer_index: int, bounds):
+    """B frames x C probe chunks in ONE dispatch (scan over frames,
+    chunks unrolled in the body, sliced in-program — see
+    _tacaw_accumulate_multi)."""
+    weights = weights.astype(np.empty(0, accs[0].dtype).real.dtype)
+
+    def body(carry, xs):
+        accs, means = carry
+        pos, ph, w = xs
+        out_a, out_m = [], []
+        v = _rasterize_in_trace(pos, spec)
+        for acc, mean, (a, b) in zip(accs, means, bounds):
+            pr = jax.lax.slice_in_dim(probes, a, b)
+            psi = exit_waves_from_potential(v, pr, spec)[..., layer_index]
+            na = acc + (w * ph)[:, None, None, None] * psi[None]
+            nm = mean + w * psi
+            na, nm, v = jax.lax.optimization_barrier((na, nm, v))
+            out_a.append(na)
+            out_m.append(nm)
+        return (tuple(out_a), tuple(out_m)), None
+
+    (accs, means), _ = jax.lax.scan(
+        body, (accs, means), (positions_block, phases_block, weights))
+    return accs, means
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "bounds"),
+                   donate_argnums=(0,))
+def _tacaw_accumulate_scan_multi_nomean(accs, positions_block, probes,
+                                        phases_block, weights,
+                                        spec: SimSpec, layer_index: int,
+                                        bounds):
+    weights = weights.astype(np.empty(0, accs[0].dtype).real.dtype)
+
+    def body(accs, xs):
+        pos, ph, w = xs
+        out_a = []
+        v = _rasterize_in_trace(pos, spec)
+        for acc, (a, b) in zip(accs, bounds):
+            pr = jax.lax.slice_in_dim(probes, a, b)
+            psi = exit_waves_from_potential(v, pr, spec)[..., layer_index]
+            na = acc + (w * ph)[:, None, None, None] * psi[None]
+            na, v = jax.lax.optimization_barrier((na, v))
+            out_a.append(na)
+        return tuple(out_a), None
+
+    accs, _ = jax.lax.scan(body, accs,
+                           (positions_block, phases_block, weights))
+    return accs
+
+
 def _pad_block(pos, extras, target):
     """Pad a (B, ...) frame block to ``target`` frames by repeating the
     last frame, with weights 1 for real and 0 for padded frames. ``extras``
@@ -309,6 +445,10 @@ class StreamingTACAW:
         self._acc_chunks = [a for a, _ in pairs]
         self._mean_chunks = ([m for _, m in pairs] if self._track_mean
                              else None)
+        # static chunk bounds for the fused multi-chunk programs (they
+        # slice the full probe array in-program — no HBM duplication)
+        self._chunk_bounds = tuple((sl.start, sl.stop)
+                                   for sl in self._chunk_slices)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import PROBE_AXIS
@@ -485,6 +625,22 @@ class StreamingTACAW:
         self._scan_block = max(getattr(self, "_scan_block", 0), B)
         pos, phases, w = _pad_block(pos, [jnp.asarray(phases)],
                                     self._scan_block)
+        C = len(self._chunk_slices)
+        if 1 < C <= _MULTI_CHUNK_CAP:
+            # every chunk folded in ONE dispatch (relay amortization)
+            if self._track_mean:
+                accs, means = _tacaw_accumulate_scan_multi(
+                    tuple(self._acc_chunks), tuple(self._mean_chunks),
+                    pos, self.probes, phases, w, self.spec,
+                    self.layer_index, self._chunk_bounds)
+                self._acc_chunks, self._mean_chunks = list(accs), list(means)
+            else:
+                self._acc_chunks = list(_tacaw_accumulate_scan_multi_nomean(
+                    tuple(self._acc_chunks), pos, self.probes,
+                    phases, w, self.spec, self.layer_index,
+                    self._chunk_bounds))
+            self._seen.update(frame_indices)
+            return
         for i, sl in enumerate(self._chunk_slices):
             if self._track_mean:
                 self._acc_chunks[i], self._mean_chunks[i] = \
@@ -514,6 +670,22 @@ class StreamingTACAW:
             raise ValueError(f"frame {int(frame_index)} already streamed")
         pos = jnp.asarray(positions)
         phases = self._phases(int(frame_index))
+        C = len(self._chunk_slices)
+        if 1 < C <= _MULTI_CHUNK_CAP:
+            # every chunk folded in ONE dispatch (relay amortization)
+            if self._track_mean:
+                accs, means = _tacaw_accumulate_multi(
+                    tuple(self._acc_chunks), tuple(self._mean_chunks),
+                    pos, self.probes, phases, self.spec,
+                    self.layer_index, self._chunk_bounds)
+                self._acc_chunks, self._mean_chunks = list(accs), list(means)
+            else:
+                self._acc_chunks = list(_tacaw_accumulate_multi_nomean(
+                    tuple(self._acc_chunks), pos, self.probes,
+                    phases, self.spec, self.layer_index,
+                    self._chunk_bounds))
+            self._seen.add(int(frame_index))
+            return
         for i, sl in enumerate(self._chunk_slices):
             if self._track_mean:
                 self._acc_chunks[i], self._mean_chunks[i] =                     _tacaw_accumulate(self._acc_chunks[i],
@@ -710,6 +882,71 @@ def _haadf_accumulate_scan(acc, positions_block, probes, mask, weights,
             amp = amp * amp
         return acc + w * jnp.sum(amp * mask[None], axis=(1, 2)), None
     acc, _ = jax.lax.scan(body, acc, (positions_block, weights))
+    return acc
+
+
+def _haadf_frame_values_chunked(positions, probes, mask, spec: SimSpec,
+                                layer_index: int, intensity: bool,
+                                chunk: int):
+    """(n_probes,) detector values for one frame, computed chunk-by-chunk
+    INSIDE the program: scan over the full chunks (per-chunk working-set
+    bound preserved — the scan body holds one chunk's exit waves), plus
+    one unrolled ragged-tail fold. The probe array is sliced in-program —
+    never duplicated or padded in HBM. The potential is rasterized ONCE
+    per frame (a scan-invariant closure constant of the chunk body)."""
+    n = probes.shape[0]
+    C = n // chunk
+    v = _rasterize_in_trace(positions, spec)
+
+    def body(_, p):
+        psi = exit_waves_from_potential(v, p, spec)[..., layer_index]
+        amp = jnp.abs(psi)
+        if intensity:
+            amp = amp * amp
+        return None, jnp.sum(amp * mask[None], axis=(1, 2))
+
+    head = jax.lax.slice_in_dim(probes, 0, C * chunk)
+    _, vals = jax.lax.scan(body, None,
+                           head.reshape(C, chunk, *probes.shape[1:]))
+    vals = vals.reshape(C * chunk)
+    if n % chunk:
+        _, tail_vals = body(None, jax.lax.slice_in_dim(probes, C * chunk, n))
+        vals = jnp.concatenate([vals, tail_vals])
+    return vals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "intensity",
+                                    "chunk"))
+def _haadf_accumulate_chunked(acc, positions, probes, mask,
+                              spec: SimSpec, layer_index: int,
+                              intensity: bool, chunk: int):
+    """Probe-chunked single-frame fold in ONE dispatch — the per-chunk
+    Python loop's relayed dispatch round trips (~25-150 ms each)
+    collapse to one."""
+    return acc + _haadf_frame_values_chunked(positions, probes, mask, spec,
+                                             layer_index, intensity, chunk)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "layer_index", "intensity",
+                                    "chunk"))
+def _haadf_accumulate_scan_chunked(acc, positions_block, probes,
+                                   mask, weights, spec: SimSpec,
+                                   layer_index: int, intensity: bool,
+                                   chunk: int):
+    """B frames x C probe chunks in ONE dispatch (outer scan over frames,
+    inner scan over the probe-chunk axis). ``weights`` zero the
+    tail-padding frames (_pad_block), cast to the carry's real dtype."""
+    weights = weights.astype(np.empty(0, acc.dtype).real.dtype)
+
+    def frame_body(acc, xs):
+        pos, w = xs
+        vals = _haadf_frame_values_chunked(pos, probes, mask, spec,
+                                           layer_index, intensity, chunk)
+        return acc + w * vals, None
+
+    acc, _ = jax.lax.scan(frame_body, acc, (positions_block, weights))
     return acc
 
 
@@ -1118,14 +1355,10 @@ class StreamingHAADF:
             return
         if self.probe_chunk is not None \
                 and self.probe_chunk < self.probes.shape[0]:
-            pos = jnp.asarray(positions)
-            c = self.probe_chunk
-            vals = jnp.concatenate(
-                [_haadf_chunk_values(pos, self.probes[i:i + c], self._mask,
-                                     self.spec, self.layer_index,
-                                     self.intensity)
-                 for i in range(0, self.probes.shape[0], c)])
-            self._acc = self._acc + vals
+            self._acc = _haadf_accumulate_chunked(
+                self._acc, jnp.asarray(positions), self.probes,
+                self._mask, self.spec, self.layer_index, self.intensity,
+                int(self.probe_chunk))
             self._n += 1
             return
         self._acc = _haadf_accumulate(self._acc, jnp.asarray(positions),
@@ -1159,9 +1392,10 @@ class StreamingHAADF:
         pos = jnp.asarray(positions_block)
         if F == 1:
             # single-device: ANY block size — one scan dispatch per block
-            # (relay-latency amortization). S-matrix and probe-chunked
-            # streams keep per-frame feeding (their inner loops already
-            # batch the heavy work).
+            # (relay-latency amortization), probe-chunked streams included
+            # (inner scan over the padded chunk axis). S-matrix streams
+            # keep per-frame feeding (the basis build already batches the
+            # heavy work).
             if pos.ndim != 3:
                 raise ValueError(
                     f"positions_block must be (B, n_atoms, 3), "
@@ -1171,9 +1405,7 @@ class StreamingHAADF:
                 raise ValueError(
                     f"frame_indices has {len(frame_indices)} entries for "
                     f"a {B}-frame block")
-            if (self.use_smatrix or B == 1
-                    or (self.probe_chunk is not None
-                        and self.probe_chunk < self.probes.shape[0])):
+            if self.use_smatrix or B == 1:
                 for k in range(B):
                     self.add_frame(pos[k], None if frame_indices is None
                                    else frame_indices[k])
@@ -1185,9 +1417,16 @@ class StreamingHAADF:
             # tail-pad to the established block size: one program per stream
             self._scan_block = max(getattr(self, "_scan_block", 0), B)
             pos_p, w = _pad_block(pos, [], self._scan_block)
-            self._acc = _haadf_accumulate_scan(
-                self._acc, pos_p, self.probes, self._mask, w, self.spec,
-                self.layer_index, self.intensity)
+            if (self.probe_chunk is not None
+                    and self.probe_chunk < self.probes.shape[0]):
+                self._acc = _haadf_accumulate_scan_chunked(
+                    self._acc, pos_p, self.probes, self._mask, w,
+                    self.spec, self.layer_index, self.intensity,
+                    int(self.probe_chunk))
+            else:
+                self._acc = _haadf_accumulate_scan(
+                    self._acc, pos_p, self.probes, self._mask, w, self.spec,
+                    self.layer_index, self.intensity)
             self._n += B
             return
         if pos.ndim != 3 or pos.shape[0] != F:

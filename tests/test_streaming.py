@@ -428,6 +428,52 @@ def test_streaming_haadf_block_feed_matches_per_frame(setup):
     np.testing.assert_array_equal(feed(6), ref)
 
 
+def test_streaming_block_feed_with_probe_chunks(setup):
+    """Blocks x probe chunks: the fused multi-chunk programs (one dispatch
+    per block folding EVERY chunk) must match the batch analysis exactly —
+    TACAW (ragged 3+1 chunk split, mean tracked) and HAADF (9 probes
+    zero-padded to 3 chunks of 4)."""
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    probes = create_batched_probes(base, pg).array
+
+    calc = MultisliceCalculator(precision=DOUBLE)
+    calc.setup(traj, aperture=0, voltage_eV=100e3, sampling=SAMPLING,
+               slice_thickness=SLICE_T, probe_positions=pg, use_cache=False)
+    tac = TACAWData(calc.run(progress=False))
+
+    st = StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                        frequencies=[20.0, 0.0], probe_chunk=3)
+    for i0 in range(0, traj.n_frames, 4):
+        idx = list(range(i0, min(i0 + 4, traj.n_frames)))
+        st.add_frame_block(idx, traj.positions[np.asarray(idx)])
+    inten = np.asarray(st.intensity())
+    for i, f_thz in enumerate([20.0, 0.0]):
+        for p in range(4):
+            want = tac.spectral_diffraction(f_thz, probe_index=p)
+            assert np.allclose(inten[i, p], want, rtol=1e-8, atol=1e-12)
+
+    base_c = Probe(g.xs, g.ys, 30, 100e3, precision=DOUBLE)
+    pg9 = probe_grid([1, 3], [1, 3], 3, 3)
+    probes9 = create_batched_probes(base_c, pg9).array
+
+    def feed_haadf(chunk, block):
+        st = StreamingHAADF(spec, probes9, pg9, collection_angle=45,
+                            probe_chunk=chunk)
+        if block is None:
+            for f in range(traj.n_frames):
+                st.add_frame(traj.positions[f], f)
+        else:
+            for i0 in range(0, traj.n_frames, block):
+                idx = list(range(i0, min(i0 + block, traj.n_frames)))
+                st.add_frame_block(traj.positions[np.asarray(idx)], idx)
+        return np.asarray(st.image())
+
+    ref = feed_haadf(None, None)
+    np.testing.assert_allclose(feed_haadf(4, 4), ref, rtol=1e-12)
+
+
 def test_streaming_haadf_block_duplicate_is_atomic(setup):
     """A duplicate index anywhere in a block must reject the WHOLE block
     before any state mutates — a per-frame loop would mark earlier block
