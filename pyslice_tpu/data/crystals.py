@@ -276,6 +276,8 @@ def _pick(n_atoms: int, which, fraction, seed, mask=None) -> np.ndarray:
         if idx.size and (idx.min() < 0 or idx.max() >= n_atoms):
             raise ValueError(f"index out of range for {n_atoms} atoms")
         return idx
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     pool = np.arange(n_atoms) if mask is None else np.nonzero(mask)[0]
     n = int(round(fraction * len(pool)))
     return np.random.default_rng(seed).choice(pool, size=n, replace=False)

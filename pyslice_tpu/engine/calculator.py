@@ -342,6 +342,7 @@ class MultisliceCalculator:
                 pass
         for i0 in range(0, self.n_frames, block):
             nb = min(block, self.n_frames - i0)
+            new_frames = nb          # frames not yet counted by the bar
             if nb < block and i0 >= block - nb:
                 # A partial tail block would compile a SECOND program (the
                 # frame count is a static shape; each compile costs tens of
@@ -362,7 +363,9 @@ class MultisliceCalculator:
                      for j in range(0, self.n_probes, bs)], axis=0)
                 out = place(out, fk, i0)
             if progress_bar:
-                progress_bar.update(nb)
+                # The overlapped tail block replays already-counted frames;
+                # only the genuinely new ones advance the bar.
+                progress_bar.update(new_frames)
         if progress_bar:
             progress_bar.close()
         logger.info("Device-resident simulation dispatched in %.2fs",

@@ -36,6 +36,7 @@ reader; NPT files raise).
 from __future__ import annotations
 
 import logging
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -73,6 +74,16 @@ class GSDFile:
                                                                "replace")
             self.schema = schema.split(b"\x00", 1)[0].decode("utf-8",
                                                              "replace")
+            # Header-declared counts drive allocations below; bound them
+            # against the actual file size so a corrupt/hostile header
+            # can't trigger a multi-GB read.
+            fsize = os.path.getsize(self.path)
+            if (nm_loc + nm_n * 64 > fsize
+                    or idx_loc + idx_n * _ENTRY.size > fsize):
+                raise ValueError(
+                    f"{path}: GSD header declares namelist/index regions "
+                    f"beyond the {fsize}-byte file (namelist {nm_loc}+"
+                    f"{nm_n}*64, index {idx_loc}+{idx_n}*{_ENTRY.size})")
             fh.seek(nm_loc)
             nm_raw = fh.read(nm_n * 64)
             fh.seek(idx_loc)
@@ -156,6 +167,15 @@ def parse_gsd(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     box6 = f.read_chunk(0, "configuration/box")
     if box6 is None:
         raise ValueError(f"{path}: no configuration/box chunk")
+    dims = f.read_chunk(0, "configuration/dimensions")
+    if (dims is not None and int(np.asarray(dims).ravel()[0]) != 3) \
+            or float(np.asarray(box6).ravel()[2]) <= 0.0:
+        # A 2-D HOOMD box (dimensions=2, lz=0) is singular; failing here
+        # beats the unrelated error it would cause in grid construction.
+        raise ValueError(
+            f"{path}: 2-D HOOMD trajectory (configuration/dimensions != 3 "
+            "or lz <= 0); multislice needs a 3-D box — add a vacuum lz "
+            "(e.g. rebuild with data.crystals helpers) before loading")
     box = _box_matrix(np.asarray(box6, np.float64).ravel()[:6])
     nchunk = f.read_chunk(0, "particles/N")
     if nchunk is None:

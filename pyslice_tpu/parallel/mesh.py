@@ -94,8 +94,16 @@ def make_multihost_mesh(n_probe_shards: int = 1) -> Mesh:
         return make_mesh(None, n_probe_shards, devices)
     from jax.experimental import mesh_utils
     ici_frames = n_local // n_probe_shards
+    # Multi-slice TPU pods expose one slice_index per DCN granule (the
+    # default grouping). Single-slice multi-host jobs and multi-process CPU
+    # runs (the validation story for this path, tests/test_multiproc.py)
+    # report one slice — or none — for ALL processes, so the process itself
+    # is the DCN granule there.
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    granule_by_process = (None in slice_ids) or len(slice_ids) != n_procs
     arr = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(ici_frames, n_probe_shards),       # within a host
         dcn_mesh_shape=(n_procs, 1),                   # frame axis x hosts
-        devices=devices)
+        devices=devices,
+        process_is_granule=granule_by_process)
     return Mesh(arr, (FRAME_AXIS, PROBE_AXIS))

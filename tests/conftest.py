@@ -40,6 +40,11 @@ def pytest_configure(config):
         "markers", "slow: > ~8 s on the CPU tier (the ~20 heaviest tests "
         "are about half the suite wall-clock; -m 'not slow' is the "
         "~5-minute developer loop, CI always runs everything)")
+    config.addinivalue_line(
+        "markers", "multiproc: real jax.process_count()>1 runs (launches "
+        "2-4 worker OS processes with a localhost coordinator and Gloo "
+        "CPU collectives; part of the default CPU tier, also selectable "
+        "with -m multiproc)")
 
 
 def pytest_collection_modifyitems(config, items):

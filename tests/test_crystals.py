@@ -142,6 +142,10 @@ class TestDefects:
             substitute(t, "Ag", indices=[0], fraction=0.1)
         with pytest.raises(ValueError, match="out of range"):
             vacancies(t, indices=[99])
+        with pytest.raises(ValueError, match=r"fraction must be in \[0, 1\]"):
+            vacancies(t, fraction=1.5)
+        with pytest.raises(ValueError, match=r"fraction must be in \[0, 1\]"):
+            substitute(t, "Ag", fraction=-0.1)
 
     def test_defect_trajectory_feeds_pipeline(self):
         # builders' output is a valid pipeline input end-to-end (CPU, tiny)

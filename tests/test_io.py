@@ -602,6 +602,31 @@ class TestGSD:
         with pytest.raises(ValueError, match="truncated|GSD"):
             gsd_io.parse_gsd(p)
 
+    def test_hostile_header_counts_rejected(self, tmp_path):
+        # A corrupt header declaring a huge index must fail loudly up
+        # front, not attempt a multi-GB read (advisor round-4 finding).
+        from pyslice_tpu.io import gsd as gsd_io
+        p, *_ = self._fixture(tmp_path)
+        with open(p, "r+b") as fh:      # idx_n lives at header bytes 16:24
+            fh.seek(16)
+            fh.write((1 << 40).to_bytes(8, "little"))
+        with pytest.raises(ValueError, match="beyond"):
+            gsd_io.GSDFile(p)
+
+    def test_2d_trajectory_rejected(self, tmp_path):
+        # dimensions=2 / lz=0 boxes are singular for multislice; the
+        # reader must say so instead of failing later in grid setup.
+        from pyslice_tpu.io import gsd as gsd_io
+        box = np.diag([8.0, 8.0, 0.0])
+        pos = np.zeros((1, 2, 3))
+        p = tmp_path / "flat.gsd"
+        gsd_io.write_gsd(
+            p, pos, box,
+            extra_chunks=[(0, "configuration/dimensions",
+                           np.array([2], np.uint8))])
+        with pytest.raises(ValueError, match="2-D"):
+            gsd_io.parse_gsd(p)
+
 
 class TestLoader:
     def test_load_with_mapping_and_cache(self, traj, tmp_path):
