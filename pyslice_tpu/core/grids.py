@@ -161,6 +161,9 @@ def grid_from_box(lx: float, ly: float, lz: float,
     128 (slightly finer than the requested sampling), which qualifies the
     grid for the fused Pallas propagation path (~3x; see ops/fused_step).
     Off by default: the reference-exact count is int(l/sampling)+1.
+    Measured accuracy trade vs the reference-natural grid: PARITY.md
+    "fast_grid" (observables move 1-10%, within the discretization
+    envelope of the requested sampling; tests/test_fast_grid.py pins it).
     """
     nx = int(lx / sampling) + 1
     ny = int(ly / sampling) + 1

@@ -184,6 +184,12 @@ class MultisliceCalculator:
         # fast_grid snaps in-plane point counts up to multiples of 128 so
         # the fused Pallas propagation path applies (~3x on TPU); the
         # effective sampling becomes slightly finer than requested.
+        # Accuracy trade (measured, PARITY.md "fast_grid" /
+        # tools/fast_grid_error.py): integrated observables move 1-10%
+        # relative to the reference-natural grid — within (and slightly
+        # toward the converged end of) the discretization envelope of the
+        # requested sampling, but NOT reference-grid-reproducible. Keep
+        # False when matching reference-natural grids bit-for-bit.
         grid = grid_from_trajectory(trajectory, sampling=sampling,
                                     slice_thickness=slice_thickness,
                                     fast_grid=fast_grid)
