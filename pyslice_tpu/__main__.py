@@ -139,8 +139,13 @@ def cmd_calibrate(args) -> int:
     ys = np.arange(n_sy) * args.scan_step
     dark = np.load(args.dark) if args.dark else None
     gain = np.load(args.gain) if args.gain else None
+    g_expected = (np.asarray(args.lattice, float).reshape(2, 2)
+                  if args.lattice else None)
     res = calibrate_datacube(cube, xs, ys, dark=dark, gain=gain,
-                             k_per_pixel=args.k_per_pixel)
+                             k_per_pixel=args.k_per_pixel,
+                             apply_ellipse=args.apply_ellipse,
+                             g_expected=g_expected,
+                             apply_affine=args.apply_affine)
     for line in res["report"]:
         print("  -", line)
     out = Path(args.output_dir or "calibrated")
@@ -156,6 +161,12 @@ def cmd_calibrate(args) -> int:
         "beam_center_shift": list(res["beam_center_shift"]),
         "descan_coeffs": np.asarray(res["descan"]["coeffs"]).tolist(),
         "bad_pixels": int(res["bad_pixels"].sum()),
+        "ellipticity": (res["ellipse"]["ellipticity"]
+                        if res["ellipse"] else None),
+        "ellipse_angle_rad": (res["ellipse"]["angle"]
+                              if res["ellipse"] else None),
+        "affine_A": (np.asarray(res["affine"]["A"]).tolist()
+                     if res["affine"] else None),
         "dose_e_per_A2": res["dose"]["dose"],
     }, indent=1))
     print(f"Wrote {out}/calibrated.emd com.npy report.json")
@@ -219,6 +230,19 @@ def main(argv=None) -> int:
     cal.add_argument("--gain", help=".npy gain map")
     cal.add_argument("--k-per-pixel", dest="k_per_pixel", type=float,
                      default=1.0, help="detector k sampling (1/A/px)")
+    cal.add_argument("--apply-ellipse", dest="apply_ellipse",
+                     action="store_true",
+                     help="circularize the fitted BF-disk ellipse "
+                     "(the ellipticity is always fitted and reported)")
+    cal.add_argument("--lattice", dest="lattice", type=float, nargs=4,
+                     metavar=("G1X", "G1Y", "G2X", "G2Y"),
+                     help="expected reciprocal lattice vectors (1/A) of a "
+                     "known calibration crystal -> fit the affine scan "
+                     "distortion")
+    cal.add_argument("--apply-affine", dest="apply_affine",
+                     action="store_true",
+                     help="resample the scan axes with the fitted affine "
+                     "inverse (needs --lattice)")
     cal.add_argument("--output-dir", dest="output_dir")
     cal.set_defaults(fn=cmd_calibrate)
 

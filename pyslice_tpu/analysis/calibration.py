@@ -36,6 +36,16 @@ trusted on it:
    counts and the scan pitch — the quantity the Poisson-aware
    reconstructions (`msp_reconstruct(poisson=...)`) and
    `detectors.apply_shot_noise` are parameterized by.
+5. **Elliptic detector distortion** (`fit_bf_disk_ellipse`,
+   `apply_elliptic_correction`, `correct_com_ellipse`): projector/lens
+   distortions image the circular probe-forming aperture as an ellipse,
+   skewing every |k| downstream. Fitted in closed form from the BF
+   disk's second moments; corrected by an area-preserving symmetric
+   resampling (patterns) or exactly (CoM fields).
+6. **Affine scan distortion** (`fit_affine_scan`, `apply_affine_scan`):
+   scan-coil miscalibration lands the beam at A@r instead of r. Solved
+   exactly from two measured-vs-expected reciprocal lattice vectors of a
+   known calibration crystal (measured peaks sit at A^T @ g).
 
 `calibrate_datacube` chains all four with a report dict. Everything here
 is plain NumPy on the host: calibration is a one-shot preprocessing pass
@@ -57,6 +67,8 @@ import numpy as np
 __all__ = [
     "com_field", "solve_rotation", "apply_rotation",
     "fit_descan", "apply_descan",
+    "fit_bf_disk_ellipse", "apply_elliptic_correction", "correct_com_ellipse",
+    "fit_affine_scan", "apply_affine_scan",
     "find_bad_pixels", "fix_pixels", "apply_dark_gain",
     "estimate_dose", "calibrate_datacube",
 ]
@@ -267,6 +279,216 @@ def apply_descan(data4d, coeffs, scan_xs, scan_ys, k_per_pixel,
     return out
 
 
+def fit_bf_disk_ellipse(pattern, threshold: float = 0.5) -> dict:
+    """Elliptic distortion of the bright-field disk from one (typically
+    scan-mean) diffraction pattern — the py4DSTEM-standard elliptic
+    calibration (Savitzky et al. 2021, section "elliptical distortions").
+
+    Projector/lens distortions image the circular probe-forming aperture
+    as an ellipse; every |k| in downstream analysis (virtual detectors,
+    radial profiles, dispersion k paths) inherits that error. The disk is
+    segmented at ``threshold`` x the (median-smoothed) maximum and fitted
+    by SECOND MOMENTS — closed form, no iterative edge fit, robust to
+    counting noise. The axis RATIO, angle and center come from
+    intensity-weighted moments over the (dilated) disk region, which are
+    insensitive to edge pixelation; the absolute scale comes from the
+    segmented area (pi*a*b = N_pixels).
+
+    Returns dict with ``center`` (pixels), ``semi_axes`` (a >= b,
+    pixels), ``angle`` (radians, major axis vs +x), ``ellipticity``
+    (a/b >= 1), and ``correction`` — the area-preserving symmetric 2x2
+    matrix C with C @ (k - center) circular (radius sqrt(a*b)). Apply
+    with ``apply_elliptic_correction`` (patterns) or
+    ``correct_com_ellipse`` (CoM fields).
+    """
+    from scipy.ndimage import binary_dilation, label, median_filter
+
+    p = np.asarray(pattern, np.float64)
+    smooth = median_filter(p, size=3, mode="nearest")
+    if not float(smooth.max()) > 0:
+        raise ValueError(
+            "bright-field disk segmentation found fewer than 9 pixels — "
+            "the pattern has no positive intensity")
+    mask = smooth >= threshold * float(smooth.max())
+    # keep only the component containing the brightest pixel (stray Bragg
+    # spots above threshold must not skew the moments)
+    lab, _ = label(mask)
+    peak = np.unravel_index(np.argmax(smooth), smooth.shape)
+    mask = lab == lab[peak]
+    if mask.sum() < 9:
+        raise ValueError(
+            "bright-field disk segmentation found fewer than 9 pixels — "
+            f"threshold {threshold} is likely wrong for this pattern")
+    # intensity-weighted moments over the disk + its soft edge (dilation
+    # keeps stray far-field features out while the sub-pixel edge profile
+    # stays in — a binary mask alone is pixelation-limited to ~2-5%)
+    w = np.where(binary_dilation(mask, iterations=3), smooth, 0.0)
+    gx, gy = np.meshgrid(np.arange(p.shape[0], dtype=np.float64),
+                         np.arange(p.shape[1], dtype=np.float64),
+                         indexing="ij")
+    wsum = w.sum()
+    center = np.array([(gx * w).sum(), (gy * w).sum()]) / wsum
+    dxc, dyc = gx - center[0], gy - center[1]
+    cov = np.array([[(dxc * dxc * w).sum(), (dxc * dyc * w).sum()],
+                    [(dxc * dyc * w).sum(), (dyc * dyc * w).sum()]]) / wsum
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    ratio = float(np.sqrt(evals[1] / evals[0]))     # a/b
+    # absolute scale from the segmented area: pi*a*b = N_pixels
+    r0 = float(np.sqrt(mask.sum() / np.pi))         # sqrt(a*b)
+    a = r0 * np.sqrt(ratio)
+    b = r0 / np.sqrt(ratio)
+    major = evecs[:, 1]
+    angle = float(np.arctan2(major[1], major[0]) % np.pi)
+    R = np.array([[np.cos(angle), -np.sin(angle)],
+                  [np.sin(angle), np.cos(angle)]])
+    C = R @ np.diag([r0 / a, r0 / b]) @ R.T
+    return dict(center=center, semi_axes=(float(a), float(b)),
+                angle=angle, ellipticity=float(a / b), correction=C,
+                n_pixels=int(mask.sum()))
+
+
+def apply_elliptic_correction(data4d, ellipse: dict, order: int = 1
+                              ) -> np.ndarray:
+    """Resample every pattern so the fitted ellipse becomes a circle.
+
+    Output pattern P'(k) = P(Cinv @ (k - c) + c) with C =
+    ``ellipse['correction']`` (area-preserving, so total counts are
+    conserved up to interpolation). ``order``: spline order for
+    ``scipy.ndimage.map_coordinates`` (1 = bilinear — sharp diffraction
+    features ring at higher orders).
+    """
+    from scipy.ndimage import map_coordinates
+
+    data = np.asarray(data4d, np.float64)
+    shape = data.shape
+    flat = data.reshape(-1, *shape[-2:])
+    nkx, nky = shape[-2:]
+    c = np.asarray(ellipse["center"], np.float64)
+    Cinv = np.linalg.inv(np.asarray(ellipse["correction"], np.float64))
+    gx, gy = np.meshgrid(np.arange(nkx), np.arange(nky), indexing="ij")
+    out_k = np.stack([gx.ravel() - c[0], gy.ravel() - c[1]])   # (2, nk^2)
+    src = Cinv @ out_k + c[:, None]
+    out = np.empty_like(flat)
+    for i in range(flat.shape[0]):
+        out[i] = map_coordinates(flat[i], src, order=order,
+                                 mode="nearest").reshape(nkx, nky)
+    return out.reshape(shape)
+
+
+def correct_com_ellipse(com, ellipse: dict) -> np.ndarray:
+    """Exact (algebraic) elliptic correction of a CoM field: under the
+    area-preserving change of detector coordinates k -> C k, first moments
+    transform linearly, com' = C @ com — no resampling loss."""
+    C = np.asarray(ellipse["correction"], np.float64)
+    com = np.asarray(com, np.float64)
+    return np.einsum("ij,j...->i...", C, com)
+
+
+def fit_affine_scan(image, scan_xs, scan_ys, g_expected,
+                    search_frac: float = 0.2) -> dict:
+    """Affine scan distortion from a known lattice (py4DSTEM-standard
+    "scan distortion" calibration).
+
+    Model: the beam actually lands at ``A @ r`` when the scan electronics
+    report ``r`` (A a 2x2 near-identity matrix; any translation is an
+    irrelevant origin shift). A lattice image with TRUE reciprocal
+    vectors g then shows MEASURED Fourier peaks at g_m = A^T @ g, so two
+    independent measured/expected pairs determine A = (G_m @ G_i^-1)^T
+    exactly.
+
+    Args:
+        image: (n_sx, n_sy) real-space reference image on the scan grid —
+            e.g. a virtual BF/ADF image of a known calibration crystal.
+        scan_xs/scan_ys: scan coordinates (Angstrom, uniform pitch).
+        g_expected: (2, 2) TRUE reciprocal lattice vectors as rows
+            (1/Angstrom) — from the known crystal structure.
+        search_frac: each measured peak is searched within this fraction
+            of |g| around its expected position.
+
+    Returns dict with ``A`` (the distortion; ``apply_affine_scan``
+    resamples with its inverse), ``g_measured`` (2, 2), ``peak_snr``
+    (per peak: peak power over the local median power), and
+    ``determinant`` (pixel-area change — 1.0 means pure shear/rotation).
+    """
+    img = np.asarray(image, np.float64)
+    sx = np.asarray(scan_xs, np.float64)
+    sy = np.asarray(scan_ys, np.float64)
+    dx = float(sx[1] - sx[0])
+    dy = float(sy[1] - sy[0])
+    # Hann window: the scan field is not periodic, and the window's
+    # smooth ~2-bin peaks make the 3x3 power centroid an accurate
+    # sub-bin estimator (a bare off-bin sinusoid's leakage skews it).
+    wx = np.hanning(img.shape[0])[:, None]
+    wy = np.hanning(img.shape[1])[None, :]
+    F = np.abs(np.fft.fft2((img - img.mean()) * wx * wy)) ** 2
+    qx = np.fft.fftfreq(img.shape[0], d=dx)
+    qy = np.fft.fftfreq(img.shape[1], d=dy)
+
+    g_exp = np.asarray(g_expected, np.float64).reshape(2, 2)
+    g_meas = np.empty((2, 2))
+    snrs = []
+    for i, g in enumerate(g_exp):
+        r = search_frac * float(np.linalg.norm(g))
+        near = ((qx[:, None] - g[0]) ** 2
+                + (qy[None, :] - g[1]) ** 2) <= r * r
+        if not near.any():
+            raise ValueError(
+                f"expected peak {g} has no Fourier samples within "
+                f"{search_frac:.0%} of |g| — scan field of view too small "
+                "or wrong lattice vectors")
+        Fm = np.where(near, F, 0.0)
+        px, py = np.unravel_index(np.argmax(Fm), F.shape)
+        snrs.append(float(F[px, py] / (np.median(F[near]) + 1e-300)))
+        # subpixel: power-weighted centroid over the 3x3 neighborhood
+        # (wrapping at the FFT edges)
+        ix = (px + np.arange(-1, 2)) % F.shape[0]
+        iy = (py + np.arange(-1, 2)) % F.shape[1]
+        w = F[np.ix_(ix, iy)]
+        wx = float((w.sum(axis=1) * np.arange(-1, 2)).sum() / w.sum())
+        wy = float((w.sum(axis=0) * np.arange(-1, 2)).sum() / w.sum())
+        dqx = qx[1] - qx[0]
+        dqy = qy[1] - qy[0]
+        g_meas[i] = (qx[px] + wx * dqx, qy[py] + wy * dqy)
+
+    A = (g_meas.T @ np.linalg.inv(g_exp.T)).T
+    return dict(A=A, g_measured=g_meas, peak_snr=snrs,
+                determinant=float(np.linalg.det(A)))
+
+
+def apply_affine_scan(data, A, scan_xs, scan_ys, order: int = 1
+                      ) -> np.ndarray:
+    """Resample the scan axes to undo a fitted affine distortion.
+
+    Output at reported coordinate r holds the value the beam ACTUALLY
+    produced there: out(r) = in(A^-1 @ r), sampled relative to the scan
+    origin (scan_xs[0], scan_ys[0]). Works on a (n_sx, n_sy) image or a
+    (n_sx, n_sy, nkx, nky) datacube (patterns move rigidly with their
+    scan position; out-of-field samples clamp to the edge).
+    """
+    from scipy.ndimage import map_coordinates
+
+    arr = np.asarray(data, np.float64)
+    n_sx, n_sy = arr.shape[:2]
+    sx = np.asarray(scan_xs, np.float64)
+    sy = np.asarray(scan_ys, np.float64)
+    dx = float(sx[1] - sx[0])
+    dy = float(sy[1] - sy[0])
+    Ainv = np.linalg.inv(np.asarray(A, np.float64))
+    gx, gy = np.meshgrid(np.arange(n_sx) * dx, np.arange(n_sy) * dy,
+                         indexing="ij")
+    src = Ainv @ np.stack([gx.ravel(), gy.ravel()])
+    coords = np.stack([src[0] / dx, src[1] / dy])
+    if arr.ndim == 2:
+        return map_coordinates(arr, coords, order=order,
+                               mode="nearest").reshape(n_sx, n_sy)
+    flat = arr.reshape(n_sx, n_sy, -1)
+    out = np.empty_like(flat)
+    for j in range(flat.shape[-1]):
+        out[:, :, j] = map_coordinates(flat[:, :, j], coords, order=order,
+                                       mode="nearest").reshape(n_sx, n_sy)
+    return out.reshape(arr.shape)
+
+
 def find_bad_pixels(data4d, n_sigma: float = 8.0) -> np.ndarray:
     """(nkx, nky) bool mask of hot/dead detector pixels.
 
@@ -364,11 +586,16 @@ def calibrate_datacube(data4d, scan_xs, scan_ys, dark=None, gain=None,
                        n_sigma: float = 8.0, k_per_pixel=1.0,
                        kxs=None, kys=None,
                        assume_attractive: bool = True,
-                       subpixel_descan: bool = False) -> dict:
+                       subpixel_descan: bool = False,
+                       fit_ellipse: bool = True,
+                       apply_ellipse: bool = False,
+                       g_expected=None,
+                       apply_affine: bool = False) -> dict:
     """One-shot calibration chain for a measured scan-grid datacube:
 
-        dark/gain -> bad pixels -> beam centering -> descan fit+removal
-        -> rotation/transpose solve
+        dark/gain -> bad pixels -> beam centering -> elliptic-distortion
+        fit [-> correction] -> descan fit+removal -> rotation/transpose
+        solve [-> affine scan-distortion fit/correction]
 
     Args:
         data4d: (n_sx, n_sy, nkx, nky) raw counts.
@@ -387,7 +614,8 @@ def calibrate_datacube(data4d, scan_xs, scan_ys, dark=None, gain=None,
     product; descan and rotation are exact field-level corrections there,
     feed it to ``icom_reconstruct(com=...)``), ``rotation`` (radians),
     ``transpose``, ``bad_pixels``, ``beam_center_shift``, ``descan``
-    (fit dict), ``dose``, and ``report`` (one line per step).
+    (fit dict), ``ellipse`` (fit dict or None), ``affine`` (fit dict or
+    None), ``dose``, and ``report`` (one line per step).
 
     ``subpixel_descan``: pattern-level descan correction mode. The default
     (False) rolls by the nearest integer pixel — LOSSLESS; sub-pixel
@@ -396,6 +624,18 @@ def calibrate_datacube(data4d, scan_xs, scan_ys, dark=None, gain=None,
     scale), so they are opt-in for smooth measured patterns. The ``com``
     field is corrected exactly (algebraically) either way — deflection
     analyses should consume it, not re-measure the shifted patterns.
+
+    ``fit_ellipse``: fit the bright-field disk's elliptic distortion on
+    the scan-mean pattern (``fit_bf_disk_ellipse``) and report the
+    ellipticity. ``apply_ellipse=True`` additionally circularizes every
+    pattern by resampling (bilinear — slightly lossy, so opt-in; the
+    ``com`` field is then corrected algebraically, which is exact).
+
+    ``g_expected``: (2, 2) TRUE reciprocal lattice vectors (rows,
+    1/Angstrom) of a known calibration crystal — when given, the affine
+    scan distortion is fitted from the virtual (total-counts) image
+    (``fit_affine_scan``) and reported; ``apply_affine=True`` resamples
+    the cube's scan axes with the inverse.
     """
     from ..io.data4d import center_datacube
 
@@ -412,13 +652,36 @@ def calibrate_datacube(data4d, scan_xs, scan_ys, dark=None, gain=None,
     data, (cdx, cdy) = center_datacube(data, return_shift=True)
     report.append(f"beam centered: rolled ({cdx}, {cdy}) px")
 
+    ellipse = None
+    data_pre_ellipse = None
+    if fit_ellipse:
+        try:
+            ellipse = fit_bf_disk_ellipse(data.mean(axis=(0, 1)))
+            report.append(
+                f"BF disk ellipticity {ellipse['ellipticity']:.4f} "
+                f"(major axis {np.degrees(ellipse['angle']):.1f} deg)"
+                + (", corrected" if apply_ellipse else ""))
+            if apply_ellipse:
+                data_pre_ellipse = data        # exact CoM source
+                data = apply_elliptic_correction(data, ellipse)
+        except ValueError as e:
+            report.append(f"ellipse fit skipped: {e}")
+
+    # CoM from the pre-resampling cube (interpolation-free); the elliptic
+    # correction is then applied to it ALGEBRAICALLY (exact), conjugated
+    # into physical k units when the detector pixels are anisotropic.
+    com_src = data if data_pre_ellipse is None else data_pre_ellipse
     if kxs is not None and kys is not None:
-        com = com_field(data, kxs, kys)
+        com = com_field(com_src, kxs, kys)
         kpp = np.array([float(np.asarray(kxs)[1] - np.asarray(kxs)[0]),
                         float(np.asarray(kys)[1] - np.asarray(kys)[0])])
     else:
         kpp = np.broadcast_to(np.asarray(k_per_pixel, np.float64), (2,))
-        com = com_field(data) * kpp[:, None, None]
+        com = com_field(com_src) * kpp[:, None, None]
+    if ellipse is not None and apply_ellipse:
+        S = np.diag(kpp)
+        C_phys = S @ ellipse["correction"] @ np.linalg.inv(S)
+        com = np.einsum("ij,j...->i...", C_phys, com)
     descan = fit_descan(com, scan_xs, scan_ys)
     data = apply_descan(data, descan["coeffs"], scan_xs, scan_ys,
                         kpp, subpixel=subpixel_descan)
@@ -434,9 +697,31 @@ def calibrate_datacube(data4d, scan_xs, scan_ys, dark=None, gain=None,
         f"{rot['transpose']} (curl RMS {rot['curl_rms_raw']:.3g} -> "
         f"{rot['curl_rms']:.3g})")
 
+    affine = None
+    if g_expected is not None:
+        try:
+            affine = fit_affine_scan(data.sum(axis=(-2, -1)),
+                                     scan_xs, scan_ys, g_expected)
+            off = float(np.max(np.abs(affine["A"] - np.eye(2))))
+            report.append(
+                f"affine scan distortion: max|A - I| = {off:.3g}, "
+                f"det {affine['determinant']:.4f}"
+                + (", corrected" if apply_affine else ""))
+            if apply_affine:
+                data = apply_affine_scan(data, affine["A"],
+                                         scan_xs, scan_ys)
+                com = np.stack([
+                    apply_affine_scan(com[0], affine["A"],
+                                      scan_xs, scan_ys),
+                    apply_affine_scan(com[1], affine["A"],
+                                      scan_xs, scan_ys)])
+        except ValueError as e:
+            report.append(f"affine scan fit skipped: {e}")
+
     dose = estimate_dose(data, dx, dy)
     report.append(f"dose ~ {dose['dose']:.3g} e/A^2")
     return dict(data=data, com=com, rotation=rot["theta"],
                 transpose=rot["transpose"], rotation_diag=rot,
                 bad_pixels=bad, beam_center_shift=(cdx, cdy),
-                descan=descan, dose=dose, report=report)
+                descan=descan, ellipse=ellipse, affine=affine,
+                dose=dose, report=report)

@@ -126,6 +126,106 @@ class TestPixels:
         assert out[0, 0, 0, 0] == 0.0
 
 
+def _elliptic_disk(nk=64, center=(31.0, 33.5), a=14.0, b=11.0,
+                   angle_deg=25.0, edge=0.4):
+    """Soft-edged elliptic bright-field disk (synthetic detector image)."""
+    x = np.arange(nk)[:, None] - center[0]
+    y = np.arange(nk)[None, :] - center[1]
+    th = np.radians(angle_deg)
+    u = np.cos(th) * x + np.sin(th) * y
+    v = -np.sin(th) * x + np.cos(th) * y
+    r = np.sqrt((u / a) ** 2 + (v / b) ** 2)
+    return 1.0 / (1.0 + np.exp((r - 1.0) / (edge / a)))
+
+
+class TestEllipse:
+    def test_recovers_injected_ellipticity(self):
+        disk = _elliptic_disk()
+        fit = cal.fit_bf_disk_ellipse(disk)
+        assert fit["ellipticity"] == pytest.approx(14.0 / 11.0, abs=0.02)
+        assert np.degrees(fit["angle"]) == pytest.approx(25.0, abs=2.0)
+        np.testing.assert_allclose(fit["center"], (31.0, 33.5), atol=0.3)
+        # area-preserving correction
+        assert np.linalg.det(fit["correction"]) == pytest.approx(1.0,
+                                                                 abs=1e-9)
+
+    def test_apply_circularizes_and_conserves_counts(self):
+        disk = _elliptic_disk()
+        fit = cal.fit_bf_disk_ellipse(disk)
+        fixed = cal.apply_elliptic_correction(disk[None, None], fit)[0, 0]
+        refit = cal.fit_bf_disk_ellipse(fixed)
+        assert refit["ellipticity"] < 1.01, refit["ellipticity"]
+        assert fixed.sum() == pytest.approx(disk.sum(), rel=0.01)
+
+    def test_com_correction_is_exact_linear_map(self):
+        fit = cal.fit_bf_disk_ellipse(_elliptic_disk())
+        rng = np.random.default_rng(0)
+        com = rng.standard_normal((2, 5, 7))
+        got = cal.correct_com_ellipse(com, fit)
+        want = np.tensordot(fit["correction"], com, axes=(1, 0))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_rejects_empty_segmentation(self):
+        with pytest.raises(ValueError, match="fewer than 9"):
+            cal.fit_bf_disk_ellipse(np.zeros((32, 32)))
+
+
+class TestAffineScan:
+    A_INJ = np.array([[1.020, 0.013], [-0.009, 0.985]])
+    G = np.array([[1 / 2.5, 0.0], [0.12, 1 / 3.1]])   # rows: g1, g2
+
+    @staticmethod
+    def _lattice_image(A, n=128, dx=0.2):
+        """Lattice sampled where the beam ACTUALLY lands (x = A @ r)."""
+        xs = np.arange(n) * dx
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        r = np.stack([gx, gy])
+        x = np.einsum("ij,j...->i...", A, r)
+        img = 2.0
+        for g in TestAffineScan.G:
+            img = img + np.cos(2 * np.pi * (g[0] * x[0] + g[1] * x[1]))
+        return img, xs
+
+    def test_recovers_injected_affine(self):
+        img, xs = self._lattice_image(self.A_INJ)
+        fit = cal.fit_affine_scan(img, xs, xs, self.G)
+        np.testing.assert_allclose(fit["A"], self.A_INJ, atol=5e-3)
+        assert all(s > 3 for s in fit["peak_snr"]), fit["peak_snr"]
+        # identity scan: A recovered as I to the same tolerance
+        img0, _ = self._lattice_image(np.eye(2))
+        fit0 = cal.fit_affine_scan(img0, xs, xs, self.G)
+        np.testing.assert_allclose(fit0["A"], np.eye(2), atol=5e-3)
+
+    def test_apply_affine_restores_lattice(self):
+        img, xs = self._lattice_image(self.A_INJ)
+        ideal, _ = self._lattice_image(np.eye(2))
+        fit = cal.fit_affine_scan(img, xs, xs, self.G)
+        fixed = cal.apply_affine_scan(img, fit["A"], xs, xs)
+        # interior (clamped edges excluded): distorted image disagreed
+        # with the ideal lattice; the corrected one matches it
+        sl = slice(8, -8)
+        before = np.sqrt(np.mean((img[sl, sl] - ideal[sl, sl]) ** 2))
+        after = np.sqrt(np.mean((fixed[sl, sl] - ideal[sl, sl]) ** 2))
+        assert after < 0.12 and after < before / 5, (before, after)
+
+    def test_apply_affine_moves_cube_patterns_rigidly(self):
+        # a 4-D cube resamples its SCAN axes only: a cube whose pattern
+        # equals its scan position index map transforms like the image
+        n = 24
+        xs = np.arange(n) * 0.5
+        img, _ = self._lattice_image(self.A_INJ, n=n, dx=0.5)
+        cube = np.broadcast_to(img[:, :, None, None], (n, n, 3, 3)).copy()
+        out = cal.apply_affine_scan(cube, self.A_INJ, xs, xs)
+        want = cal.apply_affine_scan(img, self.A_INJ, xs, xs)
+        for i, j in ((0, 0), (1, 2), (2, 1)):
+            np.testing.assert_allclose(out[:, :, i, j], want, atol=1e-12)
+
+    def test_missing_peak_raises(self):
+        img, xs = self._lattice_image(np.eye(2), n=16, dx=0.2)
+        with pytest.raises(ValueError, match="no Fourier samples"):
+            cal.fit_affine_scan(img, xs, xs, [[40.0, 0.0], [0.0, 40.0]])
+
+
 def test_estimate_dose():
     data = np.full((4, 5, 8, 8), 2.0)       # 128 e per pattern
     d = cal.estimate_dose(data, scan_step=0.5)
