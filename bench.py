@@ -188,6 +188,21 @@ def main():
     except Exception as e:          # pragma: no cover - defensive
         log(f"odd-grid bench skipped: {e}")
 
+    # --- end-to-end numbers (round-5 verdict item 2) -------------------------
+    # Two BASELINE.md configs measured through the PUBLIC facade every
+    # round so e2e regressions (like round 4's config-5 drift) surface in
+    # BENCH_r*.json automatically, not only in the hand-run BENCHMARKS.md
+    # table. Guarded: a failure here must not cost the primary metric.
+    e2e_c2 = e2e_c5 = None
+    try:
+        from tools.bench_configs import _config2, _config5
+        e2e_c2 = _config2(quick=True)    # 1024^2, device-resident TACAW
+        log(f"e2e config2: {e2e_c2}")
+        e2e_c5 = _config5(quick=True)    # 2048^2 x 64p streaming TACAW
+        log(f"e2e config5: {e2e_c5}")
+    except Exception as e:              # pragma: no cover - defensive
+        log(f"e2e config bench skipped: {e}")
+
     # --- baseline comparison ------------------------------------------------
     vs_baseline = None
     ref_file = Path(__file__).parent / "baselines" / "reference_cpu.json"
@@ -211,6 +226,12 @@ def main():
                 if ref_file.exists() else None),
             "odd_1023_16p_steps_per_s": (
                 round(odd_steps_per_sec, 1) if odd_steps_per_sec else None),
+            "e2e_config2_per_frame_ms": (
+                e2e_c2["per_frame_ms"] if e2e_c2 else None),
+            "e2e_config2_extrapolated_100f_s": (
+                e2e_c2["extrapolated_100f_s"] if e2e_c2 else None),
+            "e2e_config5_per_frame_s": (
+                e2e_c5["per_frame_s"] if e2e_c5 else None),
             "device": str(dev),
         },
     }))

@@ -2,6 +2,13 @@
 
 Run with:  PYSLICE_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
 
+Two sub-tiers (round-5 split — the full tier had grown to ~27 min cold):
+* ``-m "tpu and not slow"`` — every kernel-parity check at its aligned
+  shape + the e2e-vs-f64-oracle tests; ~17 min cold through the relay,
+  well under 8 min warm (persistent compile cache).
+* ``-m tpu`` — adds the adjoint heavyweights, the odd-shape (387/1023)
+  kernel variants, and the production-scale e2e run.
+
 These catch Mosaic/runtime regressions the CPU interpreter cannot: the
 fused kernels' actual compiled numerics, the fully-fused k-conversion, the
 odd-grid kernel, and the persistent compile cache. Everything here uses
@@ -90,7 +97,9 @@ def test_fused_odd_parity_on_hardware():
     assert _residual(xla, fused) < 1e-6
 
 
-@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+@pytest.mark.parametrize(
+    "nx", [256, pytest.param(387, marks=pytest.mark.slow)],
+    ids=["aligned256", "odd387"])   # aligned kernel / odd kernel
 def test_bandwidth_limit_fused_parity_on_hardware(nx):
     """The antialiasing band limit folded into the Pallas kernels'
     Fresnel planes vs the XLA path's masked propagator, on hardware, and
@@ -104,7 +113,9 @@ def test_bandwidth_limit_fused_parity_on_hardware(nx):
     assert _residual(full, fused) > 1e-8
 
 
-@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+@pytest.mark.parametrize(
+    "nx", [256, pytest.param(387, marks=pytest.mark.slow)],
+    ids=["aligned256", "odd387"])   # aligned kernel / odd kernel
 def test_beam_tilt_fused_parity_on_hardware(nx):
     """The tilted-propagator phase folded into the Pallas kernels'
     Fresnel planes vs the XLA path, on hardware."""
@@ -116,7 +127,9 @@ def test_beam_tilt_fused_parity_on_hardware(nx):
     assert _residual(straight, fused) > 1e-8
 
 
-@pytest.mark.parametrize("nx", [256, 387])   # aligned kernel / odd kernel
+@pytest.mark.parametrize(
+    "nx", [256, pytest.param(387, marks=pytest.mark.slow)],
+    ids=["aligned256", "odd387"])   # aligned kernel / odd kernel
 def test_oblique_fused_parity_on_hardware(nx):
     """The oblique-metric Fresnel multiplier inside the Pallas kernels vs
     the XLA path, on hardware, at a fused-eligible size."""
@@ -216,6 +229,7 @@ def test_persistent_compile_cache_active():
     assert p.exists() and any(p.iterdir()), f"no cache entries in {p}"
 
 
+@pytest.mark.slow
 def test_odd_resident_vs_chain_on_hardware():
     """The single-dispatch odd-resident kernel (round-3 item 1) vs the
     two-pass odd chain, both against the XLA path at 387^2 on the real
@@ -238,6 +252,7 @@ def test_odd_resident_vs_chain_on_hardware():
     assert _residual(chain, resident) < 1e-6
 
 
+@pytest.mark.slow
 def test_adjoint_fused_forward_on_hardware():
     """The O(1)-memory adjoint (physics/adjoint.py) with the FUSED Pallas
     forward on the real MXU: its gradient must match the same adjoint run
@@ -286,6 +301,7 @@ def test_adjoint_fused_forward_on_hardware():
     assert float(np.max(np.abs(g_xla))) > 0
 
 
+@pytest.mark.slow
 def test_adjoint_odd_backward_on_hardware():
     """The digit-split fused backward (composite odd grid, 387^2): adjoint
     gradient vs the XLA-scan backward on the same device."""
@@ -434,6 +450,7 @@ def test_e2e_haadf_parity_vs_f64_oracle_on_hardware():
     print(f"\non-chip HAADF residual vs f64 oracle: {dz:.3e}")
 
 
+@pytest.mark.slow
 def test_odd_multiprobe_cost_model_split_parity_on_hardware():
     """Round-4 item 1: the multi-probe odd chain picks its digit split by
     the measured cost model (1023 x >=2 probes -> d=11/m=93; 5,227 vs
