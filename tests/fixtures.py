@@ -89,3 +89,29 @@ def hbn_thermal(n_frames: int = 8, sigma: float = 0.05, nx: int = 2,
     """Monolayer + synthetic thermal frames (deterministic)."""
     return hbn_monolayer(nx, ny, timestep=timestep).generate_random_displacements(
         n_frames, sigma, seed=seed)
+
+
+def hbn_filled_box(lx: float, n_frames: int, sigma: float = 0.05,
+                   seed: int = 0, lz: float = 6.784) -> Trajectory:
+    """hBN monolayer filling (as many whole cells as fit in) an lx x lx
+    SQUARE box + thermal frames. The square box lets tests pin an exact
+    grid: lx=102.35 at sampling 0.1 -> int(1023.5)+1 = 1024 points on both
+    axes — the production/headline shape (BASELINE.md config 2)."""
+    a = HBN_A
+    by = np.sqrt(3.0) * a
+    ncx, ncy = int(lx // a), int(lx // by)
+    z0 = lz / 4.0
+    base = np.array([
+        [0.0, 0.0, z0],
+        [a / 2, by / 6, z0],
+        [a / 2, by / 2, z0],
+        [0.0, by / 2 + by / 6, z0],
+    ])
+    cells = [base + np.array([i * a, j * by, 0.0])
+             for i in range(ncx) for j in range(ncy)]
+    pos = np.concatenate(cells)[None]
+    types = np.tile(np.array([5, 7, 5, 7], dtype=np.int32), ncx * ncy)
+    traj = Trajectory(atom_types=types, positions=pos,
+                      velocities=np.zeros_like(pos),
+                      box_matrix=np.diag([lx, lx, lz]), timestep=0.005)
+    return traj.generate_random_displacements(n_frames, sigma, seed=seed)

@@ -137,8 +137,15 @@ def oracle_propagate(psi, potential_xyz, xs, ys, zs, eV, kmax2=None,
 
 
 def oracle_pipeline(trajectory, aperture=0.0, voltage_eV=100e3,
-                    slice_thickness=0.5, sampling=0.1, probe_positions=None):
-    """Full production path -> (probes, frames, nx, ny, 1) fftshifted k-space."""
+                    slice_thickness=0.5, sampling=0.1, probe_positions=None,
+                    frames=None):
+    """Full production path -> (probes, frames, nx, ny, 1) fftshifted k-space.
+
+    ``frames``: optional list of frame indices — at production scale
+    (1024^2, thousands of atoms) the naive f64 oracle costs minutes per
+    frame, so the on-hardware e2e tests verify a frame subset (round-5
+    verdict item 4) rather than every frame.
+    """
     box = np.asarray(trajectory.box_matrix)
     lx, ly, lz = box[0, 0], box[1, 1], box[2, 2]
     nx = int(lx / sampling) + 1
@@ -155,15 +162,18 @@ def oracle_pipeline(trajectory, aperture=0.0, voltage_eV=100e3,
     kys = np.fft.fftfreq(ny, d=ys[1] - ys[0])
     probes = oracle_shift(base, kxs, kys, probe_positions)
 
-    out = np.zeros((len(probe_positions), trajectory.n_frames, nx, ny, 1),
+    if frames is None:
+        frames = range(trajectory.n_frames)
+    frames = list(frames)
+    out = np.zeros((len(probe_positions), len(frames), nx, ny, 1),
                    dtype=np.complex128)
-    for f in range(trajectory.n_frames):
+    for i, f in enumerate(frames):
         pot = oracle_potential(xs, ys, zs, trajectory.positions[f],
                                trajectory.atom_types)
         exit_waves = oracle_propagate(probes, pot, xs, ys, zs, voltage_eV)
         k = np.fft.fftshift(np.fft.fft2(exit_waves, axes=(-2, -1)),
                             axes=(-2, -1))
-        out[:, f, :, :, 0] = k
+        out[:, i, :, :, 0] = k
     return out
 
 
