@@ -450,23 +450,54 @@ def test_e2e_haadf_parity_vs_f64_oracle_on_hardware():
     print(f"\non-chip HAADF residual vs f64 oracle: {dz:.3e}")
 
 
+def _fetch_probes(arr, tries=5):
+    """Per-probe chunked device->host fetch with bounded retry: the
+    remote-device relay here rejects large one-shot transfers under
+    load (UNIMPLEMENTED) — ~8 MB chunks keep each request small, and
+    the retry rides out transient relay failures (the data is
+    immutable on device, so a re-fetch is idempotent)."""
+    import time as _time
+    outs = []
+    for p in range(arr.shape[0]):
+        for t in range(tries):
+            try:
+                outs.append(np.asarray(jax.device_get(arr[p])))
+                break
+            except Exception:
+                if t == tries - 1:
+                    raise
+                _time.sleep(30.0 * (t + 1))
+    return np.stack(outs)
+
+
 @pytest.mark.slow
 def test_e2e_production_scale_parity_on_hardware():
     """Round-5 verdict item 4: the on-chip c64/bf16x3 error-accumulation
-    question AT PRODUCTION SCALE — 1024^2 grid x 16 probes x 32 frames x
-    14 slices, the headline shape (BASELINE.md config 2/3 class), entirely
-    on the chip. Two checks, each against float64 on the host:
+    question AT PRODUCTION SCALE — 1024^2 grid, 16 probes, 32 frames,
+    14 slices (the headline BASELINE.md config 2/3 class), entirely on
+    the chip, against float64 on the host.
 
-    1. frame-subset sim parity: the full f64 NumPy oracle (potential ->
-       multislice -> k-space) on 2 of the 32 frames, all 16 probes — the
-       per-frame accumulation over 14 slices at 1024^2 (the full-frame
-       oracle costs ~2 min/frame on the host, hence the subset; round-5
-       verdict blessed the frame-subset residual).
-    2. full-length time-FFT accumulation: the 32-frame mean-subtracted
-       time FFT recomputed in f64 on the host from the ON-CHIP exit waves
-       on two 96^2 k-space patches (bright central beam + dark off-axis),
-       vs the on-chip TACAW intensity on the same patches; plus the public
-       masked_spectrum reduction on the patch mask vs its f64 value.
+    Split into two on-chip runs so no single device buffer reaches the
+    remote relay's ~4 GiB ceiling: a jointly-resident (16, 32, 1024,
+    1024) c64 WFData is EXACTLY 2^32 bytes, and the relay fails programs
+    with such outputs (UNIMPLEMENTED — measured here; the buffer itself
+    fits v5e HBM fine, and bigger-than-this runs are what StreamingTACAW
+    exists for). Frames are independent in the sim, so the split loses
+    no coverage:
+
+    1. sim at production scale: the full 16-probe x 14-slice x 1024^2
+       per-frame path on 2 of the 32 thermal frames (268 MB resident)
+       vs the full f64 NumPy oracle (potential -> multislice ->
+       k-space) — the within-frame c64/bf16x3 accumulation. The naive
+       f64 oracle costs ~2 min/frame on the host, hence the subset
+       (blessed by the round-5 verdict).
+    2. full-length time-FFT accumulation: all 32 frames x 4 probes x
+       1024^2 device-resident (1.07 GB), TACAW intensity computed on
+       chip; the 32-frame mean-subtracted time FFT is recomputed in f64
+       on the host from the ON-CHIP exit waves on two 96^2 k-space
+       patches (bright central beam + dark off-axis) and compared, plus
+       the public masked_spectrum reduction on the patch mask vs its
+       f64 value.
 
     Measured numbers are recorded in PARITY.md next to the toy-scale
     (251x217 x 4-frame) residuals.
@@ -480,57 +511,46 @@ def test_e2e_production_scale_parity_on_hardware():
 
     n_frames = 32
     traj = hbn_filled_box(102.35, n_frames, seed=5)
-    pg = probe_grid([10.0, 90.0], [10.0, 90.0], 4, 4)
-    kwargs = dict(aperture=30, voltage_eV=100e3, sampling=0.1,
-                  slice_thickness=0.5, probe_positions=pg.tolist())
+    pg16 = probe_grid([10.0, 90.0], [10.0, 90.0], 4, 4)
 
+    # (1) production-shape sim parity: 16 probes, frames {0, 17}.
+    subset = [0, 17]
+    traj2 = traj.slice_timesteps(subset)
+    kwargs = dict(aperture=30, voltage_eV=100e3, sampling=0.1,
+                  slice_thickness=0.5, probe_positions=pg16.tolist())
     calc = MultisliceCalculator()
-    calc.setup(traj, device_output=True, use_cache=False, **kwargs)
+    calc.setup(traj2, device_output=True, use_cache=False, **kwargs)
     assert (calc.nx, calc.ny) == (1024, 1024), "headline shape"
     assert calc.nz >= 14
-    wf = calc.run(progress=False)
-
-    def fetch_probes(arr, tries=5):
-        """Per-probe chunked device->host fetch with bounded retry: the
-        remote-device relay here rejects large one-shot transfers under
-        load (UNIMPLEMENTED) — ~8 MB chunks keep each request small, and
-        the retry rides out transient relay failures (the data is
-        immutable on device, so a re-fetch is idempotent)."""
-        import time as _time
-        outs = []
-        for p in range(arr.shape[0]):
-            for t in range(tries):
-                try:
-                    outs.append(np.asarray(jax.device_get(arr[p])))
-                    break
-                except Exception:
-                    if t == tries - 1:
-                        raise
-                    _time.sleep(30.0 * (t + 1))
-        return np.stack(outs)
-
-    # (1) frame-subset exit-wave residual vs the f64 oracle.
-    subset = [0, 17]
-    ref = oracle.oracle_pipeline(traj, frames=subset, **kwargs)
+    nz = calc.nz
+    wf2 = calc.run(progress=False)
+    ref = oracle.oracle_pipeline(traj2, **kwargs)
     dz_frames = []
-    for i, f in enumerate(subset):
-        on_chip = fetch_probes(wf.wavefunction_data[:, f])
+    for i in range(len(subset)):
+        on_chip = _fetch_probes(wf2.wavefunction_data[:, i])
         dz_frames.append(oracle.residual(on_chip[..., -1], ref[:, i, :, :, -1]))
     dz_wave = max(dz_frames)
     assert dz_wave < 1e-6, f"production-scale exit-wave residual {dz_wave:.3e}"
+    del wf2, calc, ref
 
     # (2) 32-frame time-FFT accumulation, f64 host vs on-chip TACAW.
+    pg4 = probe_grid([20.0, 80.0], [20.0, 80.0], 2, 2)
+    calc = MultisliceCalculator()
+    calc.setup(traj, device_output=True, use_cache=False,
+               aperture=30, voltage_eV=100e3, sampling=0.1,
+               slice_thickness=0.5, probe_positions=pg4.tolist())
+    wf = calc.run(progress=False)
     tac = TACAWData(wf)
     c = 1024 // 2
     patches = {"central": (c - 48, c - 48), "off-axis": (c + 150, c + 150)}
     dz_int = {}
     patch_waves = {}
     for name, (x0, y0) in patches.items():
-        waves = fetch_probes(
+        waves = _fetch_probes(
             wf.wavefunction_data[:, :, x0:x0 + 96, y0:y0 + 96, -1])
         patch_waves[name] = waves
         ref_int = oracle.oracle_time_fft(waves)          # f64, host
-        chip_int = fetch_probes(tac.intensity[:, :, x0:x0 + 96, y0:y0 + 96])
+        chip_int = _fetch_probes(tac.intensity[:, :, x0:x0 + 96, y0:y0 + 96])
         dz_int[name] = float(np.sum((chip_int - ref_int) ** 2)
                              / np.sum(ref_int ** 2))
         assert dz_int[name] < 1e-6, (
@@ -546,8 +566,8 @@ def test_e2e_production_scale_parity_on_hardware():
     dz_spec = float(np.sum((spec - ref_spec) ** 2) / np.sum(ref_spec ** 2))
     assert dz_spec < 1e-6, f"masked_spectrum residual {dz_spec:.3e}"
 
-    print(f"\nproduction-scale (1024^2 x 16p x 32f x {calc.nz} slices) "
-          f"on-chip residuals: exit waves {dz_wave:.3e} "
+    print(f"\nproduction-scale (1024^2 x 16p x {nz} slices; 32-frame "
+          f"time FFT) on-chip residuals: exit waves {dz_wave:.3e} "
           f"(frames {subset}), time-FFT central {dz_int['central']:.3e} / "
           f"off-axis {dz_int['off-axis']:.3e}, masked_spectrum {dz_spec:.3e}")
 
