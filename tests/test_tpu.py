@@ -451,17 +451,19 @@ def test_e2e_haadf_parity_vs_f64_oracle_on_hardware():
 
 
 def _fetch_probes(arr, tries=5):
-    """Per-probe chunked device->host fetch with bounded retry: the
-    remote-device relay here rejects large one-shot transfers under
-    load (UNIMPLEMENTED) — ~8 MB chunks keep each request small, and
-    the retry rides out transient relay failures (the data is
-    immutable on device, so a re-fetch is idempotent)."""
+    """Per-probe chunked device->host fetch with bounded retry. Chunking
+    keeps each relay request small; the retry rides out transient relay
+    failures (the data is immutable on device, so a re-fetch is
+    idempotent). Transfers go through utils.host.to_numpy — complex
+    buffers cannot cross the axon host<->device boundary directly
+    (utils/host.py)."""
     import time as _time
+    from pyslice_tpu.utils.host import to_numpy
     outs = []
     for p in range(arr.shape[0]):
         for t in range(tries):
             try:
-                outs.append(np.asarray(jax.device_get(arr[p])))
+                outs.append(to_numpy(arr[p]))
                 break
             except Exception:
                 if t == tries - 1:
@@ -477,13 +479,12 @@ def test_e2e_production_scale_parity_on_hardware():
     14 slices (the headline BASELINE.md config 2/3 class), entirely on
     the chip, against float64 on the host.
 
-    Split into two on-chip runs so no single device buffer reaches the
-    remote relay's ~4 GiB ceiling: a jointly-resident (16, 32, 1024,
-    1024) c64 WFData is EXACTLY 2^32 bytes, and the relay fails programs
-    with such outputs (UNIMPLEMENTED — measured here; the buffer itself
-    fits v5e HBM fine, and bigger-than-this runs are what StreamingTACAW
-    exists for). Frames are independent in the sim, so the split loses
-    no coverage:
+    Split into two on-chip runs so the resident WFData stays ~1 GiB: the
+    jointly-resident (16, 32, 1024, 1024) c64 array is 4 GiB and its
+    TACAW time-FFT intermediates push the peak to ~10.7 GiB — inside
+    v5e HBM but with no headroom (runs beyond that are what
+    StreamingTACAW exists for). Frames are independent in the sim, so
+    the split loses no numerical coverage:
 
     1. sim at production scale: the full 16-probe x 14-slice x 1024^2
        per-frame path on 2 of the 32 thermal frames (268 MB resident)
