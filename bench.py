@@ -18,6 +18,7 @@ reference publishes no numbers — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,6 +30,76 @@ import numpy as np
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+# Stage-by-stage partial results. The measuring child appends each stage's
+# numbers here and checkpoints them to PYSLICE_BENCH_PARTIAL so the
+# watchdog parent can still emit a (marked) JSON line if a later stage
+# hangs the process — the remote-device relay here can wedge inside an
+# uninterruptible C call, which no in-process guard can catch.
+_partial = {}
+
+
+def _checkpoint(**kw):
+    _partial.update(kw)
+    path = os.environ.get("PYSLICE_BENCH_PARTIAL")
+    if path:
+        try:
+            Path(path).write_text(json.dumps(_partial))
+        except OSError:
+            pass
+
+
+def _emit_line(partial, error=None):
+    steps = partial.get("steps_per_sec")
+    vs = partial.get("vs_baseline")
+    detail = {k: v for k, v in partial.items()
+              if k not in ("steps_per_sec", "vs_baseline")}
+    if error:
+        detail["error"] = error
+    print(json.dumps({
+        "metric": "probe_frame_slice_steps_per_sec_per_chip_1024",
+        "value": round(steps, 2) if steps else None,
+        "unit": "slice-steps/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": detail,
+    }), flush=True)
+
+
+def _watchdog_main():
+    """Run the measurement in a child process under a hard deadline
+    (PYSLICE_BENCH_DEADLINE_S, default 3600 s). On child hang or crash,
+    emit the JSON line from the child's checkpointed partial results with
+    an ``error`` field instead of producing no artifact at all."""
+    import subprocess
+    import tempfile
+    deadline = float(os.environ.get("PYSLICE_BENCH_DEADLINE_S", "3600"))
+    with tempfile.NamedTemporaryFile(mode="w", suffix=".json",
+                                     delete=False) as f:
+        partial_path = f.name
+    env = dict(os.environ, PYSLICE_BENCH_CHILD="1",
+               PYSLICE_BENCH_PARTIAL=partial_path)
+    child = subprocess.Popen([sys.executable, __file__] + sys.argv[1:],
+                             env=env)
+    try:
+        rc = child.wait(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        child.kill()
+        child.wait()
+        rc = "deadline"
+    if rc == 0:
+        os.unlink(partial_path)
+        return
+    try:
+        partial = json.loads(Path(partial_path).read_text() or "{}")
+    except (OSError, ValueError):
+        partial = {}
+    os.unlink(partial_path)
+    err = ("deadline exceeded after "
+           f"{deadline:.0f}s (device relay hang?)" if rc == "deadline"
+           else f"bench child exited {rc}")
+    log(f"bench watchdog: {err}; emitting partial results")
+    _emit_line(partial, error=err)
 
 
 def build_problem(n_probes=16, lx=102.35, sampling=0.1, slice_thickness=0.5,
@@ -64,12 +135,18 @@ def build_problem(n_probes=16, lx=102.35, sampling=0.1, slice_thickness=0.5,
 
 def main():
     import jax
+    # Debug escape hatch (the env JAX_PLATFORMS route is preempted by this
+    # environment's sitecustomize importing jax first).
+    plat = os.environ.get("PYSLICE_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from pyslice_tpu.physics.potential import rasterize
     from pyslice_tpu.physics.propagate import multislice
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+    _checkpoint(device=str(dev))
 
     n_probes = 16
     grid, spec, positions, probes, types = build_problem(n_probes=n_probes)
@@ -125,6 +202,8 @@ def main():
                         f"propagate/frame ({n_probes}p x {nz}sl)")
     slice_steps = n_probes * nz
     steps_per_sec = slice_steps / t_prop
+    _checkpoint(steps_per_sec=steps_per_sec,
+                propagate_frame_ms=round(t_prop * 1e3, 2))
 
     # --- potential rasterization -------------------------------------------
     R_RAST = 4
@@ -137,6 +216,7 @@ def main():
         return jax.lax.fori_loop(0, R_RAST, body, jnp.float32(0.0))
 
     t_raster = timed_loop(raster_loop, (pos0,), R_RAST, "rasterize/frame")
+    _checkpoint(rasterize_frame_ms=round(t_raster * 1e3, 2))
 
     # --- TACAW time-FFT (config 2 shape: 100 frames, 1 probe, 1024^2) ------
     R_FFT = 3
@@ -156,6 +236,7 @@ def main():
     im0 = jnp.full((1, 100, grid.nx, grid.ny), 0.25, jnp.float32)
     t_tacaw = timed_loop(tacaw_loop, (re0, im0), R_FFT,
                          "TACAW time-FFT (100f x 1024^2)")
+    _checkpoint(tacaw_fft_100f_ms=round(t_tacaw * 1e3, 2))
 
     # --- odd (reference-natural) grid, multi-probe STEM shape ---------------
     # 1023^2 x 16 probes: the digit-split chain with the round-4 cost-model
@@ -185,6 +266,7 @@ def main():
                            f"propagate/frame odd 1023^2 ({n_probes}p x "
                            f"{grid_o.nz}sl)")
         odd_steps_per_sec = n_probes * grid_o.nz / t_odd
+        _checkpoint(odd_1023_16p_steps_per_s=round(odd_steps_per_sec, 1))
     except Exception as e:          # pragma: no cover - defensive
         log(f"odd-grid bench skipped: {e}")
 
@@ -198,8 +280,12 @@ def main():
         from tools.bench_configs import _config2, _config5
         e2e_c2 = _config2(quick=True)    # 1024^2, device-resident TACAW
         log(f"e2e config2: {e2e_c2}")
+        _checkpoint(e2e_config2_per_frame_ms=e2e_c2["per_frame_ms"],
+                    e2e_config2_extrapolated_100f_s=(
+                        e2e_c2["extrapolated_100f_s"]))
         e2e_c5 = _config5(quick=True)    # 2048^2 x 64p streaming TACAW
         log(f"e2e config5: {e2e_c5}")
+        _checkpoint(e2e_config5_per_frame_s=e2e_c5["per_frame_s"])
     except Exception as e:              # pragma: no cover - defensive
         log(f"e2e config bench skipped: {e}")
 
@@ -211,31 +297,16 @@ def main():
         ref_steps = ref.get("slice_steps_per_sec")
         if ref_steps:
             vs_baseline = steps_per_sec / ref_steps
+            _checkpoint(vs_baseline=vs_baseline)
+        if ref.get("tacaw_fft_100f_s"):
+            _checkpoint(tacaw_fft_vs_ref_cpu=round(
+                ref["tacaw_fft_100f_s"] / t_tacaw, 1))
 
-    print(json.dumps({
-        "metric": "probe_frame_slice_steps_per_sec_per_chip_1024",
-        "value": round(steps_per_sec, 2),
-        "unit": "slice-steps/s/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "detail": {
-            "rasterize_frame_ms": round(t_raster * 1e3, 2),
-            "propagate_frame_ms": round(t_prop * 1e3, 2),
-            "tacaw_fft_100f_ms": round(t_tacaw * 1e3, 2),
-            "tacaw_fft_vs_ref_cpu": (
-                round(ref.get("tacaw_fft_100f_s", 0) / t_tacaw, 1)
-                if ref_file.exists() else None),
-            "odd_1023_16p_steps_per_s": (
-                round(odd_steps_per_sec, 1) if odd_steps_per_sec else None),
-            "e2e_config2_per_frame_ms": (
-                e2e_c2["per_frame_ms"] if e2e_c2 else None),
-            "e2e_config2_extrapolated_100f_s": (
-                e2e_c2["extrapolated_100f_s"] if e2e_c2 else None),
-            "e2e_config5_per_frame_s": (
-                e2e_c5["per_frame_s"] if e2e_c5 else None),
-            "device": str(dev),
-        },
-    }))
+    _emit_line(_partial)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PYSLICE_BENCH_CHILD") == "1":
+        main()
+    else:
+        _watchdog_main()

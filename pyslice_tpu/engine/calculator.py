@@ -241,6 +241,35 @@ class MultisliceCalculator:
             _check_divisible(mesh, n_frames=self.n_frames,
                              n_probes=self.n_probes)
 
+        if device_output and mesh is None:
+            # Fail loud-and-early instead of OOMing mid-run: estimate the
+            # resident exit-wave array and point at the streaming engines,
+            # which exist precisely for larger-than-memory runs.
+            n_layers = (len(self.record_layers)
+                        if self.record_layers else 1)
+            est = (self.n_probes * self.n_frames * self.nx * self.ny
+                   * n_layers * np.dtype(self.precision.complex).itemsize)
+            limit = None
+            try:
+                import jax
+                stats = jax.devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit")
+            except Exception:       # backends without memory_stats
+                pass
+            if limit is None:
+                limit = 16 * 1024 ** 3        # v5e-class HBM
+            if est > 0.5 * limit:
+                logger.warning(
+                    "device_output=True keeps a %.1f GiB exit-wave array "
+                    "resident (%d probes x %d frames x %dx%d%s) against "
+                    "~%.0f GiB device memory. For larger-than-memory runs "
+                    "use engine.streaming.StreamingTACAW/StreamingHAADF "
+                    "(O(selected-bins) memory) or record fewer layers.",
+                    est / 2 ** 30, self.n_probes, self.n_frames,
+                    self.nx, self.ny,
+                    f" x {n_layers} layers" if n_layers > 1 else "",
+                    limit / 2 ** 30)
+
         cache_key = self._generate_cache_key()
         self.output_dir = Path(cache_root) / f"jax_{cache_key}"
         if self.use_cache:

@@ -402,3 +402,32 @@ class TestBlockedPrograms:
         np.testing.assert_allclose(out.wavefunction_data,
                                    wf.wavefunction_data,
                                    rtol=1e-12, atol=1e-12)
+
+
+class TestResidentMemoryEstimate:
+    """setup(device_output=True) warns loud-and-early when the resident
+    exit-wave array approaches device memory, pointing at the streaming
+    engines (round 5; the alternative is an opaque OOM mid-run, or — on
+    the relayed device here — a doomed complex host transfer)."""
+
+    def test_warns_above_half_hbm(self, caplog):
+        # 251x261 grid x 64 probes x 600 frames ~ 20 GiB resident estimate
+        traj = hbn_thermal(n_frames=600, sigma=0.05, nx=10, ny=6, seed=1)
+        pg = probe_grid([1.0, 20.0], [1.0, 20.0], 8, 8)   # 64 probes
+        calc = MultisliceCalculator()
+        with caplog.at_level("WARNING"):
+            calc.setup(traj, aperture=20, voltage_eV=100e3, sampling=0.1,
+                       slice_thickness=0.5, use_cache=False,
+                       device_output=True, probe_positions=pg.tolist())
+        msgs = [r.message for r in caplog.records
+                if "StreamingTACAW" in r.message]
+        assert msgs and "GiB exit-wave array" in msgs[0]
+
+    def test_silent_at_small_shapes(self, caplog, thermal_traj):
+        calc = MultisliceCalculator()
+        with caplog.at_level("WARNING"):
+            calc.setup(thermal_traj, aperture=0, voltage_eV=100e3,
+                       sampling=0.1, slice_thickness=0.5,
+                       use_cache=False, device_output=True)
+        assert not [r for r in caplog.records
+                    if "exit-wave array" in r.message]
