@@ -237,6 +237,89 @@ def _tacaw_accumulate_scan_nomean(acc, positions_block, probes,
 _MULTI_CHUNK_CAP = 16
 
 
+def _device_bytes_limit():
+    """Device memory capacity in bytes, or None when effectively unbounded
+    (CPU hosts). Falls back to the v5e-class 16 GiB when the backend
+    exposes no ``memory_stats`` (the remote-relay PJRT plugin doesn't)."""
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit)
+        platform = dev.platform
+    except Exception:
+        return None
+    return None if platform == "cpu" else 16 * 1024 ** 3
+
+
+def _fused_group_size(accs, means, probes, cap=_MULTI_CHUNK_CAP):
+    """Largest number of probe chunks to fold per dispatch (>= 1).
+
+    Folding chunks into one program amortizes BOTH the per-dispatch relay
+    round trip AND the potential rasterization (the per-chunk loop
+    re-rasterizes ``v`` once per chunk per frame — at config 5's shapes,
+    2048^2 x ~15k atoms, that is ~145 ms x 8 chunks = 1.16 s/frame of
+    redundant rasterization; measured 1.31 -> 0.85 s/frame when the
+    chunk count per dispatch halves the redundancy).
+
+    But the fused program takes every participating accumulator (+ its
+    probe range) as a program argument, and through a device relay every
+    complex64 boundary buffer is materialized twice — the relay's
+    transfer layer carries 64-bit-wide elements as split f32 hi/lo pairs
+    (custom-calls X64SplitHigh/Low), so the program holds both the split
+    temps and the combined c64 copies at entry/exit. Measured: folding
+    all 8 of config 5's chunks (6 GiB accumulators + 2 GiB probes)
+    compiles to a 20.75 GiB demand on a 15.75 GiB v5e.
+
+    So pick the largest group size K whose peak fits:
+
+        persistent (all accs + means + probes)
+        + K x (acc + mean) split temps
+        + 2 x K/C x probes (eager group slice + its split temps)
+        + 2 x acc transient (v, exit-wave/FFT workspace)
+        <= 0.8 x device limit
+
+    calibrated against the measured 20.75 GiB (model: 18.2 at K=8) —
+    the ~0.8 headroom covers what the model doesn't itemize. On backends
+    where donation aliases in-place (native PJRT), a smaller K only
+    costs extra dispatches (microseconds natively); through the relay a
+    larger K would OOM anyway.
+
+    ``PYSLICE_FUSED_CHUNKS`` overrides: ``0``/``false`` forces the
+    per-chunk loop, ``1``/``true`` forces full fusion, an integer >= 2
+    forces that exact group size.
+    """
+    import os
+    C = len(accs)
+    if C <= 1:
+        return 1
+    env = os.environ.get("PYSLICE_FUSED_CHUNKS")
+    if env is not None:
+        v = env.strip().lower()
+        if v in ("0", "false", "no"):
+            return 1
+        if v in ("1", "true", "yes"):
+            return min(C, cap)
+        return max(1, min(int(v), C, cap))
+    limit = _device_bytes_limit()
+    if limit is None:
+        return min(C, cap)
+    acc_b = max(int(a.nbytes) for a in accs)
+    mean_b = (max(int(m.nbytes) for m in means) if means is not None else 0)
+    probes_b = int(probes.nbytes)
+    persistent = (sum(int(a.nbytes) for a in accs) + probes_b
+                  + (sum(int(m.nbytes) for m in means)
+                     if means is not None else 0))
+    best = 1
+    for K in range(2, min(C, cap) + 1):
+        peak = (persistent + K * (acc_b + mean_b)
+                + 2 * K * probes_b / C + 2 * acc_b)
+        if peak <= 0.8 * limit:
+            best = K
+    return best
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spec", "layer_index", "bounds"),
                    donate_argnums=(0, 1))
@@ -460,6 +543,31 @@ class StreamingTACAW:
                 self._mean_chunks = [jax.device_put(m, mean_s)
                                      for m in self._mean_chunks]
         self._seen = set()
+        # Chunks fold in fused groups of K per dispatch, K picked so the
+        # group's boundary footprint fits the device (_fused_group_size);
+        # K == 1 keeps the legacy per-chunk loop.
+        self._fuse_group = _fused_group_size(
+            self._acc_chunks, self._mean_chunks, self.probes)
+
+    def _fused_groups(self):
+        """((g0, g1, probes_range, rel_bounds), ...) — consecutive chunk
+        groups of ``self._fuse_group``; each group's probe range is sliced
+        eagerly (bounds shifted to it) so the dispatch boundary carries
+        only the group's probes, never the full array (the full-fusion
+        group passes ``self.probes`` itself — no copy)."""
+        K = self._fuse_group
+        C = len(self._chunk_slices)
+        out = []
+        for g0 in range(0, C, K):
+            g1 = min(g0 + K, C)
+            p0 = self._chunk_bounds[g0][0]
+            p1 = self._chunk_bounds[g1 - 1][1]
+            pr = (self.probes if (p0 == 0 and p1 == self.probes.shape[0])
+                  else self.probes[p0:p1])
+            rel = tuple((a - p0, b - p0)
+                        for a, b in self._chunk_bounds[g0:g1])
+            out.append((g0, g1, pr, rel))
+        return out
 
     # --- frame-sharded streaming (mesh frame extent > 1) ---------------------
 
@@ -625,20 +733,24 @@ class StreamingTACAW:
         self._scan_block = max(getattr(self, "_scan_block", 0), B)
         pos, phases, w = _pad_block(pos, [jnp.asarray(phases)],
                                     self._scan_block)
-        C = len(self._chunk_slices)
-        if 1 < C <= _MULTI_CHUNK_CAP:
-            # every chunk folded in ONE dispatch (relay amortization)
-            if self._track_mean:
-                accs, means = _tacaw_accumulate_scan_multi(
-                    tuple(self._acc_chunks), tuple(self._mean_chunks),
-                    pos, self.probes, phases, w, self.spec,
-                    self.layer_index, self._chunk_bounds)
-                self._acc_chunks, self._mean_chunks = list(accs), list(means)
-            else:
-                self._acc_chunks = list(_tacaw_accumulate_scan_multi_nomean(
-                    tuple(self._acc_chunks), pos, self.probes,
-                    phases, w, self.spec, self.layer_index,
-                    self._chunk_bounds))
+        if self._fuse_group > 1:
+            # chunks fold in fused groups of K per dispatch: one relay
+            # round trip AND one rasterization per frame per GROUP
+            # instead of per chunk (see _fused_group_size)
+            for g0, g1, pr, rel in self._fused_groups():
+                if self._track_mean:
+                    accs, means = _tacaw_accumulate_scan_multi(
+                        tuple(self._acc_chunks[g0:g1]),
+                        tuple(self._mean_chunks[g0:g1]),
+                        pos, pr, phases, w, self.spec,
+                        self.layer_index, rel)
+                    self._acc_chunks[g0:g1] = accs
+                    self._mean_chunks[g0:g1] = means
+                else:
+                    self._acc_chunks[g0:g1] = \
+                        _tacaw_accumulate_scan_multi_nomean(
+                            tuple(self._acc_chunks[g0:g1]), pos, pr,
+                            phases, w, self.spec, self.layer_index, rel)
             self._seen.update(frame_indices)
             return
         for i, sl in enumerate(self._chunk_slices):
@@ -670,20 +782,23 @@ class StreamingTACAW:
             raise ValueError(f"frame {int(frame_index)} already streamed")
         pos = jnp.asarray(positions)
         phases = self._phases(int(frame_index))
-        C = len(self._chunk_slices)
-        if 1 < C <= _MULTI_CHUNK_CAP:
-            # every chunk folded in ONE dispatch (relay amortization)
-            if self._track_mean:
-                accs, means = _tacaw_accumulate_multi(
-                    tuple(self._acc_chunks), tuple(self._mean_chunks),
-                    pos, self.probes, phases, self.spec,
-                    self.layer_index, self._chunk_bounds)
-                self._acc_chunks, self._mean_chunks = list(accs), list(means)
-            else:
-                self._acc_chunks = list(_tacaw_accumulate_multi_nomean(
-                    tuple(self._acc_chunks), pos, self.probes,
-                    phases, self.spec, self.layer_index,
-                    self._chunk_bounds))
+        if self._fuse_group > 1:
+            # chunks fold in fused groups of K per dispatch: one relay
+            # round trip AND one rasterization per GROUP instead of per
+            # chunk (see _fused_group_size)
+            for g0, g1, pr, rel in self._fused_groups():
+                if self._track_mean:
+                    accs, means = _tacaw_accumulate_multi(
+                        tuple(self._acc_chunks[g0:g1]),
+                        tuple(self._mean_chunks[g0:g1]),
+                        pos, pr, phases, self.spec,
+                        self.layer_index, rel)
+                    self._acc_chunks[g0:g1] = accs
+                    self._mean_chunks[g0:g1] = means
+                else:
+                    self._acc_chunks[g0:g1] = _tacaw_accumulate_multi_nomean(
+                        tuple(self._acc_chunks[g0:g1]), pos, pr,
+                        phases, self.spec, self.layer_index, rel)
             self._seen.add(int(frame_index))
             return
         for i, sl in enumerate(self._chunk_slices):

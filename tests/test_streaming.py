@@ -474,6 +474,77 @@ def test_streaming_block_feed_with_probe_chunks(setup):
     np.testing.assert_allclose(feed_haadf(4, 4), ref, rtol=1e-12)
 
 
+def test_fused_chunk_gate_memory_aware(setup, monkeypatch):
+    """The fused multi-chunk dispatch folds chunks in groups of K sized
+    to the device: through a device relay every complex64 boundary buffer
+    is materialized twice (measured 20.75 GiB demand for config 5's 6 GiB
+    of accumulators + 2 GiB probes on a 15.75 GiB v5e), so K shrinks until
+    the group's footprint fits — down to the per-chunk loop (K=1). All
+    group sizes are bit-identical; PYSLICE_FUSED_CHUNKS overrides."""
+    import pyslice_tpu.engine.streaming as S
+    traj, g, spec = setup
+    base = Probe(g.xs, g.ys, 0, 100e3, precision=DOUBLE)
+    pg = probe_grid([1, 3], [1, 3], 2, 2)
+    probes = create_batched_probes(base, pg).array
+
+    def make(chunk=2):
+        return StreamingTACAW(spec, probes, traj.n_frames, traj.timestep,
+                              frequencies=[20.0], probe_chunk=chunk)
+
+    monkeypatch.delenv("PYSLICE_FUSED_CHUNKS", raising=False)
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: None)
+    st = make()
+    assert st._fuse_group == 2, "unbounded device memory -> full fusion"
+    acc_b = max(int(a.nbytes) for a in st._acc_chunks)
+    persistent = (sum(int(a.nbytes) for a in st._acc_chunks)
+                  + int(st.probes.nbytes))
+
+    # a limit that only admits the per-chunk floor
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: persistent)
+    assert make()._fuse_group == 1, "tight limit must fall back to K=1"
+    monkeypatch.setattr(S, "_device_bytes_limit",
+                        lambda: 100 * (persistent + acc_b))
+    assert make()._fuse_group == 2
+
+    # intermediate limit: 4 chunks of 1 probe admit a strict-subset group
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: None)
+    st4 = make(chunk=1)
+    acc1 = max(int(a.nbytes) for a in st4._acc_chunks)
+    per4 = (sum(int(a.nbytes) for a in st4._acc_chunks)
+            + int(st4.probes.nbytes))
+    # peak(K) = per4 + K*acc1 + 2*K*probes/4 + 2*acc1 <= 0.8*limit
+    pb = int(st4.probes.nbytes) / 4
+    lim = int((per4 + 2 * acc1 + 2 * (acc1 + 2 * pb)) / 0.8) + 1
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: lim)
+    k = make(chunk=1)._fuse_group
+    assert 1 < k < 4, f"intermediate limit must pick a subset group, got {k}"
+
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: persistent)
+    monkeypatch.setenv("PYSLICE_FUSED_CHUNKS", "1")
+    assert make()._fuse_group == 2, "env=1 forces full fusion"
+    monkeypatch.setenv("PYSLICE_FUSED_CHUNKS", "0")
+    monkeypatch.setattr(S, "_device_bytes_limit", lambda: None)
+    assert make()._fuse_group == 1, "env=0 forces per-chunk"
+    monkeypatch.setenv("PYSLICE_FUSED_CHUNKS", "3")
+    assert make(chunk=1)._fuse_group == 3, "env=N forces group size N"
+
+    # Every dispatch shape is load-bearing somewhere (full fusion on
+    # roomy devices, grouped/per-chunk on memory-tight ones): pin that
+    # K=full, K=3 (ragged groups over 4 chunks), and K=1 produce
+    # bit-identical intensity through the block-scan feed.
+    def run(force, chunk):
+        monkeypatch.setenv("PYSLICE_FUSED_CHUNKS", force)
+        st = make(chunk=chunk)
+        for i0 in range(0, traj.n_frames, 3):
+            idx = list(range(i0, min(i0 + 3, traj.n_frames)))
+            st.add_frame_block(idx, traj.positions[np.asarray(idx)])
+        return np.asarray(st.intensity())
+
+    full = run("1", 1)
+    np.testing.assert_array_equal(full, run("3", 1))
+    np.testing.assert_array_equal(full, run("0", 1))
+
+
 def test_streaming_haadf_block_duplicate_is_atomic(setup):
     """A duplicate index anywhere in a block must reject the WHOLE block
     before any state mutates — a per-frame loop would mark earlier block

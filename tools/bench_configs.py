@@ -202,8 +202,17 @@ def _config5(quick):
     base = Probe(g.xs, g.ys, 25, 100e3)
     pg = probe_grid([20, 180], [20, 180], 8, 8)
     probes = create_batched_probes(base, pg).array
+    # probe_chunk=16: 4 chunks. At these shapes the per-dispatch cost is
+    # dominated by the per-chunk potential rasterization (~145 ms at
+    # 2048^2 x ~15k atoms), so fewer/larger chunks win as long as each
+    # chunk's boundary buffers fit the relay's 2x complex64
+    # materialization (see streaming._fused_group_size): measured
+    # 1.31 s/frame at chunk=8 (8 rasterizations/frame) vs 0.85 at
+    # chunk=16 (4/frame). NB the 8-frame harness snaps 10 THz to the
+    # f=0 bin, so this stream also carries the mean tracker, as a
+    # worst case; production multi-1000-frame streams usually don't.
     st = StreamingTACAW(spec5, probes, traj.n_frames, traj.timestep,
-                        frequencies=[10.0, 20.0, 40.0], probe_chunk=8)
+                        frequencies=[10.0, 20.0, 40.0], probe_chunk=16)
     # Production feeding: scan-blocked add_frame_block (one dispatch per
     # BLOCK of frames — the round-3/4 path built to amortize the 40 ms-1.5 s
     # relay round trip that per-frame add_frame pays per frame; round-5
