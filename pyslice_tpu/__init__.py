@@ -88,7 +88,7 @@ def loadKirkland(device=None):
     return load_parameters()
 
 
-__version__ = "0.4.0"
+__version__ = "0.6.1"
 
 __all__ = [
     "Trajectory", "TrajectoryLoader", "TrajectoryStream", "load_4dstem",

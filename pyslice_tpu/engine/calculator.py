@@ -18,12 +18,15 @@ Differences (all deliberate, see SURVEY §2 #9 ledger):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 import time
 from pathlib import Path
 from typing import List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..analysis.wf_data import WFData
@@ -32,11 +35,20 @@ from ..core.grids import grid_from_trajectory
 from ..data.trajectory import Trajectory
 from ..physics.potential import make_plan
 from ..physics.probe import Probe, create_batched_probes
-from ..utils.host import to_numpy
+from ..utils.host import device_zeros, to_numpy
 from .pipeline import (SimSpec, frame_exit_waves, simulate_frames,
                        simulate_frames_into)
 
 logger = logging.getLogger(__name__)
+
+
+# Process-lifetime jitted placement helper — a per-run ``jax.jit(lambda…)``
+# closure costs a retrace + relay compile-cache round trip every run()
+# (~0.1-0.3 s through the axon relay); see utils.host.device_zeros.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _place_frames(o, frames, i):
+    """In-place (donated) placement of a frame block at offset ``i``."""
+    return jax.lax.dynamic_update_slice_in_dim(o, frames, i, axis=1)
 
 
 class MultisliceCalculator:
@@ -219,6 +231,9 @@ class MultisliceCalculator:
             # (physics.aberrations.Aberrations or a coefficient dict,
             # normalized above).
             self.base_probe.aberrate(self.aberrations)
+        # Batched probes are a pure function of (base_probe, positions) —
+        # both fixed until the next setup(); built lazily once, not per run.
+        self._batched_probes = None
 
         self.debye_waller = dict(debye_waller) if debye_waller else None
         plan = make_plan(grid.xs, grid.ys, grid.zs, trajectory.positions,
@@ -325,6 +340,21 @@ class MultisliceCalculator:
                   for i in range(0, self.n_probes, bs)]
         return np.concatenate(chunks, axis=0)
 
+    def _probes_array(self):
+        """(n_probes, nx, ny) batched probe array, built once per setup.
+
+        Rebuilt only if ``base_probe.array`` was rebound (defocus/aberrate
+        replace the immutable array, so identity tracks every legitimate
+        post-setup mutation); otherwise run() reuses the same device array
+        — the per-run shift dispatch was pure fixed overhead.
+        """
+        ref = self.base_probe.array
+        if self._batched_probes is None or self._batched_probes[0] is not ref:
+            batch = create_batched_probes(self.base_probe,
+                                          self.probe_positions).array
+            self._batched_probes = (ref, batch)
+        return self._batched_probes[1]
+
     def _ksq_shifted(self):
         """fftshifted |k|^2 grid for oblique cells (WFData.ksq_shifted);
         None for orthogonal boxes (the separable axes suffice)."""
@@ -348,22 +378,12 @@ class MultisliceCalculator:
         that TACAWData / HAADFData consume directly (host conversion happens
         only at their final, small reductions). Closes the >99%-transfer
         bottleneck of the host path on slow-DMA hosts (VERDICT item 3)."""
-        import jax
-        import jax.numpy as jnp
-
         t0 = time.time()
         n_layers = (len(self.record_layers)
                     if self.record_layers is not None else 1)
         shape = (self.n_probes, self.n_frames, self.nx, self.ny, n_layers)
-        out = jax.jit(
-            lambda: jnp.zeros(shape, dtype=self.precision.complex))()
-        probes = create_batched_probes(self.base_probe,
-                                       self.probe_positions).array
-
-        place = jax.jit(
-            lambda o, frames, i: jax.lax.dynamic_update_slice_in_dim(
-                o, frames, i, axis=1),
-            donate_argnums=(0,))
+        out = device_zeros(shape, np.dtype(self.precision.complex))
+        probes = self._probes_array()
 
         bs = self.batch_size
         block = self._auto_device_block()
@@ -396,7 +416,7 @@ class MultisliceCalculator:
                 fk = jnp.concatenate(
                     [simulate_frames(pos, probes[j:j + bs], self.spec)
                      for j in range(0, self.n_probes, bs)], axis=0)
-                out = place(out, fk, i0)
+                out = _place_frames(out, fk, jnp.asarray(i0, jnp.int32))
             if progress_bar:
                 # The overlapped tail block replays already-counted frames;
                 # only the genuinely new ones advance the bar.
@@ -429,8 +449,7 @@ class MultisliceCalculator:
         from ..parallel.sharded import run_sharded
 
         t0 = time.time()
-        probes = create_batched_probes(self.base_probe,
-                                       self.probe_positions).array
+        probes = self._probes_array()
         positions = jnp.asarray(np.asarray(self.trajectory.positions))
         wf = run_sharded(positions, probes, self.spec, self.mesh)
         logger.info("Sharded simulation dispatched in %.2fs over mesh %s",
@@ -460,8 +479,7 @@ class MultisliceCalculator:
                         n_layers), dtype=np.complex128
                        if self.precision.name == "double" else np.complex64)
 
-        probes = create_batched_probes(self.base_probe,
-                                       self.probe_positions).array
+        probes = self._probes_array()
 
         frames_computed = frames_cached = 0
         block = self._auto_frame_block()

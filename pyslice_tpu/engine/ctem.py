@@ -44,6 +44,7 @@ import numpy as np
 from ..core.dtypes import get_precision
 from ..data.trajectory import Trajectory
 from ..physics.aberrations import Aberrations, chi_phase
+from ..utils.host import device_zeros
 
 
 def objective_transfer(kxs, kys, *, lam: float,
@@ -296,7 +297,7 @@ def hrtem_image(trajectory: Trajectory,
         imgs = _ctf_images(kw, h_re, h_im)        # (tilts, nx, ny)
         return acc + w * jnp.einsum("p,pxy->xy", tilt_w_dev, imgs)
 
-    acc = jax.jit(lambda: jnp.zeros((grid.nx, grid.ny), prec.real))()
+    acc = device_zeros((grid.nx, grid.ny), prec.real)
     from ..utils.host import to_device_complex
     probes = to_device_complex(waves, prec.complex)
     for c in range(n_cfg):

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import wavelength as _wavelength
+from ..utils.host import device_zeros
 from .pipeline import (SimSpec, exit_waves_from_potential,
                        frame_exit_waves)
 
@@ -1213,8 +1214,7 @@ class StreamingHAADF:
             else:
                 self._init_frame_sharded_haadf(n_probes, prec)
         else:
-            self._acc = jax.jit(lambda: jnp.zeros(
-                (n_probes,), prec.real))()
+            self._acc = device_zeros((n_probes,), prec.real)
         if probe_chunk is not None and mesh is not None:
             raise ValueError("probe_chunk and mesh are mutually exclusive")
         self.probe_chunk = probe_chunk

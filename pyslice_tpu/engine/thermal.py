@@ -23,6 +23,7 @@ from ..core.grids import grid_from_trajectory
 from ..data.trajectory import Trajectory
 from ..physics.potential import make_plan
 from ..physics.probe import Probe, create_batched_probes
+from ..utils.host import device_zeros
 from .pipeline import SimSpec
 from .streaming import StreamingHAADF
 
@@ -161,8 +162,7 @@ def frozen_phonon_diffraction(trajectory: Trajectory,
         acc, _ = jax.lax.scan(body, acc, pos_block)
         return acc
 
-    acc = jax.jit(lambda: jnp.zeros((grid.nx, grid.ny),
-                                    spec.precision.real))()
+    acc = device_zeros((grid.nx, grid.ny), spec.precision.real)
     for c0 in range(0, n_configs, 8):
         acc = fold(acc, jnp.asarray(configs.positions[c0:c0 + 8]), probes)
     return np.asarray(acc) / n_configs

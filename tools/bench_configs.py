@@ -65,7 +65,22 @@ def run_calc(traj, wall_label, sync=None, **setup_kw):
         sync(wf)
     elif hasattr(wf.wavefunction_data, "block_until_ready"):
         wf.wavefunction_data.block_until_ready()
-    return wf, time.time() - t0, calc
+    dt = time.time() - t0
+    # The sync itself costs one relay round trip (a FIXED per-run cost,
+    # 40 ms-1.5 s load-dependent) that dt includes exactly once. Measure
+    # it by re-issuing the same readback on the already-materialized
+    # result: the second call pays only the scalar sum + round trip.
+    # Callers that extrapolate per-frame slopes over reduced frame
+    # counts must subtract it, or quick-mode numbers overstate the
+    # per-frame cost (a 0.5 s sync over 20 frames reads as +25 ms/frame
+    # that a production 100-frame run never pays).
+    t1 = time.time()
+    if sync is not None:
+        sync(wf)
+    elif hasattr(wf.wavefunction_data, "block_until_ready"):
+        wf.wavefunction_data.block_until_ready()
+    sync_s = time.time() - t1
+    return wf, dt, calc, sync_s
 
 
 def main():
@@ -88,8 +103,8 @@ def _config1(quick):
     from pyslice_tpu.analysis.tacaw import TACAWData
     # ---- config 1: single plane-wave probe, 1 frame, ~256^2 -> diffraction
     traj = hbn_box(25.55, 1)
-    wf, dt, calc = run_calc(traj, "c1", aperture=0.0, voltage_eV=100e3,
-                            sampling=0.1, slice_thickness=0.5)
+    wf, dt, calc, _ = run_calc(traj, "c1", aperture=0.0, voltage_eV=100e3,
+                               sampling=0.1, slice_thickness=0.5)
     return dict(config=1, desc="plane wave, 1 frame, 256^2 -> diffraction",
                 grid=f"{calc.nx}x{calc.ny}x{calc.nz}", wall_s=round(dt, 3))
 
@@ -103,24 +118,28 @@ def _config2(quick):
     import jax.numpy as jnp
     nf = 20 if quick else 100
     traj = hbn_box(102.35, nf)
-    wf, dt, calc = run_calc(traj, "c2", aperture=0.0, voltage_eV=100e3,
-                            sampling=0.1, slice_thickness=0.5,
-                            device_output=True,
-                            sync=lambda w: float(
-                                jnp.sum(jnp.abs(w.wavefunction_data[0, -1]))))
+    wf, dt, calc, sync_s = run_calc(
+        traj, "c2", aperture=0.0, voltage_eV=100e3,
+        sampling=0.1, slice_thickness=0.5,
+        device_output=True,
+        sync=lambda w: float(
+            jnp.sum(jnp.abs(w.wavefunction_data[0, -1]))))
     tac = TACAWData(wf)
     _ = tac.spectrum(probe_index=0)          # warm the FFT program
     t0 = time.time()
     spec = tac.spectrum(probe_index=0)
     assert np.all(np.isfinite(spec))
     dt_fft = time.time() - t0
+    # per-frame slope excludes the fixed relay sync (paid once per RUN,
+    # not per frame); the 100-frame extrapolation adds it back once.
+    slope = max(dt - sync_s, 0.0) / nf
     return dict(
         config=2, desc=f"{nf} frames, 1 probe, 1024^2 -> TACAW spectrum "
                        "(device-resident)",
         grid=f"{calc.nx}x{calc.ny}x{calc.nz}", sim_wall_s=round(dt, 2),
-        tacaw_wall_s=round(dt_fft, 2),
-        per_frame_ms=round(dt / nf * 1e3, 1),
-        extrapolated_100f_s=round(dt / nf * 100 + dt_fft, 1))
+        sync_s=round(sync_s, 2), tacaw_wall_s=round(dt_fft, 2),
+        per_frame_ms=round(slope * 1e3, 1),
+        extrapolated_100f_s=round(slope * 100 + sync_s + dt_fft, 1))
 
 
 def _config3(quick):
@@ -131,13 +150,15 @@ def _config3(quick):
     pg = probe_grid([10, 90], [10, 90], 4, 4)
     sweep = {}
     for bs in (None, 8, 4):
-        wf, dt, calc = run_calc(traj, "c3", aperture=30.0, voltage_eV=100e3,
-                                sampling=0.1, slice_thickness=0.5,
-                                probe_positions=pg, batch_size=bs,
-                                device_output=True,
-                                sync=lambda w: float(
-                                    jnp.sum(jnp.abs(w.wavefunction_data))))
-        sweep[str(bs)] = round(dt / traj.n_frames * 1e3, 1)
+        wf, dt, calc, sync_s = run_calc(
+            traj, "c3", aperture=30.0, voltage_eV=100e3,
+            sampling=0.1, slice_thickness=0.5,
+            probe_positions=pg, batch_size=bs,
+            device_output=True,
+            sync=lambda w: float(
+                jnp.sum(jnp.abs(w.wavefunction_data))))
+        sweep[str(bs)] = round(max(dt - sync_s, 0.0)
+                               / traj.n_frames * 1e3, 1)
     return dict(config=3, desc="16-probe 30mrad STEM batch, batch_size sweep",
                 grid=f"{calc.nx}x{calc.ny}x{calc.nz}",
                 per_frame_ms_by_batch_size=sweep)
@@ -154,11 +175,12 @@ def _config4(quick):
     # the relay tunnel; that transfer is reported separately below so the
     # two costs can't be conflated again.
     traj = hbn_box(51.25, 8)
-    wf, dt, calc = run_calc(traj, "c4", aperture=0.0, voltage_eV=100e3,
-                            sampling=0.1, slice_thickness=0.5,
-                            record_layers=[3, 7, 13], device_output=True,
-                            sync=lambda w: float(
-                                jnp.sum(jnp.abs(w.wavefunction_data[0, -1]))))
+    wf, dt, calc, sync_s = run_calc(
+        traj, "c4", aperture=0.0, voltage_eV=100e3,
+        sampling=0.1, slice_thickness=0.5,
+        record_layers=[3, 7, 13], device_output=True,
+        sync=lambda w: float(
+            jnp.sum(jnp.abs(w.wavefunction_data[0, -1]))))
     tac = TACAWData(wf, layer_index=2)
     t0 = time.time()
     disp = tac.dispersion(np.linspace(0, 6, 200), np.zeros(200))
@@ -168,16 +190,17 @@ def _config4(quick):
     dt_an = time.time() - t0
     assert np.all(np.isfinite(disp)) and np.all(np.isfinite(ms))
     # host-output variant: the same sim + one full device->host readback
-    _, dt_host, _ = run_calc(traj, "c4h", aperture=0.0, voltage_eV=100e3,
-                             sampling=0.1, slice_thickness=0.5,
-                             record_layers=[3, 7, 13])
+    _, dt_host, _, _ = run_calc(traj, "c4h", aperture=0.0, voltage_eV=100e3,
+                                sampling=0.1, slice_thickness=0.5,
+                                record_layers=[3, 7, 13])
     out_mb = (calc.nx * calc.ny * 3 * traj.n_frames
               * np.dtype(np.complex64).itemsize / 2 ** 20)
     return dict(
         config=4,
         desc="depth-resolved WFData (3 layers) + dispersion + masked_spectrum",
         grid=f"{calc.nx}x{calc.ny}x{calc.nz}", layers=list(map(int, wf.layer)),
-        sim_wall_s=round(dt, 2), analysis_wall_s=round(dt_an, 2),
+        sim_wall_s=round(dt, 2), sync_s=round(sync_s, 2),
+        analysis_wall_s=round(dt_an, 2),
         host_output_wall_s=round(dt_host, 2),
         host_transfer_MB=round(out_mb, 1),
         dispersion_shape=list(disp.shape))
@@ -226,14 +249,23 @@ def _config5(quick):
         st.add_frame_block(idx, traj.positions[np.asarray(idx)])
     _ = float(jnp.sum(st._acc_chunks[0].real))             # sync
     dt = time.time() - t0
+    # the sync's fixed relay round trip (paid once per STREAM, not per
+    # frame) — re-issued on the already-materialized accumulator so it
+    # measures only the scalar readback; subtracted from the per-frame
+    # slope (over quick mode's 2 timed frames a 0.5 s sync would read
+    # as +0.25 s/frame that production 1000-frame streams never pay)
+    t1 = time.time()
+    _ = float(jnp.sum(st._acc_chunks[0].real))
+    sync_s = time.time() - t1
     n_timed = nf5 - len(blocks[0])
-    per_frame = dt / n_timed
+    per_frame = max(dt - sync_s, 0.0) / n_timed
     return dict(
         config=5, desc="2048^2 x 64 probes, streaming TACAW (frame axis "
                        "unbounded; multi-chip sharding validated separately "
                        "via dryrun_multichip)",
         grid=f"{g.nx}x{g.ny}x{g.nz}", probes=64,
         measured_frames=n_timed, block_size=block,
+        sync_s=round(sync_s, 3),
         per_frame_s=round(per_frame, 3),
         extrapolated_1000f_hours=round(per_frame * 1000 / 3600, 2),
         streaming_state_MB=round(
